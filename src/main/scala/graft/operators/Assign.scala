@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecFunctions._
+
+/** J1 — nearest-centroid assignment (SURVEY §2.3).
+  *
+  * Reference: broadcast nested-loop `getCluster` (mapper.py:35-51) — each
+  * point scans all K centroids keeping the argmin of squared distance;
+  * ties keep the FIRST (lowest-id) centroid because the comparison is
+  * strict `<` (mapper.py:43).
+  *
+  * Two implementations, cross-checked in tests:
+  *
+  *  1. [[withNearest]] — *expression form*: the argmin is unrolled into a
+  *     `least(d0..dK)` + first-match CASE chain over literal centroids.
+  *     One narrow map stage, zero shuffle, fully inside whole-stage
+  *     codegen. This is the 100-TB path: centroids ride in the plan
+  *     (they are K small literals), so a 1000-executor scan needs no
+  *     broadcast exchange at all.
+  *
+  *  2. [[nearestRelational]] — *relational form*: crossJoin(broadcast(c))
+  *     + per-point min + tie-break, the shape a SQL engine (and our DuckDB
+  *     oracle) expresses directly.
+  *
+  * Both break ties toward the lowest cid, matching mapper.py:43.
+  */
+object Assign {
+
+  /** Minimum squared distance from (x,y) to the centroid set. */
+  def minDistSq2(x: Column, y: Column, cs: Seq[Centroid2D]): Column =
+    least(cs.map(c => distSq2(x, y, lit(c.cx), lit(c.cy))): _*)
+
+  /** Argmin cluster id: first centroid (ascending cid) whose distance
+    * equals the minimum — float equality is safe because both operands are
+    * the identical expression evaluation.
+    */
+  def nearestCid2(x: Column, y: Column, cs: Seq[Centroid2D]): Column = {
+    val sorted = cs.sortBy(_.cid)
+    val mind = minDistSq2(x, y, sorted)
+    sorted.foldRight(lit(-1)) { (c, rest) =>
+      when(distSq2(x, y, lit(c.cx), lit(c.cy)) === mind, lit(c.cid)).otherwise(rest)
+    }
+  }
+
+  // NOTE on the foldRight above: it builds CASE WHEN d0=min THEN 0 WHEN
+  // d1=min THEN 1 ... — evaluated top-down, so the lowest cid wins ties.
+
+  /** 1-D variants (sequential-kmeans.py:14-29, with the argmin CORRECT —
+    * the reference's line 25 stores an unsquared signed diff, documented
+    * divergence per SURVEY §3.2).
+    */
+  def minDistSq1(x: Column, cs: Seq[Centroid1D]): Column =
+    least(cs.map(c => distSq1(x, lit(c.c))): _*)
+
+  def nearestCid1(x: Column, cs: Seq[Centroid1D]): Column = {
+    val sorted = cs.sortBy(_.cid)
+    val mind = minDistSq1(x, sorted)
+    sorted.foldRight(lit(-1)) { (c, rest) =>
+      when(distSq1(x, lit(c.c)) === mind, lit(c.cid)).otherwise(rest)
+    }
+  }
+
+  /** n-dim argmin over a literal centroid seq, via a single `aggregate`
+    * HOF over an array-of-struct literal (not codegen'd, but evaluated
+    * iteratively — a fixed-size expression tree; a naive fold of nested
+    * `when(..).otherwise(acc)` would duplicate the accumulator subtree
+    * per centroid and blow up exponentially). Still one narrow stage, no
+    * shuffle; the hot flagship path delegates to MLlib which adds the
+    * |a|²+|b|²-2ab form + triangle-inequality pruning.
+    * Returns struct(cid INT, d2 DOUBLE).
+    */
+  def nearestND(vec: Column, cs: Seq[CentroidND]): Column = {
+    val sorted = cs.sortBy(_.cid)
+    val carr = array(sorted.map(c =>
+      struct(lit(c.cid).as("cid"), array(c.vec.map(lit(_)): _*).as("vec"))): _*)
+    aggregate(
+      carr,
+      struct(lit(-1).as("cid"), lit(Double.MaxValue).as("d2")),
+      (acc, c) => {
+        val d2 = distSqN(vec, c.getField("vec"))
+        // strict < keeps the earlier (lower-cid) centroid on ties
+        // (mapper.py:43)
+        when(d2 < acc.getField("d2"),
+          struct(c.getField("cid").as("cid"), d2.as("d2"))).otherwise(acc)
+      })
+  }
+
+  /** Expression-form assignment: adds `cluster_id` and `d2` to a 2-D point
+    * DataFrame with columns (x, y). No shuffle.
+    */
+  def withNearest(points: DataFrame, cs: Seq[Centroid2D]): DataFrame =
+    points
+      .withColumn("cluster_id", nearestCid2(col("x"), col("y"), cs))
+      .withColumn("d2", minDistSq2(col("x"), col("y"), cs))
+
+  /** Relational-form assignment: broadcast crossJoin + window-min +
+    * tie-break on lowest cid. Used for cross-checking and as the
+    * oracle-shaped plan; keyCols must uniquely identify a point.
+    */
+  def nearestRelational(points: DataFrame, centroids: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val joined = points.crossJoin(broadcast(centroids))
+      .withColumn("d2", distSq2(col("x"), col("y"), col("cx"), col("cy")))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    joined
+      .withColumn("mind", min(col("d2")).over(w))
+      .where(col("d2") === col("mind"))
+      .groupBy(keyCols.map(col) :+ col("x") :+ col("y"): _*)
+      .agg(min(col("cid")).as("cluster_id"), min(col("mind")).as("d2"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.VecFunctions._
+
+/** n-dimensional k-means over `ArrayType(Double)` points (the flagship
+  * embeddings table is 64-dim; the sequential oracle is 1-D — the kernel
+  * is dimension-generic per SURVEY §1.1).
+  *
+  * Ships the one custom aggregation surface promised in SURVEY §2.9:
+  * [[CentroidAggregator]], a typed `Aggregator[IN, BUF, OUT]` computing a
+  * per-cluster vector sum + count → mean — the idiomatic typed-Dataset
+  * form of A1 (reducer.py:30-44) for n-dim vectors, and the same shape
+  * MLlib uses internally. It gets Spark's map-side partial aggregation
+  * (reduce/merge) for free, unlike the reference which ships every raw
+  * point across its shuffle (mapper.py:67-68).
+  */
+object KMeansND {
+
+  /** (cluster_id, vector) → (sum vector, count) → mean vector. */
+  class CentroidAggregator(dim: Int)
+      extends Aggregator[(Int, Array[Double]), (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), a: (Int, Array[Double])): (Array[Double], Long) = {
+      val (s, n) = b
+      var i = 0
+      while (i < dim) { s(i) += a._2(i); i += 1 }
+      (s, n + 1)
+    }
+    override def merge(b1: (Array[Double], Long), b2: (Array[Double], Long)): (Array[Double], Long) = {
+      val (s1, n1) = b1; val (s2, n2) = b2
+      var i = 0
+      while (i < dim) { s1(i) += s2(i); i += 1 }
+      (s1, n1 + n2)
+    }
+    override def finish(r: (Array[Double], Long)): Array[Double] = {
+      val (s, n) = r
+      if (n == 0L) s else s.map(_ / n)
+    }
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExprEnc.doubleArray, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Array[Double]] = ExprEnc.doubleArray
+  }
+
+  private object ExprEnc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Assignment: adds cluster_id + d2 for an n-dim point DF with a
+    * double-array column `vec`. Literal centroids → no shuffle.
+    */
+  def withNearest(points: DataFrame, cs: Seq[CentroidND]): DataFrame = {
+    val nearest = Assign.nearestND(col("vec"), cs)
+    points.withColumn("_n", nearest)
+      .withColumn("cluster_id", col("_n.cid"))
+      .withColumn("d2", col("_n.d2"))
+      .drop("_n")
+  }
+
+  final case class FitResult(
+      centroids: Seq[CentroidND],
+      sse: Double,
+      iterations: Int,
+      converged: Boolean)
+
+  /** Lloyd's loop on n-dim points via the typed CentroidAggregator.
+    * Empty clusters keep their old centroid (KeepOld policy).
+    */
+  def fit(
+      spark: SparkSession,
+      points: DataFrame, // column `vec: array<double>`
+      init: Seq[CentroidND],
+      maxIter: Int,
+      delta: Double = 0.5): FitResult = {
+    import spark.implicits._
+    val dim = init.head.vec.length
+    points.cache()
+    try {
+      var cs = init
+      var prevSse = Double.NaN
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        val assigned = withNearest(points, cs)
+        val sse = assigned.agg(sum(col("d2"))).head().getDouble(0)
+        val ds: Dataset[(Int, Array[Double])] =
+          assigned.select(col("cluster_id"), col("vec")).as[(Int, Array[Double])]
+        val meansMap = ds.groupByKey(_._1)
+          .agg(new CentroidAggregator(dim).toColumn.name("mean"))
+          .collect().toMap
+        cs = cs.map(c => meansMap.get(c.cid).map(CentroidND(c.cid, _)).getOrElse(c))
+        if (!prevSse.isNaN && math.abs(prevSse - sse) < delta) converged = true
+        prevSse = sse
+        it += 1
+      }
+      FitResult(cs, prevSse, it, converged)
+    } finally points.unpersist()
+  }
+}

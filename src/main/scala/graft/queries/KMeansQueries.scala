@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+import graft.queries.QueryHelpers._
+
+/** Oracle-checked queries for the k-means operator family
+  * (SURVEY §2: S1, P1, J1, J2, A1, A4, A5, A6; §7.1 minimum slice).
+  *
+  * Spark side uses the expression-form assignment (no shuffle, full
+  * codegen); the oracle SQL uses the equivalent relational form
+  * (cross join + window-min + lowest-cid tie-break). Both evaluate the
+  * identical float arithmetic, so assignments match bit-for-bit.
+  */
+object KMeansQueries {
+
+  private def assigned2d(spark: SparkSession, sfDir: String, cs: Seq[Centroid2D]): DataFrame =
+    Assign.withNearest(Tables.points2d(spark, sfDir), cs)
+
+  // ---- shared oracle SQL fragments ----
+
+  /** CTEs p (points), d (per-centroid distances), a (assignment).
+    *
+    * The SQL mirrors the Spark expression form token-for-token: per-row
+    * scalar `least()` + first-match CASE chain (lowest cid wins ties,
+    * mapper.py:43 strict `<`). No window/grouping — so no unique-key
+    * requirement ((l_orderkey, l_linenumber) is NOT unique in the
+    * synthetic fixtures) and bit-identical float evaluation on both
+    * engines.
+    */
+  private def assignCtes(cs: Seq[Centroid2D]): String = {
+    val sorted = cs.sortBy(_.cid)
+    val dcols = sorted.map { c =>
+      val cx = Centroids.sqlDouble(c.cx); val cy = Centroids.sqlDouble(c.cy)
+      s"(x - $cx)*(x - $cx) + (y - $cy)*(y - $cy) AS dd${c.cid}"
+    }.mkString(",\n        ")
+    val leastArgs = sorted.map(c => s"dd${c.cid}").mkString(", ")
+    val caseArms = sorted.map(c => s"WHEN dd${c.cid} = d2 THEN ${c.cid}").mkString(" ")
+    s"""WITH p AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS x, l_quantity AS y FROM lineitem),
+       |d AS (SELECT l_orderkey, l_linenumber, x, y,
+       |        $dcols
+       |      FROM p),
+       |m AS (SELECT *, least($leastArgs) AS d2 FROM d),
+       |a AS (SELECT l_orderkey, l_linenumber, x, y, d2,
+       |        CAST(CASE $caseArms ELSE -1 END AS INT) AS cluster_id
+       |      FROM m)""".stripMargin
+  }
+
+  /** Same, 1-D over l_quantity. */
+  private def assignCtes1d(cs: Seq[Centroid1D]): String = {
+    val sorted = cs.sortBy(_.cid)
+    val dcols = sorted.map { c =>
+      val cx = Centroids.sqlDouble(c.c)
+      s"(x - $cx)*(x - $cx) AS dd${c.cid}"
+    }.mkString(",\n        ")
+    val leastArgs = sorted.map(c => s"dd${c.cid}").mkString(", ")
+    val caseArms = sorted.map(c => s"WHEN dd${c.cid} = d2 THEN ${c.cid}").mkString(" ")
+    s"""WITH p AS (SELECT l_quantity AS x FROM lineitem),
+       |d AS (SELECT x, $dcols FROM p),
+       |m AS (SELECT *, least($leastArgs) AS d2 FROM d),
+       |a AS (SELECT x, d2, CAST(CASE $caseArms ELSE -1 END AS INT) AS cluster_id
+       |      FROM m)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1 — scan + projection; Catalyst prunes the parquet scan to 4 cols
+    "kmeans_scan_points" -> ((s, dir) =>
+      Tables.points2d(s, dir).orderBy("l_orderkey", "l_linenumber", "x", "y")),
+
+    // A4 — global bounding box (getInputRange, master.py:274-303)
+    "kmeans_bbox" -> ((s, dir) =>
+      Tables.points2d(s, dir).agg(
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))),
+
+    // J1 — nearest-centroid assignment (getCluster, mapper.py:35-51)
+    "kmeans_assign" -> ((s, dir) =>
+      assigned2d(s, dir, Centroids.k2d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"), col("cluster_id"))
+        .orderBy("l_orderkey", "l_linenumber", "x", "y")),
+
+    // A1 — per-cluster mean, map-side combined (reducer.py:30-44)
+    "kmeans_recenter" -> ((s, dir) =>
+      assigned2d(s, dir, Centroids.k2d)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"),
+          rnd(avg(col("x")), 4).as("new_x"),
+          rnd(avg(col("y")), 4).as("new_y"))
+        .orderBy("cluster_id")),
+
+    // A1+A6 — one full Lloyd step: means + per-cluster SSE piggybacked on
+    // the same aggregation pass (reference rescans input twice instead,
+    // master.py:365)
+    "kmeans_step" -> ((s, dir) =>
+      assigned2d(s, dir, Centroids.k2d)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"),
+          rnd(avg(col("x")), 4).as("new_x"),
+          rnd(avg(col("y")), 4).as("new_y"),
+          rnd(sum(col("d2")) / lit(1e9), 2).as("sse_e9"))
+        .orderBy("cluster_id")),
+
+    // A6 — global objective f() (master.py:315-332)
+    "kmeans_sse" -> ((s, dir) =>
+      assigned2d(s, dir, Centroids.k2d)
+        .agg(count(lit(1)).as("n_points"),
+          rnd(sum(col("d2")) / lit(1e9), 2).as("sse_e9"))),
+
+    // A5+J2+P3 — empty-cluster repair, KeepOld policy
+    // (sequential-kmeans.py:46-49; id-aligned merge master.py:242-244)
+    "kmeans_repair_keepold" -> ((s, dir) => {
+      val cs = Centroids.k2dWithEmpty
+      val means = assigned2d(s, dir, cs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"),
+          rnd(avg(col("x")), 4).as("mx"),
+          rnd(avg(col("y")), 4).as("my"))
+      val cdf = Centroids.toDF(s, cs)
+      cdf.join(means, cdf("cid") === means("cluster_id"), "left")
+        .select(col("cid").as("cluster_id"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("mx"), col("cx")).as("new_x"),
+          coalesce(col("my"), col("cy")).as("new_y"))
+        .orderBy("cluster_id")
+    }),
+
+    // 1-D variant (sequential-kmeans.py oracle shape, correct argmin —
+    // SURVEY §3.2 documented divergence)
+    "kmeans_1d" -> ((s, dir) => {
+      val cs = Centroids.k1d
+      Tables.points1d(s, dir)
+        .withColumn("cluster_id", Assign.nearestCid1(col("x"), cs))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"), rnd(avg(col("x")), 4).as("new_x"))
+        .orderBy("cluster_id")
+    }),
+
+    // Full iterative fit — not SQL-expressible (driver loop above
+    // Catalyst, SURVEY §7.5); rows-only check here, cross-checked against
+    // MLlib in ScalaTest.
+    "kmeans_fit" -> ((s, dir) => {
+      import s.implicits._
+      val res = KMeansLoop.fit(s, Tables.points2d(s, dir), Centroids.k2d,
+        maxIter = 10, delta = 0.5)
+      res.centroids.map(c => (c.cid, c.cx, c.cy, res.iterations, res.converged))
+        .toDF("cluster_id", "cx", "cy", "iterations", "converged")
+        .orderBy("cluster_id")
+    }),
+
+    // n-dim typed-Aggregator fit on 64-dim embeddings (SURVEY §2.9)
+    "kmeans_fit_nd" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VecFunctions.toDoubleArray
+      val pts = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      val init = Centroids.randomInitND(10, 64, seed = 42L, -0.5, 0.5)
+      val res = KMeansND.fit(s, pts, init, maxIter = 5)
+      res.centroids.map(c => (c.cid, c.vec(0), c.vec(1), res.sse))
+        .toDF("cluster_id", "c0", "c1", "sse").orderBy("cluster_id")
+    }),
+
+    // MLlib flagship (SURVEY §7.2.6) — rows-only check
+    "kmeans_mllib" -> ((s, dir) =>
+      MLlibFlagship.run(s, dir).select(col("cluster_id"), col("size"))
+        .orderBy("cluster_id")))
+
+  val oracleSql: Map[String, String] = Map(
+    "kmeans_scan_points" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS x, l_quantity AS y
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, x, y""".stripMargin,
+
+    "kmeans_bbox" ->
+      """SELECT min(l_extendedprice) AS min_x, max(l_extendedprice) AS max_x,
+        |       min(l_quantity) AS min_y, max(l_quantity) AS max_y
+        |FROM lineitem""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""${assignCtes(Centroids.k2d)}
+         |SELECT l_orderkey, l_linenumber, x, y, cluster_id FROM a
+         |ORDER BY l_orderkey, l_linenumber, x, y""".stripMargin,
+
+    "kmeans_recenter" ->
+      s"""${assignCtes(Centroids.k2d)}
+         |SELECT cluster_id, count(*) AS cnt,
+         |       ${rndSql("avg(x)", 4)} AS new_x,
+         |       ${rndSql("avg(y)", 4)} AS new_y
+         |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "kmeans_step" ->
+      s"""${assignCtes(Centroids.k2d)}
+         |SELECT cluster_id, count(*) AS cnt,
+         |       ${rndSql("avg(x)", 4)} AS new_x,
+         |       ${rndSql("avg(y)", 4)} AS new_y,
+         |       ${rndSql("sum(d2) / 1e9", 2)} AS sse_e9
+         |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "kmeans_sse" ->
+      s"""${assignCtes(Centroids.k2d)}
+         |SELECT count(*) AS n_points, ${rndSql("sum(d2) / 1e9", 2)} AS sse_e9
+         |FROM a""".stripMargin,
+
+    "kmeans_repair_keepold" ->
+      s"""${assignCtes(Centroids.k2dWithEmpty)},
+         |c AS (SELECT * FROM ${Centroids.sql2d(Centroids.k2dWithEmpty)}),
+         |g AS (SELECT cluster_id, count(*) AS cnt,
+         |        ${rndSql("avg(x)", 4)} AS mx, ${rndSql("avg(y)", 4)} AS my
+         |      FROM a GROUP BY cluster_id)
+         |SELECT c.cid AS cluster_id, coalesce(g.cnt, 0) AS cnt,
+         |       coalesce(g.mx, c.cx) AS new_x, coalesce(g.my, c.cy) AS new_y
+         |FROM c LEFT JOIN g ON g.cluster_id = c.cid ORDER BY cluster_id""".stripMargin,
+
+    "kmeans_1d" ->
+      s"""${assignCtes1d(Centroids.k1d)}
+         |SELECT cluster_id, count(*) AS cnt, ${rndSql("avg(x)", 4)} AS new_x
+         |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryHelpers._
+
+/** Relational operator coverage (SURVEY §2.2 P1-P2, §2.4 A1/A3/A7, §2.5,
+  * §2.6 F5-F7). These capabilities come free from Catalyst; the queries
+  * exist to pin them under the DuckDB-oracle gate and to exercise the
+  * wide-parquet fixtures the reference never had (column pruning,
+  * predicate pushdown, broadcast joins become real here).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A7 — TPC-H Q1-shaped grouped aggregation over lineitem.
+    // Map-side partial agg → tiny shuffle (the reference ships raw rows,
+    // mapper.py:67-68).
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued: exact
+          rnd(sum(col("l_extendedprice")) / lit(1e6), 4).as("sum_base_m"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / lit(1e6), 4)
+            .as("sum_disc_m"),
+          rnd(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Joins — orders ⋈ customer ⋈ nation, dims broadcast (customer/nation
+    // are small at every SF; Catalyst auto-broadcasts, hinted explicitly)
+    "q_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          rnd(sum(col("o_totalprice")) / lit(1e6), 4).as("rev_m"))
+        .orderBy("n_name")
+    }),
+
+    // Window/top-k (SURVEY §2.5) — top 3 orders per priority; ties broken
+    // on the unique o_orderkey so ranking is deterministic cross-engine
+    "q_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // A3 — bag UNION ALL + group (reducer.py:115-118 multi-source merge)
+    "q_union_all" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.unionAll(sup).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }),
+
+    // F5/F6/P2 — the reference's KV shuffle format "key:x,y" round-trip
+    // (format at mapper.py:68, parse at mapper.py:120-128) + its only
+    // predicate filter shape (master.py:53)
+    "q_kv_roundtrip" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag") =!= lit("N"))
+        .withColumn("kv", concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_returnflag"), lit(","), col("l_linestatus")))
+        .withColumn("key2", element_at(split(col("kv"), ":"), 1).cast("bigint"))
+        .withColumn("flag", element_at(split(element_at(split(col("kv"), ":"), 2), ","), 1))
+        .withColumn("status", element_at(split(element_at(split(col("kv"), ":"), 2), ","), 2))
+        .select(col("l_orderkey"), col("l_linenumber"), col("kv"),
+          col("key2"), col("flag"), col("status"))
+        .orderBy("l_orderkey", "l_linenumber", "kv")),
+
+    // JSON extraction over events.props (extension surface, SURVEY §2.6
+    // closing note)
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")) // k integers: exact
+        .orderBy("event_type")),
+
+    // Tumbling 1-hour window aggregation over the events stream table
+    // (batch form of the §7.4 streaming demo; window() is the Structured
+    // Streaming window primitive)
+    "q_events_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_epoch", "event_type")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${rndSql("sum(l_extendedprice) / 1e6", 4)} AS sum_base_m,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount)) / 1e6", 4)} AS sum_disc_m,
+         |  ${rndSql("avg(l_quantity)", 4)} AS avg_qty,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      s"""SELECT n_name, count(*) AS n_orders,
+         |  ${rndSql("sum(o_totalprice) / 1e6", 4)} AS rev_m
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) u
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_kv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat(CAST(l_orderkey AS VARCHAR), ':', l_returnflag, ',', l_linestatus) AS kv,
+        |  CAST(string_split(concat(CAST(l_orderkey AS VARCHAR), ':', l_returnflag, ',', l_linestatus), ':')[1] AS BIGINT) AS key2,
+        |  string_split(string_split(concat(CAST(l_orderkey AS VARCHAR), ':', l_returnflag, ',', l_linestatus), ':')[2], ',')[1] AS flag,
+        |  string_split(string_split(concat(CAST(l_orderkey AS VARCHAR), ':', l_returnflag, ',', l_linestatus), ':')[2], ',')[2] AS status
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |ORDER BY l_orderkey, l_linenumber, kv""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_window" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         |  event_type, count(*) AS n, ${rndSql("sum(value)", 4)} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)
+}

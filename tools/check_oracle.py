@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB against the same fixture
+tables, and compares schema + row values exactly (column order normalized
+by name, like the driver).
+"""
+import json, sys, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if [str(d) for d in got.dtypes] != [str(d) for d in exp.dtypes]:
+            print(f"FAIL {name}: dtypes {list(map(str, got.dtypes))} != {list(map(str, exp.dtypes))}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        eq = got.equals(exp)
+        if not eq:
+            diff = (got != exp) & ~(got.isna() & exp.isna())
+            bad = diff.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(got)} rows differ; first:")
+            print(got[bad].head(3))
+            print(exp[bad].head(3))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
