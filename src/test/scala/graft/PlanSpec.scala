@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Physical-plan assertions — the 100-TB scale contract (SURVEY §4).
+  * These pin the properties that make each operator survive a 1000×
+  * scale-up: no shuffle where none is needed, pruned scans, broadcast
+  * joins for small dims, partial aggregation before exchanges.
+  */
+class PlanSpec extends SparkSpec {
+
+  test("expression-form assignment plans NO shuffle (one narrow stage)") {
+    val p = plan(Assign.withNearest(Tables.points2d(spark, sf), Centroids.k2d))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
+  test("point scan prunes to the 4 needed columns (column pruning)") {
+    val df = Tables.points2d(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("l_orderkey") && scan.contains("l_extendedprice"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_returnflag"),
+      s"scan reads pruned columns:\n$scan")
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf).where(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+      || p.contains("GreaterThan(l_quantity"), s"no pushdown in:\n$p")
+  }
+
+  test("recenter aggregates partially before the exchange (map-side combine)") {
+    val assigned = Assign.withNearest(Tables.points2d(spark, sf), Centroids.k2d)
+    val p = plan(Recenter.means(assigned))
+    // partial agg must appear below the exchange: the reference ships every
+    // raw point across its shuffle instead (mapper.py:67-68)
+    val iPartial = p.indexOf("HashAggregate")
+    assert(iPartial >= 0 && p.contains("Exchange"), s"plan:\n$p")
+    assert(p.indexOf("partial_", iPartial) >= 0 || p.contains("partial_count"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("dim joins broadcast (no shuffle join for small sides)") {
+    val q = queries.RelationalQueries.queries("q_join_agg")(spark, sf)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("whole-stage codegen covers the assignment expression") {
+    // executedPlan.toString marks codegen'd operators with a `*(id)` prefix
+    val p = plan(Assign.withNearest(Tables.points2d(spark, sf), Centroids.k2d))
+    assert(p.contains("*(1) Project"), s"no codegen span:\n$p")
+  }
+}
