@@ -17,12 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KMeansQueries.queries ++ RelationalQueries.queries
+    KMeansQueries.queries ++ RelationalQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (iterative fits, MLlib) get the
     * weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    KMeansQueries.oracleSql ++ RelationalQueries.oracleSql
+    KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      DedupQueries.oracleSql ++ TextQueries.oracleSql
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline extension surface (builder prompt; SURVEY §7.4).
+  *
+  * Four families, each with a DuckDB-oracle twin in DedupQueries:
+  *  - exact: hash-groupBy on normalized text (group by md5 so the shuffle
+  *    key is 32 bytes, not the document body — at 100 TB the shuffle
+  *    carries hashes, never text);
+  *  - n-gram Jaccard: char-shingle inverted index self-join with a
+  *    document-frequency cap (stop-shingle removal — without it a common
+  *    trigram joins every doc pair and the self-join is quadratic in the
+  *    corpus; with it, shuffle volume is Σ df² over rare shingles only);
+  *  - MinHash + LSH banding: the scale path — signature is 12 string
+  *    min-hashes (md5 is identical on both engines, min over hex strings
+  *    is plain lexicographic order), banded 6×2 into bucket keys; only
+  *    same-bucket pairs are candidates, then exact Jaccard verification
+  *    on the (tiny) candidate set;
+  *  - SimHash: 32-bit fingerprint from per-token md5 bits via pure
+  *    integer arithmetic (cross-engine deterministic), hamming-0 buckets.
+  *
+  * All shingle/token generation is `explode(transform(sequence(...)))` —
+  * a narrow per-row op; every join key is a short hash/shingle string.
+  */
+object Dedup {
+
+  /** Distinct char n-gram shingles per doc: (doc_id, sh). */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("t")) - (n - 1)),
+          i => col("t").substr(i, lit(n)))).as("sh"))
+      .distinct()
+
+  /** Exact dedup: one row per distinct normalized text; keep_id is the
+    * smallest doc_id of the group.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(lower(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("h"))
+
+  /** n-gram Jaccard similar pairs via shingle inverted index.
+    *
+    * @param dfCap  drop shingles appearing in more than dfCap docs
+    *               (stop-shingles); intersections count rare shingles
+    *               only — the standard candidate-generation approximation
+    * @param tau    minimum (rare-shingle) Jaccard to emit
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, dfCap: Int = 100, tau: Double = 0.05): DataFrame = {
+    val ss = shingles(docs, n).cache()
+    val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val rare = ss.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .where(col("df") <= dfCap).drop("df")
+    val a = rare.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = rare.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= tau)
+  }
+
+  /** MinHash signature columns h0..h{n-1}: per doc, min over shingles of
+    * md5("<seed>|" + shingle). String min = lexicographic = identical in
+    * any engine; no numeric hash conversion needed.
+    */
+  def minhashSignature(ss: DataFrame, nHash: Int): DataFrame = {
+    val aggs = (0 until nHash).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    ss.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH-banded near-dup pairs with exact-Jaccard verification.
+    * bands of `rowsPerBand` signature rows each; same-bucket pairs are
+    * candidates. The candidate set is tiny, so the verify join touches a
+    * negligible fraction of the corpus — this is the 100-TB dedup path.
+    */
+  def minhashPairs(
+      docs: DataFrame, n: Int = 8, nHash: Int = 12, rowsPerBand: Int = 2,
+      tau: Double = 0.5): DataFrame = {
+    val nBands = nHash / rowsPerBand
+    val ss = shingles(docs, n).cache()
+    val mh = minhashSignature(ss, nHash)
+    val bandCols = (0 until nBands).map { bi =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${bi * rowsPerBand + r}"))
+      struct(lit(bi).as("band"), md5(concat(parts: _*)).as("bk"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bk").as("bk"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bk"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = ss.select(col("doc_id").as("doc_a"), col("sh"))
+    val sb = ss.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= tau)
+  }
+
+  /** 32-bit SimHash per doc over distinct whitespace tokens.
+    *
+    * Bit b of a token's hash = bit of the hex digit at md5 position
+    * 1+b/4, extracted with instr/floor/% integer arithmetic (identical
+    * on both engines); fingerprint bit b = sign of the per-doc sum of
+    * (2·bit−1).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      .withColumn("h", md5(col("tok")))
+    val sums = toks.groupBy(col("doc_id")).agg(
+      simhashBitSums.head, simhashBitSums.tail: _*)
+    sums.select(col("doc_id"), expr(simhashFpSql).as("fp"))
+  }
+
+  /** SUM(±1) aggregate expressions s0..s31 (shared SQL text with the
+    * oracle — see DedupQueries).
+    */
+  private def simhashBitSums: Seq[Column] =
+    (0 until 32).map(b => expr(s"sum(${simhashContribSql(b, "h")})").as(s"s$b"))
+
+  /** SQL text for one token's ±1 contribution on bit b. */
+  def simhashContribSql(b: Int, h: String): String = {
+    val pos = 1 + b / 4
+    val p = 1 << (3 - b % 4)
+    s"(2 * (CAST(floor((instr('0123456789abcdef', substr($h, $pos, 1)) - 1) / $p.0) AS INT) % 2) - 1)"
+  }
+
+  /** SQL text folding s0..s31 into the BIGINT fingerprint. */
+  def simhashFpSql: String =
+    (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " + ", ")")
+}

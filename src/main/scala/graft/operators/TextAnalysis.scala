@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (training-data
+  * pipeline extension surface): language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything is per-row narrow work (no shuffle except final grouped
+  * reports) built from exact string/integer functions so the DuckDB
+  * oracle matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language. Scores = Σ occurrence counts of the
+    * language's markers in the space-padded lowercased text.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " que "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq("的", "。"))
+
+  /** SQL text for the occurrence count of marker `m` in padded text
+    * column `t` — (len − len(remove(m))) / len(m), computed in double
+    * (exact for these small integers, identical on both engines).
+    */
+  def occSql(t: String, m: String): String = {
+    val esc = m.replace("'", "''")
+    s"(CAST(length($t) - length(replace($t, '$esc', '')) AS DOUBLE) / ${m.length}.0)"
+  }
+
+  private def scoreSql(t: String, ms: Seq[String]): String =
+    ms.map(occSql(t, _)).mkString("(", " + ", ")")
+
+  /** Language-ID heuristic: marker-count scores + argmax with a fixed
+    * tie order (declaration order of [[markers]]). Output: doc_id, lang
+    * (label), pred, per-language scores.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = docs.withColumn("t", concat(lit(" "), lower(col("text")), lit(" ")))
+    val scored = markers.foldLeft(padded) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l", expr(scoreSql("t", ms)))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), rest) =>
+        val others = langs.drop(i + 1).map(o => col(s"s_$o"))
+        val best = if (others.size == 1) others.head else greatest(others: _*)
+        when(col(s"s_$l") >= best, lit(l)).otherwise(rest)
+    }
+    scored.select(
+      (col("doc_id") +: col("lang") +: pred.as("pred") +:
+        langs.map(l => col(s"s_$l"))): _*)
+  }
+
+  /** Per-document quality metrics — all per-row exact arithmetic. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      // whitespace tokens = spaces + 1 (exact; avoids split() trailing
+      // empty-string dialect differences)
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1))
+        .as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+      (length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
+        length(col("text"))).as("punct_ratio"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text"))).as("digit_ratio"),
+      (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
+        length(col("text"))).as("upper_ratio"))
+
+  /** Corpus token report grouped by source (exact integer sums). */
+  def tokenReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + lit(1))
+          .as("nws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("nbpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nws")).as("ws_tokens"),
+        sum(col("nbpe")).as("bpe_tokens"))
+
+  /** Winnowing document fingerprint (rolling k-gram hashes, window
+    * minimum): k=8 char shingles hashed with md5, min per sliding window
+    * of w=4 positions, distinct mins = the fingerprint set.
+    * Output: doc_id, n_fp, fp_min.
+    */
+  def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val pos = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"), md5(col("t").substr(col("i"), lit(k))).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    pos.withColumn("wh", min(col("h")).over(win))
+      .select(col("doc_id"), col("wh")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("wh")).as("fp_min"))
+  }
+}

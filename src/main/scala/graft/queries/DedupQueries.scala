@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+import graft.queries.QueryHelpers._
+
+/** Oracle-checked dedup queries over `documents`.
+  *
+  * Thresholds are calibrated to the synthetic corpus (no true near-dups
+  * exist: max 3-gram Jaccard ≈ 0.094, zero exact duplicates), so the
+  * queries emit the most-similar tail rather than "duplicates".
+  */
+object DedupQueries {
+
+  private val docs = (s: SparkSession, dir: String) => Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("keep_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), n = 3, dfCap = 100, tau = 0.05)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+          rnd(col("jac"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    // k=8 shingles: on this corpus 3-grams are pathologically shared
+    // (median true Jaccard 0.46 — tiny vocab) while 8-grams separate
+    // cleanly (median 0.04, true near-dups >= 0.5)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), n = 8, nHash = 12, rowsPerBand = 2, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+          rnd(col("jac"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val fp = Dedup.simhash(docs(s, dir))
+      fp.withColumn("cnt_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .select(col("doc_id"), col("fp"), col("cnt_same"))
+        .orderBy("doc_id")
+    }))
+
+  /** Shared shingle-set CTE (char k-grams, distinct per doc). */
+  private def ssetsCte(k: Int) =
+    s"""ssets AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(lower(text)) - ${k - 1}),
+       |      i -> substr(lower(text), CAST(i AS INT), $k))) AS sh
+       |  FROM documents WHERE length(text) >= $k) t)""".stripMargin
+
+  private val jaccardTail =
+    s"""j AS (SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb,
+       |        CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) AS jac
+       |      FROM it JOIN sizes sa ON sa.doc_id = doc_a
+       |              JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, na, nb, inter, ${rndSql("jac", 6)} AS jaccard
+       |FROM j""".stripMargin
+
+  private def minhashSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min(md5(concat('$i|', sh))) AS h$i").mkString(",\n        ")
+    val bandSelects = (0 until 6).map { bi =>
+      val a = bi * 2; val b = a + 1
+      s"SELECT doc_id, $bi AS band, md5(concat(h$a, h$b)) AS bk FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${ssetsCte(8)},
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM ssets GROUP BY doc_id),
+       |mh AS (SELECT doc_id,
+       |        $mins
+       |      FROM ssets GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |it AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |       FROM cand c JOIN ssets sa ON sa.doc_id = c.doc_a
+       |                   JOIN ssets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |       GROUP BY c.doc_a, c.doc_b),
+       |$jaccardTail WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until 32).map(b =>
+      s"sum(${Dedup.simhashContribSql(b, "h")}) AS s$b").mkString(",\n        ")
+    s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |    FROM documents) t WHERE tok <> ''),
+       |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |sums AS (SELECT doc_id,
+       |        $sums
+       |      FROM hs GROUP BY doc_id),
+       |fp AS (SELECT doc_id, ${Dedup.simhashFpSql} AS fp FROM sums)
+       |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS cnt_same
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(lower(text)) AS h
+        |FROM documents GROUP BY md5(lower(text)) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${ssetsCte(3)},
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM ssets GROUP BY doc_id),
+         |freq AS (SELECT sh, count(*) AS df FROM ssets GROUP BY sh),
+         |rare AS (SELECT s.doc_id, s.sh FROM ssets s JOIN freq f ON f.sh = s.sh
+         |         WHERE f.df <= 100),
+         |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |$jaccardTail WHERE jac >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashSql,
+    "dedup_simhash" -> simhashSql)
+}

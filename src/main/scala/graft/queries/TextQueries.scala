@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Oracle-checked text-analysis queries over `documents` (language ID,
+  * quality metrics, token counting, winnowing fingerprints). All
+  * arithmetic is per-row exact (integer/string ops), so outputs match
+  * DuckDB bit-for-bit with no rounding.
+  *
+  * Dialect notes baked into the oracles: DuckDB `regexp_replace` needs
+  * the 'g' flag (Spark replaces all matches by default); DuckDB
+  * `length`/`len` return BIGINT where Spark returns INT (explicit CASTs);
+  * DuckDB `sum(INT)` returns HUGEINT (cast back to BIGINT).
+  */
+object TextQueries {
+
+  private val docs = (s: SparkSession, dir: String) => Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir)).orderBy("doc_id")),
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenReport(docs(s, dir)).orderBy("source")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprint(docs(s, dir)).orderBy("doc_id")))
+
+  private def langidSql: String = {
+    val scores = TextAnalysis.markers.map { case (l, ms) =>
+      val sum = ms.map(TextAnalysis.occSql("t", _)).mkString("(", " + ", ")")
+      s"$sum AS s_$l"
+    }.mkString(",\n        ")
+    val langs = TextAnalysis.markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), rest) =>
+        val others = langs.drop(i + 1).map(o => s"s_$o")
+        val best = if (others.size == 1) others.head
+          else s"greatest(${others.mkString(", ")})"
+        s"CASE WHEN s_$l >= $best THEN '$l' ELSE $rest END"
+    }
+    val outScores = langs.map(l => s"s_$l").mkString(", ")
+    s"""WITH p AS (SELECT doc_id, lang, concat(' ', lower(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |        $scores
+       |      FROM p)
+       |SELECT doc_id, lang, $pred AS pred, $outScores
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_langid" -> langidSql,
+
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH pos AS (SELECT doc_id, lower(text) AS t,
+        |        unnest(generate_series(1, length(text) - 7)) AS i
+        |      FROM documents WHERE length(text) >= 8),
+        |sh AS (SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 8)) AS h FROM pos),
+        |w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wh FROM sh),
+        |fps AS (SELECT DISTINCT doc_id, wh FROM w)
+        |SELECT doc_id, count(*) AS n_fp, min(wh) AS fp_min
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}
