@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecFunctions._
+
+object SimilarityDims { val D = 64 }
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * training-data-pipeline extension surface.
+  *
+  * Three operators:
+  *  - [[nearPairs]]: embedding-cosine near-duplicate pairs (brute force,
+  *    the correctness baseline);
+  *  - [[bruteTopK]]: exact top-k neighbors for a query set (broadcast the
+  *    queries, scan the corpus once — at 100 TB the corpus side streams,
+  *    the query side rides the broadcast);
+  *  - [[annTopK]]: random-hyperplane LSH top-k — the scale path: corpus
+  *    is bucketed by sign-bit signature (narrow map), candidates are
+  *    same-bucket only, so the pair space shrinks by ~2^planes.
+  *
+  * Ranking determinism: ranks order by (cosine rounded to 5 dp, vec_id) —
+  * the rounded value is cross-engine stable, and the unique vec_id breaks
+  * ties, so top-k membership matches the DuckDB oracle exactly.
+  */
+object Similarity {
+
+  /** embeddings with the float vector cast to double once. */
+  def emb(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+
+  private def rnd5(c: Column): Column = floor(c * lit(1e5) + lit(0.5)) / lit(1e5)
+
+  /** All pairs with cosine >= tau (brute force; corpus must be small or
+    * pre-blocked — the LSH variant is the scale path).
+    */
+  def nearPairs(embDf: DataFrame, tau: Double): DataFrame = {
+    val a = embDf.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = embDf.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineUnrolled(col("va"), col("vb"), SimilarityDims.D))
+      .where(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), rnd5(col("cos")).as("cos5"))
+  }
+
+  /** Exact top-k cosine neighbors for queries (vec_id < nQueries). */
+  def bruteTopK(embDf: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embDf.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val joined = broadcast(q).crossJoin(
+        embDf.select(col("vec_id"), col("v")))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos5", rnd5(cosineUnrolled(col("qv"), col("v"), SimilarityDims.D)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos5").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("cos5"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim uniform [-1, 1]. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextDouble() * 2.0 - 1.0))
+  }
+
+  /** Sign-bit LSH bucket id (0 .. 2^nPlanes-1) for a vector column. */
+  def bucketExpr(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val parr = array(p.map(lit(_)): _*)
+      when(dotUnrolled(v, parr, p.length) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
+    * Recall < 1 by construction (LSH), but deterministic: the oracle
+    * computes the identical buckets.
+    */
+  def annTopK(embDf: DataFrame, planes: Seq[Array[Double]], nQueries: Int, k: Int): DataFrame = {
+    val bucketed = embDf
+      .withColumn("bucket", bucketExpr(col("v"), planes))
+    val q = bucketed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val joined = broadcast(q)
+      .join(bucketed.select(col("vec_id"), col("v"), col("bucket")), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos5", rnd5(cosineUnrolled(col("qv"), col("v"), SimilarityDims.D)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos5").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("bucket"), col("rk"), col("vec_id"), col("cos5"))
+  }
+}

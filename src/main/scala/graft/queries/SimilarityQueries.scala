@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, SimilarityDims}
+import graft.functions.VecFunctions
+import graft.queries.QueryHelpers._
+
+/** Oracle-checked similarity-search queries over `embeddings`.
+  *
+  * The cosine kernel is the unrolled fixed-dim form whose SQL twin
+  * executes the identical IEEE operations in the identical order, so
+  * values are bit-exact across engines; outputs still round to 5 dp and
+  * rank on (rounded cos, vec_id) for belt-and-braces determinism.
+  */
+object SimilarityQueries {
+
+  private val D = SimilarityDims.D
+  private val planes = Similarity.hyperplanes(nPlanes = 8, dim = D, seed = 13L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // embedding-cosine near-duplicate pairs (brute-force baseline)
+    "sim_near_pairs" -> ((s, dir) =>
+      Similarity.nearPairs(Similarity.emb(s, dir), tau = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // exact top-5 neighbors for the 10 query vectors
+    "sim_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(Similarity.emb(s, dir), nQueries = 10, k = 5)
+        .orderBy("qid", "rk")),
+
+    // LSH-bucketed ANN top-3 (8 random hyperplanes, seed 13)
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(Similarity.emb(s, dir), planes, nQueries = 10, k = 3)
+        .orderBy("qid", "rk")))
+
+  // ---- oracle SQL generation ----
+
+  private val embCte =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  private def cos(a: String, b: String): String =
+    VecFunctions.cosineUnrolledSql(a, b, D)
+
+  /** Inline literal-plane dot: v[1]*p1 + v[2]*p2 + … (constant-folded on
+    * the Spark side the same way).
+    */
+  private def planeDotSql(v: String, p: Array[Double]): String =
+    p.zipWithIndex.map { case (pv, i) => s"$v[${i + 1}]*${pv}" }.mkString(" + ")
+
+  private def bucketSql(v: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN (${planeDotSql(v, p)}) >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_near_pairs" ->
+      s"""WITH $embCte,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+         |      FROM e a, e b WHERE a.vec_id < b.vec_id),
+         |c AS (SELECT id_a, id_b, ${cos("va", "vb")} AS cos FROM p)
+         |SELECT id_a, id_b, ${rndSql("cos", 5)} AS cos5
+         |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |j AS (SELECT qid, vec_id, ${rndSql(cos("qv", "v"), 5)} AS cos5
+         |      FROM q, e WHERE vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos5,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
+         |      FROM j)
+         |SELECT qid, rk, vec_id, cos5 FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
+         |j AS (SELECT q.qid, q.bucket, b.vec_id, ${rndSql(cos("q.qv", "b.v"), 5)} AS cos5
+         |      FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid),
+         |r AS (SELECT qid, bucket, vec_id, cos5,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
+         |      FROM j)
+         |SELECT qid, bucket, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)
+}
