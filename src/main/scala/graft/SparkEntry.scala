@@ -18,7 +18,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansQueries.queries ++ RelationalQueries.queries ++
-      DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ TextQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (iterative fits, MLlib) get the
@@ -26,5 +27,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      DedupQueries.oracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql
+      DedupQueries.oracleSql ++ TextQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.{Assign, Centroid1D}
+
+/** Structured Streaming over the `events` table (SURVEY §2.7/§7.4 —
+  * the reference is batch-synchronous; streaming is the extension
+  * surface).
+  *
+  * Three shapes:
+  *  - [[windowedAgg]]: watermark + tumbling 1-hour window aggregation
+  *    (readStream → window → agg), the canonical streaming query;
+  *  - [[runningTotals]]: custom state via mapGroupsWithState — per
+  *    event_type running count/sum;
+  *  - [[incrementalAssign]]: foreachBatch incremental k-means — each
+  *    micro-batch is assigned to the current centroids with the SAME
+  *    codegen'd expression the batch engine uses, and centroids update
+  *    between batches (streaming Lloyd step).
+  */
+object EventStream {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) in parquet → read
+    * as BIGINT nanos under nanosAsLong, normalized here like
+    * Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(srcDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class TypeState(n: Long, total: Double)
+  final case class TypeTotal(event_type: String, n: Long, total: Double)
+
+  /** Custom keyed state: per-event_type running totals
+    * (mapGroupsWithState, update-mode).
+    */
+  def runningTotals(events: DataFrame): Dataset[TypeTotal] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[TypeState]) =>
+          val prev = state.getOption.getOrElse(TypeState(0L, 0.0))
+          var n = prev.n; var tot = prev.total
+          rows.foreach { r => n += 1; tot += r._2 }
+          state.update(TypeState(n, tot))
+          TypeTotal(key, n, tot)
+      }
+  }
+
+  /** Run a streaming DF to a memory sink until all available data is
+    * processed; returns the sink table.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming incremental k-means on the 1-D event value: per
+    * micro-batch, assign with the literal-centroid expression, aggregate
+    * (count, sum) per cluster, and fold into running centroids — the
+    * streaming form of the reference's iterate-over-full-input loop.
+    * Returns final centroids after all batches.
+    */
+  def incrementalAssign(
+      spark: SparkSession, srcDir: String, init: Seq[Centroid1D]): Seq[Centroid1D] = {
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      (Seq[Centroid1D], Map[Int, (Long, Double)])]((init, Map.empty))
+    val stream = readEvents(spark, srcDir).select(col("value").as("x"))
+    val q = stream.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (cs, acc) = state.get()
+        val assigned = batch.withColumn("cluster_id", Assign.nearestCid1(col("x"), cs))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+          .collect()
+        val acc2 = assigned.foldLeft(acc) { (m, r) =>
+          val (n0, s0) = m.getOrElse(r.getInt(0), (0L, 0.0))
+          m.updated(r.getInt(0), (n0 + r.getLong(1), s0 + r.getDouble(2)))
+        }
+        val cs2 = cs.map(c => acc2.get(c.cid)
+          .map { case (n, sx) => Centroid1D(c.cid, sx / n) }.getOrElse(c))
+        state.set((cs2, acc2))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.get()._1
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators._
+import graft.streaming.EventStream
+
+/** Extension-surface coverage: dedup, similarity, text, multimodal,
+  * streaming.
+  */
+class ExtensionSpec extends SparkSpec {
+
+  test("exact dedup finds injected duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "zzzzz qqqqq wwwww")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(docs, n = 3, dfCap = 100, tau = 0.5)
+      .select("doc_a", "doc_b", "jac").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("minhash LSH recalls identical docs; simhash fingerprints match for identical docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base), (3L, "completely different words here xyzzy plugh"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(docs, n = 8, nHash = 12, rowsPerBand = 2, tau = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.toSet == Set((1L, 2L)))
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
+  }
+
+  test("brute-force topk: nearest neighbor of a vector is its duplicate") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 0, Array.fill(64)(1.0)),
+      (1L, 0, Array.fill(64)(1.0)), // duplicate of 0
+      (2L, 0, Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("vec_id", "label", "v")
+    val top = Similarity.bruteTopK(vecs, nQueries = 1, k = 1).collect()
+    assert(top.head.getLong(2) == 1L) // vec_id of neighbor
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN buckets put identical vectors together; topk within bucket") {
+    val planes = Similarity.hyperplanes(8, 64, seed = 13L)
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 0, Array.fill(64)(0.5)),
+      (1L, 0, Array.fill(64)(0.5)),
+      (2L, 0, Array.fill(64)(-0.5))).toDF("vec_id", "label", "v")
+    val out = Similarity.annTopK(vecs, planes, nQueries = 1, k = 3).collect()
+    // identical vector is in the same bucket and returned; opposite vector
+    // lands in the complementary bucket and must NOT appear
+    assert(out.map(_.getLong(3)).toSet == Set(1L))
+  }
+
+  test("langid prefers the language whose markers dominate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "the cat and the dog and the bird"),
+      (2L, "x", "der hund und die katze und der vogel"),
+      (3L, "x", "le chat et les chiens et le oiseau des bois"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langId(docs).select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr")
+  }
+
+  test("quality metrics are exact on a hand-computed doc") {
+    import spark.implicits._
+    val docs = Seq((1L, 11L, "Ab1, cd EF.")).toDF("doc_id", "n_chars", "text")
+    val r = TextAnalysis.quality(docs).head()
+    assert(r.getInt(r.fieldIndex("n_ws_tokens")) == 3)
+    // tokens: Ab / 1 / , / cd / EF / .  => 6
+    assert(r.getInt(r.fieldIndex("n_bpe_tokens")) == 6)
+    assert(math.abs(r.getDouble(r.fieldIndex("punct_ratio")) - 2.0 / 11) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("digit_ratio")) - 1.0 / 11) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("upper_ratio")) - 3.0 / 11) < 1e-12)
+  }
+
+  test("winnow fingerprint: identical docs share fingerprints") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fps(1L) == fps(2L))
+  }
+
+  test("multimodal: batched feature extraction preserves rows and shapes") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val n = media.count()
+    val feats = Multimodal.extractFeatures(media, batchSize = 32).collect()
+    assert(feats.length == n)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
+    val frames = Multimodal.frameSample(media, stride = 64)
+    assert(frames.count() > 0)
+  }
+
+  test("streaming windowed agg equals the batch computation") {
+    val tmp = java.nio.file.Files.createTempDirectory("events-stream").toFile
+    val src = new java.io.File(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(tmp, "part-0.parquet").toPath)
+    // Complete mode: Append would hold back windows newer than the final
+    // watermark, so the tail hours would be missing from the sink
+    val stream = EventStream.windowedAgg(EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val got = EventStream.runToMemory(spark, stream, "win_out", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.queries.RelationalQueries.queries("q_events_window")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("streaming incremental k-means matches a one-pass batch mean per cluster") {
+    val tmp = java.nio.file.Files.createTempDirectory("events-stream2").toFile
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      new java.io.File(tmp, "part-0.parquet").toPath)
+    val init = Seq(Centroid1D(0, 10.0), Centroid1D(1, 100.0))
+    val got = EventStream.incrementalAssign(spark, tmp.getAbsolutePath, init)
+    // single micro-batch -> equals one batch Lloyd step on the same data
+    val batch = Tables.events(spark, sf).select(col("value").as("x"))
+    val assigned = batch.withColumn("cluster_id", Assign.nearestCid1(col("x"), init))
+      .groupBy("cluster_id").agg(avg(col("x")).as("m")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    got.foreach { c =>
+      assigned.get(c.cid).foreach(m => assert(math.abs(m - c.c) < 1e-9))
+    }
+  }
+
+  test("running totals via mapGroupsWithState equal batch totals") {
+    val tmp = java.nio.file.Files.createTempDirectory("events-stream3").toFile
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      new java.io.File(tmp, "part-0.parquet").toPath)
+    val totals = EventStream.runningTotals(EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val got = EventStream.runToMemory(spark, totals.toDF(), "tot_out", OutputMode.Update())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+}
