@@ -74,18 +74,15 @@ object Assign {
     */
   def nearestND(vec: Column, cs: Seq[CentroidND]): Column = {
     val sorted = cs.sortBy(_.cid)
-    val carr = array(sorted.map(c =>
-      struct(lit(c.cid).as("cid"), array(c.vec.map(lit(_)): _*).as("vec"))): _*)
-    aggregate(
-      carr,
-      struct(lit(-1).as("cid"), lit(Double.MaxValue).as("d2")),
-      (acc, c) => {
-        val d2 = distSqN(vec, c.getField("vec"))
-        // strict < keeps the earlier (lower-cid) centroid on ties
-        // (mapper.py:43)
-        when(d2 < acc.getField("d2"),
-          struct(c.getField("cid").as("cid"), d2.as("d2"))).otherwise(acc)
-      })
+    val dists = sorted.map(c =>
+      graft.functions.ArrayKernels.distSqFast(vec, array(c.vec.map(lit(_)): _*)))
+    val mind = least(dists: _*)
+    // first cid whose distance equals the min -> lowest cid wins ties
+    // (mapper.py:43 strict <); codegen CSE dedups the repeated subtrees
+    val cid = sorted.zip(dists).foldRight(lit(-1): Column) {
+      case ((c, d), rest) => when(d === mind, lit(c.cid)).otherwise(rest)
+    }
+    struct(cid.as("cid"), mind.as("d2"))
   }
 
   /** Expression-form assignment: adds `cluster_id` and `d2` to a 2-D point

@@ -70,14 +70,36 @@ object Dedup {
       .where(col("jac") >= tau)
   }
 
+  /** Universal-hash modulus (Mersenne prime 2^31−1) and per-function
+    * (a, b) coefficients, seeded — shared with the oracle SQL.
+    */
+  val MinhashP: Long = 2147483647L
+
+  def minhashCoeffs(nHash: Int, seed: Long = 101L): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nHash)((1L + math.abs(rnd.nextLong()) % (MinhashP - 1),
+      math.abs(rnd.nextLong()) % MinhashP))
+  }
+
+  /** Base 60-bit shingle hash: first 15 hex digits of md5, as BIGINT,
+    * reduced mod P. ONE md5 per shingle; the nHash signature functions
+    * are cheap `(a·h + b) mod P` variants of it (a·h < 2^62, no
+    * overflow). 12× fewer md5 calls than hashing per-function — this is
+    * what makes the signature pass scan-bound at corpus scale.
+    */
+  def shingleBaseHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % lit(MinhashP)
+
   /** MinHash signature columns h0..h{n-1}: per doc, min over shingles of
-    * md5("<seed>|" + shingle). String min = lexicographic = identical in
-    * any engine; no numeric hash conversion needed.
+    * the i-th universal hash. Pure integer arithmetic — identical in any
+    * engine.
     */
   def minhashSignature(ss: DataFrame, nHash: Int): DataFrame = {
-    val aggs = (0 until nHash).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-    ss.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val hm = ss.withColumn("hm", shingleBaseHash(col("sh")))
+    val aggs = minhashCoeffs(nHash).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hm") + lit(b)) % lit(MinhashP)).as(s"h$i")
+    }
+    hm.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH-banded near-dup pairs with exact-Jaccard verification.
@@ -91,13 +113,18 @@ object Dedup {
     val nBands = nHash / rowsPerBand
     val ss = shingles(docs, n).cache()
     val mh = minhashSignature(ss, nHash)
+    // band key = the raw signature rows (numeric join keys — no extra
+    // hashing needed)
+    val keyNames = (0 until rowsPerBand).map(r => s"k$r")
     val bandCols = (0 until nBands).map { bi =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${bi * rowsPerBand + r}"))
-      struct(lit(bi).as("band"), md5(concat(parts: _*)).as("bk"))
+      struct(lit(bi).as("band") +:
+        (0 until rowsPerBand).map(r =>
+          col(s"h${bi * rowsPerBand + r}").as(s"k$r")): _*)
     }
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bk").as("bk"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bk"))
+      .select(col("doc_id") +: col("b.band").as("band") +:
+        keyNames.map(k => col(s"b.$k").as(k)): _*)
+    val cand = bands.as("x").join(bands.as("y"), "band" +: keyNames)
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VecFunctions._
+import graft.functions.ArrayKernels
 
 object SimilarityDims { val D = 64 }
 
@@ -37,22 +38,33 @@ object Similarity {
     * pre-blocked — the LSH variant is the scale path).
     */
   def nearPairs(embDf: DataFrame, tau: Double): DataFrame = {
-    val a = embDf.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = embDf.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val n = withNorm(embDf)
+    val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineUnrolled(col("va"), col("vb"), SimilarityDims.D))
+      .withColumn("cos",
+        ArrayKernels.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), rnd5(col("cos")).as("cos5"))
   }
 
+  /** Precompute the L2 norm once per vector (below any join, so a pair
+    * scan pays one dot per pair, not three).
+    */
+  def withNorm(embDf: DataFrame): DataFrame =
+    embDf.withColumn("nrm",
+      sqrt(ArrayKernels.dotFast(col("v"), col("v"))))
+
   /** Exact top-k cosine neighbors for queries (vec_id < nQueries). */
   def bruteTopK(embDf: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = embDf.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val n = withNorm(embDf)
+    val q = n.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val joined = broadcast(q).crossJoin(
-        embDf.select(col("vec_id"), col("v")))
+        n.select(col("vec_id"), col("v"), col("nrm")))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos5", rnd5(cosineUnrolled(col("qv"), col("v"), SimilarityDims.D)))
+      .withColumn("cos5", rnd5(
+        ArrayKernels.dotFast(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos5").desc, col("vec_id"))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -69,7 +81,7 @@ object Similarity {
   def bucketExpr(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val parr = array(p.map(lit(_)): _*)
-      when(dotUnrolled(v, parr, p.length) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(ArrayKernels.dotFast(v, parr) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
@@ -77,14 +89,16 @@ object Similarity {
     * computes the identical buckets.
     */
   def annTopK(embDf: DataFrame, planes: Seq[Array[Double]], nQueries: Int, k: Int): DataFrame = {
-    val bucketed = embDf
+    val bucketed = withNorm(embDf)
       .withColumn("bucket", bucketExpr(col("v"), planes))
     val q = bucketed.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
     val joined = broadcast(q)
-      .join(bucketed.select(col("vec_id"), col("v"), col("bucket")), Seq("bucket"))
+      .join(bucketed.select(col("vec_id"), col("v"), col("nrm"), col("bucket")), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos5", rnd5(cosineUnrolled(col("qv"), col("v"), SimilarityDims.D)))
+      .withColumn("cos5", rnd5(
+        ArrayKernels.dotFast(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos5").desc, col("vec_id"))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)

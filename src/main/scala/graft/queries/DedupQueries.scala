@@ -59,21 +59,25 @@ object DedupQueries {
        |FROM j""".stripMargin
 
   private def minhashSql: String = {
-    val mins = (0 until 12).map(i =>
-      s"min(md5(concat('$i|', sh))) AS h$i").mkString(",\n        ")
+    import graft.operators.Dedup.{MinhashP => P}
+    val mins = graft.operators.Dedup.minhashCoeffs(12).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * hm + $b) % $P) AS h$i"
+    }.mkString(",\n        ")
     val bandSelects = (0 until 6).map { bi =>
       val a = bi * 2; val b = a + 1
-      s"SELECT doc_id, $bi AS band, md5(concat(h$a, h$b)) AS bk FROM mh"
+      s"SELECT doc_id, $bi AS band, h$a AS k1, h$b AS k2 FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""WITH ${ssetsCte(8)},
        |sizes AS (SELECT doc_id, count(*) AS nsh FROM ssets GROUP BY doc_id),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm FROM ssets),
        |mh AS (SELECT doc_id,
        |        $mins
-       |      FROM ssets GROUP BY doc_id),
+       |      FROM hs GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
-       |           ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |           ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+       |           AND x.doc_id < y.doc_id),
        |it AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
        |       FROM cand c JOIN ssets sa ON sa.doc_id = c.doc_a
        |                   JOIN ssets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh

@@ -37,10 +37,12 @@ object SimilarityQueries {
   // ---- oracle SQL generation ----
 
   private val embCte =
-    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+      s"en AS (SELECT vec_id, v, sqrt(${VecFunctions.dotUnrolledSql("v", "v", SimilarityDims.D)}) AS nrm FROM e)"
 
-  private def cos(a: String, b: String): String =
-    VecFunctions.cosineUnrolledSql(a, b, D)
+  /** cosine with precomputed norms — mirrors Similarity.withNorm exactly */
+  private def cosN(a: String, b: String, na: String, nb: String): String =
+    s"(${VecFunctions.dotUnrolledSql(a, b, D)}) / ($na * $nb)"
 
   /** Inline literal-plane dot: v[1]*p1 + v[2]*p2 + … (constant-folded on
     * the Spark side the same way).
@@ -56,17 +58,18 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_near_pairs" ->
       s"""WITH $embCte,
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-         |      FROM e a, e b WHERE a.vec_id < b.vec_id),
-         |c AS (SELECT id_a, id_b, ${cos("va", "vb")} AS cos FROM p)
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+         |        a.nrm AS na, b.nrm AS nb
+         |      FROM en a, en b WHERE a.vec_id < b.vec_id),
+         |c AS (SELECT id_a, id_b, ${cosN("va", "vb", "na", "nb")} AS cos FROM p)
          |SELECT id_a, id_b, ${rndSql("cos", 5)} AS cos5
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk" ->
       s"""WITH $embCte,
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-         |j AS (SELECT qid, vec_id, ${rndSql(cos("qv", "v"), 5)} AS cos5
-         |      FROM q, e WHERE vec_id <> qid),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |j AS (SELECT qid, vec_id, ${rndSql(cosN("qv", "v", "qnrm", "nrm"), 5)} AS cos5
+         |      FROM q, en WHERE vec_id <> qid),
          |r AS (SELECT qid, vec_id, cos5,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
          |      FROM j)
@@ -74,9 +77,9 @@ object SimilarityQueries {
 
     "sim_ann_lsh" ->
       s"""WITH $embCte,
-         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
-         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
-         |j AS (SELECT q.qid, q.bucket, b.vec_id, ${rndSql(cos("q.qv", "b.v"), 5)} AS cos5
+         |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM en),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket FROM b WHERE vec_id < 10),
+         |j AS (SELECT q.qid, q.bucket, b.vec_id, ${rndSql(cosN("q.qv", "b.v", "q.qnrm", "b.nrm"), 5)} AS cos5
          |      FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid),
          |r AS (SELECT qid, bucket, vec_id, cos5,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
