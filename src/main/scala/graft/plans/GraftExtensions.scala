@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Catalyst optimizer rule: fold `pow(sqrt(x), 2)` → `x` (guarded for
+  * x < 0 → NaN, matching the original's sqrt-of-negative behavior).
+  *
+  * This is the algebraic waste the reference commits in its assignment
+  * hot loop — `pow(getDistance(p, c), 2)` re-squares an already-sqrt'd
+  * distance (mapper.py:42, distance at mapper.py:19-27; same shape at
+  * master.py:329). Our own kernels never produce the pattern (they
+  * compare squared distances directly, SURVEY §4), but user-authored
+  * queries can; the rule removes both transcendental calls.
+  *
+  * Note: for x ≥ 0 the fold IMPROVES precision (the sqrt→square round
+  * trip loses ulps), so it is not applied under oracle-checked queries —
+  * it ships as an opt-in via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * `spark.experimental.extraOptimizations`.
+  */
+object FoldSquaredSqrt extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Pow(Sqrt(child), Literal(2.0, DoubleType)) =>
+      If(GreaterThanOrEqual(child, Literal(0.0, DoubleType)),
+        child, Literal(Double.NaN, DoubleType))
+  }
+}
+
+/** Session-extension entry point: register with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FoldSquaredSqrt)
+  }
+}

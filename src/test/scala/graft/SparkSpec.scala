@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]") // 2 task attempts: lets FaultSpec observe a retry
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
