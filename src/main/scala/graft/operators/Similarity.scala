@@ -84,6 +84,38 @@ object Similarity {
       when(ArrayKernels.dotFast(v, parr) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus by
+    * nearest-coarse-centroid (the SAME kernel as k-means assignment —
+    * Assign.nearestND), then search only the query's own cell
+    * (nprobe=1). The scale shape: cells partition the corpus, each query
+    * touches |corpus|/nlist candidates.
+    */
+  def ivfTopK(embDf: DataFrame, coarse: Seq[CentroidND], nQueries: Int, k: Int): DataFrame = {
+    val celled = withNorm(embDf)
+      .withColumn("cell", Assign.nearestND(col("v"), coarse).getField("cid"))
+    val q = celled.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val joined = broadcast(q)
+      .join(celled.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos5", rnd5(
+        ArrayKernels.dotFast(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos5").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("cos5"))
+  }
+
+  /** Deterministic coarse centroids for IVF (uniform in the embedding
+    * value range).
+    */
+  def ivfCoarse(nlist: Int, dim: Int, seed: Long): Seq[CentroidND] = {
+    val rnd = new java.util.Random(seed)
+    (0 until nlist).map(i =>
+      CentroidND(i, Array.fill(dim)(rnd.nextDouble() * 0.9 - 0.45)))
+  }
+
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
     * Recall < 1 by construction (LSH), but deterministic: the oracle
     * computes the identical buckets.

@@ -80,6 +80,42 @@ object RelationalQueries {
           col("key2"), col("flag"), col("status"))
         .orderBy("l_orderkey", "l_linenumber", "kv")),
 
+    // Semi/anti joins (free from Catalyst; pinned under the oracle —
+    // SURVEY §2.3 notes the reference has none, our engine must)
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // anti join vs a FILTERED right side (parts with no max-quantity
+    // lineitem) — the unfiltered variant is vacuously empty in the
+    // synthetic fixtures (every dim key is referenced)
+    "q_anti_join" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir).where(col("l_quantity") > 49.0)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    // distinct aggregation (Expand-based plan)
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // global sort + limit (TakeOrderedAndProject — no full sort at scale)
+    "q_sort_limit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
     // JSON extraction over events.props (extension surface, SURVEY §2.6
     // closing note)
     "q_json_extract" -> ((s, dir) =>
@@ -142,6 +178,27 @@ object RelationalQueries {
         |  string_split(string_split(concat(CAST(l_orderkey AS VARCHAR), ':', l_returnflag, ',', l_linestatus), ':')[2], ',')[2] AS status
         |FROM lineitem WHERE l_returnflag <> 'N'
         |ORDER BY l_orderkey, l_linenumber, kv""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

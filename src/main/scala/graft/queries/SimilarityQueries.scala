@@ -32,7 +32,15 @@ object SimilarityQueries {
     // LSH-bucketed ANN top-3 (8 random hyperplanes, seed 13)
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Similarity.emb(s, dir), planes, nQueries = 10, k = 3)
+        .orderBy("qid", "rk")),
+
+    // IVF ANN top-3 (8 coarse cells, nprobe=1; coarse quantizer = the
+    // k-means assignment kernel)
+    "sim_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Similarity.emb(s, dir), coarse, nQueries = 10, k = 3)
         .orderBy("qid", "rk")))
+
+  private val coarse = Similarity.ivfCoarse(nlist = 8, dim = D, seed = 21L)
 
   // ---- oracle SQL generation ----
 
@@ -55,7 +63,37 @@ object SimilarityQueries {
       s"(CASE WHEN (${planeDotSql(v, p)}) >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** Per-coarse-centroid squared distance, mirroring the
+    * SquaredDistance kernel's ascending left-associative accumulation.
+    */
+  private def cellDistSql(v: String, c: Array[Double]): String =
+    c.zipWithIndex.map { case (cv, i) =>
+      s"($v[${i + 1}] - $cv)*($v[${i + 1}] - $cv)"
+    }.mkString(" + ")
+
+  private def ivfSql: String = {
+    val dcols = coarse.map(c => s"${cellDistSql("v", c.vec)} AS dd${c.cid}")
+      .mkString(",\n        ")
+    val leastArgs = coarse.map(c => s"dd${c.cid}").mkString(", ")
+    val caseArms = coarse.map(c => s"WHEN dd${c.cid} = mind THEN ${c.cid}").mkString(" ")
+    s"""WITH $embCte,
+       |cd AS (SELECT vec_id, v, nrm,
+       |        $dcols
+       |      FROM en),
+       |cm AS (SELECT *, least($leastArgs) AS mind FROM cd),
+       |cc AS (SELECT vec_id, v, nrm,
+       |        CAST(CASE $caseArms ELSE -1 END AS INT) AS cell FROM cm),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM cc WHERE vec_id < 10),
+       |j AS (SELECT q.qid, q.cell, b.vec_id, ${rndSql(cosN("q.qv", "b.v", "q.qnrm", "b.nrm"), 5)} AS cos5
+       |      FROM q JOIN cc b USING (cell) WHERE b.vec_id <> q.qid),
+       |r AS (SELECT qid, cell, vec_id, cos5,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
+       |      FROM j)
+       |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_ann_ivf" -> ivfSql,
     "sim_near_pairs" ->
       s"""WITH $embCte,
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,

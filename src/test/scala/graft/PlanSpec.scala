@@ -49,6 +49,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
   }
 
+  test("global sort+limit plans TakeOrderedAndProject (top-k, never a full sort)") {
+    val p = plan(queries.RelationalQueries.queries("q_sort_limit")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
   test("whole-stage codegen covers the assignment expression") {
     // executedPlan.toString marks codegen'd operators with a `*(id)` prefix
     val p = plan(Assign.withNearest(Tables.points2d(spark, sf), Centroids.k2d))
