@@ -27,15 +27,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct char n-gram shingles per doc: (doc_id, sh). */
-  def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), lower(col("text")).as("t"))
-      .where(length(col("t")) >= n)
+  /** Spread a small-file input across the cluster before per-row-heavy
+    * work: a tiny parquet reads as ONE partition, which would serialize
+    * the explode/hash pipeline onto one core. (At real corpus scale the
+    * source has ample partitions and this repartition is a no-op cost.)
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= p) docs else docs.repartition(p)
+  }
+
+  /** Char n-gram shingle stream per doc (positional, with duplicates) —
+    * a narrow explode, no shuffle.
+    */
+  def rawShingles(docs: DataFrame, n: Int): DataFrame =
+    spread(docs.select(col("doc_id"), lower(col("text")).as("t"))
+        .where(length(col("t")) >= n))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), length(col("t")) - (n - 1)),
           i => col("t").substr(i, lit(n)))).as("sh"))
-      .distinct()
+
+  /** Distinct char n-gram shingles per doc: (doc_id, sh). */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    rawShingles(docs, n).distinct()
 
   /** Exact dedup: one row per distinct normalized text; keep_id is the
     * smallest doc_id of the group.
@@ -111,8 +126,10 @@ object Dedup {
       docs: DataFrame, n: Int = 8, nHash: Int = 12, rowsPerBand: Int = 2,
       tau: Double = 0.5): DataFrame = {
     val nBands = nHash / rowsPerBand
-    val ss = shingles(docs, n).cache()
-    val mh = minhashSignature(ss, nHash)
+    // signatures read the RAW shingle stream: min() is unaffected by
+    // duplicates, so the global per-doc distinct (a full shuffle of every
+    // shingle in the corpus) is skipped entirely on the signature path
+    val mh = minhashSignature(rawShingles(docs, n), nHash)
     // band key = the raw signature rows (numeric join keys — no extra
     // hashing needed)
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
@@ -124,15 +141,27 @@ object Dedup {
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id") +: col("b.band").as("band") +:
         keyNames.map(k => col(s"b.$k").as(k)): _*)
+    // cache: cand is consumed three times (candDocs ×2, inter join) and
+    // is tiny — without it the whole signature pipeline re-executes per
+    // consumer
     val cand = bands.as("x").join(bands.as("y"), "band" +: keyNames)
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sa = ss.select(col("doc_id").as("doc_a"), col("sh"))
-    val sb = ss.select(col("doc_id").as("doc_b"), col("sh"))
+      .distinct().cache()
+    // exact shingle SETS are materialized ONLY for candidate docs — at
+    // corpus scale candidates are a sliver, so the expensive distinct +
+    // verify joins never touch the non-candidate bulk. (The oracle
+    // computes sizes for every doc but uses them only for candidates, so
+    // outputs are identical.)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val ssCand = rawShingles(docs, n)
+      .join(broadcast(candDocs), "doc_id").distinct().cache()
+    val sa = ssCand.select(col("doc_id").as("doc_a"), col("sh"))
+    val sb = ssCand.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sizes = ssCand.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
@@ -148,7 +177,8 @@ object Dedup {
     * (2·bit−1).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= "").distinct()
       .withColumn("h", md5(col("tok")))

@@ -93,7 +93,10 @@ object TextAnalysis {
     * Output: doc_id, n_fp, fp_min.
     */
   def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val pos = docs.select(col("doc_id"), lower(col("text")).as("t"))
+    // spread a single-partition small file before the per-char explode
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions >= p) docs else docs.repartition(p)
+    val pos = src.select(col("doc_id"), lower(col("text")).as("t"))
       .where(length(col("t")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Scale patterns: salting and bucketing — correctness + plan shape. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    import spark.implicits._
+    // skewed left: key 1 carries 10k rows, others 10 each
+    val left = ((1 to 10000).map(i => (1, i)) ++
+      (2 to 50).flatMap(k => (1 to 10).map(i => (k, i * 100 + k))))
+      .toDF("k", "payload")
+    val right = (1 to 50).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, "k")
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", salts = 8,
+      saltFrom = Seq("payload"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      plain.groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    // the salted exchange partitions on (k, _salt): the hot key spreads
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), s"salt column missing from plan:\n$p")
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val s2 = spark // warehouse dir set (static conf) in SparkSpec
+    s2.sql("DROP TABLE IF EXISTS li_b")
+    s2.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(s2, sf).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(s2, sf).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    val joined = s2.table("li_b").join(s2.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    // force a shuffle-join path to observe bucketing (disable broadcast)
+    val threshold = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() > 0)
+    } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+}
