@@ -95,6 +95,34 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic decimation of the byte stream to
+    * `targetLen` bytes (stands in for image resampling — a real impl
+    * decodes, resizes, re-encodes). Keeps the map-shaped contract:
+    * binary in → smaller binary out, metadata updated.
+    */
+  def resizeStub(content: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (content.length <= targetLen) content
+    else {
+      val out = new Array[Byte](targetLen)
+      var i = 0
+      while (i < targetLen) {
+        out(i) = content((i.toLong * content.length / targetLen).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Batched resize over media records (same mapPartitions shape as
+    * extractFeatures).
+    */
+  def resize(ds: Dataset[MediaRecord], targetLen: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(m =>
+      m.copy(content = resizeStub(m.content, targetLen),
+        meta_len = math.min(m.meta_len, targetLen))))
+  }
+
   /** Frame sampling for `video` records: every `stride` bytes becomes a
     * "frame" (stub for keyframe extraction); one output row per sampled
     * frame — the explode-shaped transform a video pipeline needs.

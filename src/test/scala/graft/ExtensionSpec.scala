@@ -111,6 +111,41 @@ class ExtensionSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("multimodal resize: deterministic decimation preserves count, caps size") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val resized = Multimodal.resize(media, targetLen = 32).collect()
+    assert(resized.length == media.count())
+    assert(resized.forall(_.content.length <= 32))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(media, targetLen = 32).collect()
+    assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  }
+
+  test("MLlib MinHashLSH agrees with our LSH on the strongest near-dups") {
+    import org.apache.spark.ml.feature.{MinHashLSH, HashingTF, Tokenizer}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    val words = new Tokenizer().setInputCol("text").setOutputCol("words")
+      .transform(docs)
+    val feats = tf.transform(words).select(col("doc_id"), col("features"))
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(6).setSeed(7L).fit(feats)
+    val mlPairs = model.approxSimilarityJoin(feats, feats, 0.5, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .where(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // our token-level ground truth: word-shingle jaccard via Dedup on the
+    // same corpus (8-char shingles, tau .5) — the strongest pairs should
+    // surface in both families
+    val ours = Dedup.minhashPairs(docs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ours.nonEmpty && mlPairs.nonEmpty)
+    val overlap = ours.intersect(mlPairs).size.toDouble / ours.size
+    assert(overlap >= 0.5, s"overlap $overlap; ours=${ours.size} ml=${mlPairs.size}")
+  }
+
   test("streaming windowed agg equals the batch computation") {
     val tmp = java.nio.file.Files.createTempDirectory("events-stream").toFile
     val src = new java.io.File(s"$sf/events.parquet")
