@@ -36,5 +36,6 @@ object FoldSquaredSqrt extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSquaredSqrt)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

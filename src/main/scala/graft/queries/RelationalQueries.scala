@@ -56,6 +56,18 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // same result as q_topk, but through the custom bounded-heap
+    // TopKPerGroup operator (LogicalPlan+Strategy+SparkPlan — no sort in
+    // the plan); composite struct order makes the k-boundary unique
+    "q_topk_custom" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).withColumn("_ord",
+        struct((-col("o_totalprice")).as("a"), col("o_orderkey").as("b")))
+      graft.plans.TopKPerGroup(o, Seq("o_orderpriority"), "_ord",
+        descending = false, k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // A3 — bag UNION ALL + group (reducer.py:115-118 multi-source merge)
     "q_union_all" -> ((s, dir) => {
       val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
@@ -162,6 +174,15 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_topk_custom" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_union_all" ->
       """SELECT nationkey, count(*) AS n FROM (
