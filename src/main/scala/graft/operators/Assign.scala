@@ -63,13 +63,14 @@ object Assign {
     }
   }
 
-  /** n-dim argmin over a literal centroid seq, via a single `aggregate`
-    * HOF over an array-of-struct literal (not codegen'd, but evaluated
-    * iteratively — a fixed-size expression tree; a naive fold of nested
-    * `when(..).otherwise(acc)` would duplicate the accumulator subtree
-    * per centroid and blow up exponentially). Still one narrow stage, no
-    * shuffle; the hot flagship path delegates to MLlib which adds the
-    * |a|²+|b|²-2ab form + triangle-inequality pruning.
+  /** n-dim argmin over a literal centroid seq: K native `distSqFast`
+    * kernels (codegen'd tight loops, see graft.functions.ArrayKernels) +
+    * `least` + first-match CASE chain — one narrow stage, no shuffle.
+    * (History: an `aggregate` HOF fold was correct but interpreted; a
+    * naive `when(..).otherwise(acc)` fold duplicates the accumulator
+    * subtree per centroid and blows up exponentially.) The hot flagship
+    * path delegates to MLlib which adds the |a|²+|b|²-2ab form +
+    * triangle-inequality pruning.
     * Returns struct(cid INT, d2 DOUBLE).
     */
   def nearestND(vec: Column, cs: Seq[CentroidND]): Column = {

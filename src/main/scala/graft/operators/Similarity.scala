@@ -84,6 +84,23 @@ object Similarity {
       when(ArrayKernels.dotFast(v, parr) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** LSH-accelerated near-duplicate pairs: candidates restricted to the
+    * same sign-bit bucket (the 100-TB path for [[nearPairs]] — the pair
+    * space shrinks ~2^planes; recall loss is the standard LSH trade).
+    */
+  def nearPairsLsh(embDf: DataFrame, planes: Seq[Array[Double]], tau: Double): DataFrame = {
+    val bucketed = withNorm(embDf)
+      .withColumn("bucket", bucketExpr(col("v"), planes))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "bucket").where(col("id_a") < col("id_b"))
+      .withColumn("cos", ArrayKernels.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("bucket"), col("id_a"), col("id_b"), rnd5(col("cos")).as("cos5"))
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus by
     * nearest-coarse-centroid (the SAME kernel as k-means assignment —
     * Assign.nearestND), then search only the query's own cell

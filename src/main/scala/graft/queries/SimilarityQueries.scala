@@ -34,6 +34,12 @@ object SimilarityQueries {
       Similarity.annTopK(Similarity.emb(s, dir), planes, nQueries = 10, k = 3)
         .orderBy("qid", "rk")),
 
+    // near-dup pairs restricted to LSH buckets — the scale path for
+    // sim_near_pairs
+    "sim_near_pairs_lsh" -> ((s, dir) =>
+      Similarity.nearPairsLsh(Similarity.emb(s, dir), planes, tau = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // IVF ANN top-3 (8 coarse cells, nprobe=1; coarse quantizer = the
     // k-means assignment kernel)
     "sim_ann_ivf" -> ((s, dir) =>
@@ -94,6 +100,16 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_ann_ivf" -> ivfSql,
+
+    "sim_near_pairs_lsh" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM en),
+         |p AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         |        a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+         |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |c AS (SELECT bucket, id_a, id_b, ${cosN("va", "vb", "na", "nb")} AS cos FROM p)
+         |SELECT bucket, id_a, id_b, ${rndSql("cos", 5)} AS cos5
+         |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "sim_near_pairs" ->
       s"""WITH $embCte,
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
