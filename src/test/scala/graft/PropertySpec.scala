@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators._
+
+/** Property-based coverage (SURVEY §5.3 (a)-(e)), raw-ScalaCheck-driven
+  * (the scalatest bridge artifact is not in the offline cache). Spark
+  * jobs are expensive per-case, so minSuccessfulTests is small — the
+  * properties, not the volume, carry the value.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5).withMaxSize(40), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val pointGen: Gen[(Double, Double)] = for {
+    x <- Gen.choose(-100.0, 100.0)
+    y <- Gen.choose(-100.0, 100.0)
+  } yield (x, y)
+
+  private val pointsGen: Gen[List[(Double, Double)]] =
+    Gen.nonEmptyListOf(pointGen)
+
+  private val cs = Seq(
+    Centroid2D(0, -50.0, -50.0), Centroid2D(1, 0.0, 0.0),
+    Centroid2D(2, 50.0, 50.0), Centroid2D(3, -50.0, 50.0))
+
+  test("(b) every point assigned to its true nearest centroid, any input") {
+    import spark.implicits._
+    check(Prop.forAll(pointsGen) { pts =>
+      Assign.withNearest(pts.toDF("x", "y"), cs).collect().forall { r =>
+        val x = r.getDouble(0); val y = r.getDouble(1)
+        val best = cs.minBy(c => (x - c.cx) * (x - c.cx) + (y - c.cy) * (y - c.cy))
+        r.getInt(r.fieldIndex("cluster_id")) == best.cid
+      }
+    })
+  }
+
+  test("(c) each recentered mean is the arithmetic mean of its members") {
+    import spark.implicits._
+    check(Prop.forAll(pointsGen) { pts =>
+      val assigned = Assign.withNearest(pts.toDF("x", "y"), cs)
+      val means = Recenter.means(assigned).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val manual = pts.groupBy { case (x, y) =>
+        cs.minBy(c => (x - c.cx) * (x - c.cx) + (y - c.cy) * (y - c.cy)).cid
+      }
+      manual.forall { case (cid, members) =>
+        val (n, mx) = means(cid)
+        n == members.length &&
+          math.abs(mx - members.map(_._1).sum / members.length) < 1e-9
+      }
+    })
+  }
+
+  test("(d) k-means on duplicated data == k-means on the original") {
+    import spark.implicits._
+    check(Prop.forAll(pointsGen) { pts =>
+      val once = KMeansLoop.fit(spark, pts.toDF("x", "y"), cs, maxIter = 3, delta = 0.0)
+      val tripled = KMeansLoop.fit(spark, (pts ++ pts ++ pts).toDF("x", "y"), cs,
+        maxIter = 3, delta = 0.0)
+      once.centroids.zip(tripled.centroids).forall { case (a, b) =>
+        math.abs(a.cx - b.cx) < 1e-6 && math.abs(a.cy - b.cy) < 1e-6
+      }
+    })
+  }
+
+  test("(e) result invariant under row order") {
+    import spark.implicits._
+    check(Prop.forAll(pointsGen) { pts =>
+      val a = KMeansLoop.fit(spark, pts.toDF("x", "y"), cs, maxIter = 2, delta = 0.0)
+      val b = KMeansLoop.fit(spark, scala.util.Random.shuffle(pts).toDF("x", "y"), cs,
+        maxIter = 2, delta = 0.0)
+      a.centroids.zip(b.centroids).forall { case (x, y) =>
+        math.abs(x.cx - y.cx) < 1e-9 && math.abs(x.cy - y.cy) < 1e-9
+      }
+    })
+  }
+
+  test("(a) SSE monotone non-increasing (KeepOld) on random inputs") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(60, pointGen)) { pts =>
+      val res = KMeansLoop.fit(spark, pts.toDF("x", "y"), cs, maxIter = 5, delta = 0.0)
+      res.sseHistory.sliding(2).forall {
+        case Seq(p, n) => n <= p + 1e-6
+        case _ => true
+      }
+    })
+  }
+
+  test("distance kernels bit-equal a manual sequential fold on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b").select(
+        graft.functions.VecFunctions.distSqN(col("a"), col("b")),
+        graft.functions.ArrayKernels.distSqFast(col("a"), col("b"))).head()
+      val want = a.zip(b).map { case (p, q) => (p - q) * (p - q) }.foldLeft(0.0)(_ + _)
+      got.getDouble(0) == want && got.getDouble(1) == want
+    })
+  }
+}
