@@ -49,6 +49,37 @@ object KMeansND {
     val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   }
 
+  /** Mean + count + SSE in ONE aggregation pass — the loop's per-cluster
+    * state. (The reference pays two extra full scans per iteration for
+    * the objective, master.py:365; the 2-D loop piggybacks SSE on its
+    * hash-agg; this is the typed-path equivalent.)
+    * IN = (cluster_id, vec, d2); OUT = (mean, n, sse).
+    */
+  class CentroidSseAggregator(dim: Int)
+      extends Aggregator[(Int, Array[Double], Double), (Array[Double], Long, Double), (Array[Double], Long, Double)] {
+    override def zero: (Array[Double], Long, Double) = (new Array[Double](dim), 0L, 0.0)
+    override def reduce(b: (Array[Double], Long, Double), a: (Int, Array[Double], Double)): (Array[Double], Long, Double) = {
+      val (s, n, e) = b
+      var i = 0
+      while (i < dim) { s(i) += a._2(i); i += 1 }
+      (s, n + 1, e + a._3)
+    }
+    override def merge(b1: (Array[Double], Long, Double), b2: (Array[Double], Long, Double)): (Array[Double], Long, Double) = {
+      val (s1, n1, e1) = b1; val (s2, n2, e2) = b2
+      var i = 0
+      while (i < dim) { s1(i) += s2(i); i += 1 }
+      (s1, n1 + n2, e1 + e2)
+    }
+    override def finish(r: (Array[Double], Long, Double)): (Array[Double], Long, Double) = {
+      val (s, n, e) = r
+      (if (n == 0L) s else s.map(_ / n), n, e)
+    }
+    override def bufferEncoder: Encoder[(Array[Double], Long, Double)] =
+      Encoders.tuple(ExprEnc.doubleArray, Encoders.scalaLong, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[(Array[Double], Long, Double)] =
+      Encoders.tuple(ExprEnc.doubleArray, Encoders.scalaLong, Encoders.scalaDouble)
+  }
+
   /** Assignment: adds cluster_id + d2 for an n-dim point DF with a
     * double-array column `vec`. Literal centroids → no shuffle.
     */
@@ -85,13 +116,16 @@ object KMeansND {
       var converged = false
       while (it < maxIter && !converged) {
         val assigned = withNearest(points, cs)
-        val sse = assigned.agg(sum(col("d2"))).head().getDouble(0)
-        val ds: Dataset[(Int, Array[Double])] =
-          assigned.select(col("cluster_id"), col("vec")).as[(Int, Array[Double])]
-        val meansMap = ds.groupByKey(_._1)
-          .agg(new CentroidAggregator(dim).toColumn.name("mean"))
+        // ONE job per iteration: means + counts + SSE in the same typed
+        // aggregation (partial agg -> K rows per partition shuffle)
+        val ds: Dataset[(Int, Array[Double], Double)] =
+          assigned.select(col("cluster_id"), col("vec"), col("d2"))
+            .as[(Int, Array[Double], Double)]
+        val stats = ds.groupByKey(_._1)
+          .agg(new CentroidSseAggregator(dim).toColumn.name("stats"))
           .collect().toMap
-        cs = cs.map(c => meansMap.get(c.cid).map(CentroidND(c.cid, _)).getOrElse(c))
+        val sse = stats.valuesIterator.map(_._3).sum
+        cs = cs.map(c => stats.get(c.cid).map(s => CentroidND(c.cid, s._1)).getOrElse(c))
         if (!prevSse.isNaN && math.abs(prevSse - sse) < delta) converged = true
         prevSse = sse
         it += 1
