@@ -49,6 +49,61 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup — the training-pipeline op "drop events seen
+    * before", with watermark-bounded state: duplicates older than the
+    * watermark horizon age out of the dedup map (at 100 TB/day the state
+    * store cannot hold every key forever; the watermark is the retention
+    * contract).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
+  final case class SessState(n: Long, startMs: Long, endMs: Long)
+  final case class SessionAgg(user_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
+  /** Event-time sessionization: per-user sessions closed after
+    * `gapMinutes` of event-time silence, via flatMapGroupsWithState +
+    * EventTimeTimeout. Sessions emit ONLY when the watermark passes
+    * last-event + gap (Append semantics); state for closed sessions is
+    * removed, so the store holds only open sessions.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", "1 minute")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(uid, s.n, s.startMs, s.endMs))
+          } else {
+            // split the batch's rows by gap IN EVENT-TIME ORDER: sessions
+            // closed by a later in-batch event emit immediately (the gap
+            // is already proven); only the trailing open session stays in
+            // state, closed later by the event-time timeout
+            val ts = rows.map(_._2.getTime).toArray
+            java.util.Arrays.sort(ts)
+            var closed = List.empty[SessionAgg]
+            var cur = state.getOption.orNull
+            ts.foreach { t =>
+              if (cur == null) cur = SessState(1L, t, t)
+              else if (t - cur.endMs > gapMs) {
+                closed ::= SessionAgg(uid, cur.n, cur.startMs, cur.endMs)
+                cur = SessState(1L, t, t)
+              } else cur = SessState(cur.n + 1, cur.startMs, math.max(cur.endMs, t))
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endMs + gapMs)
+            closed.reverseIterator
+          })
+  }
+
   final case class TypeState(n: Long, total: Double)
   final case class TypeTotal(event_type: String, n: Long, total: Double)
 

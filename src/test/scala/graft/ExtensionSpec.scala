@@ -177,6 +177,73 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops the duplicated file's rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("events-dedup").toFile
+    // write the SAME events file twice -> every event is duplicated
+    val src = new java.io.File(s"$sf/events.parquet").toPath
+    java.nio.file.Files.copy(src, new java.io.File(tmp, "a.parquet").toPath)
+    java.nio.file.Files.copy(src, new java.io.File(tmp, "b.parquet").toPath)
+    val deduped = EventStream.dedupStream(EventStream.readEvents(spark, tmp.getAbsolutePath))
+      .select(col("event_id"))
+    val got = EventStream.runToMemory(spark, deduped, "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append()).count()
+    val want = Tables.events(spark, sf).count()
+    assert(got == want, s"expected $want unique events, got $got")
+  }
+
+  test("event-time sessionization across a checkpointed restart equals batch sessions") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-sess").toFile
+    val cp = java.nio.file.Files.createTempDirectory("sess-cp").toFile
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      new java.io.File(dir, "a.parquet").toPath)
+
+    // memory sinks cannot recover from a checkpoint; the parquet file
+    // sink can — which is also the realistic shape
+    val outDir = java.nio.file.Files.createTempDirectory("sess-out").toFile
+    def runOnce(): Long = {
+      val q = EventStream.sessionize(
+        EventStream.readEvents(spark, dir.getAbsolutePath), gapMinutes = 120)
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      try spark.read.parquet(outDir.getAbsolutePath).count()
+      catch { case _: Throwable => 0L }
+    }
+
+    // phase 1: sessions accumulate in state; watermark only advances at
+    // batch end, so nothing is emitted yet
+    val phase1 = runOnce()
+    // phase 2: a single far-future event pushes the watermark past every
+    // session's (end + gap) → all real sessions time out and emit
+    val maxNs = Tables.events(spark, sf).agg(max(col("ts_ns"))).head().getLong(0)
+    Seq((-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "marker", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    val phase2 = runOnce()
+
+    // batch ground truth: sessions = 1 + #(gaps > 120min) per user
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val batchSessions = Tables.events(spark, sf)
+      .withColumn("gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .withColumn("newsess",
+        when(col("gap_ns").isNull || col("gap_ns") > lit(120L * 60 * 1000000000L), 1L)
+          .otherwise(0L))
+      .agg(sum(col("newsess"))).head().getLong(0)
+    // AvailableNow may split into several micro-batches, so the watermark
+    // can advance (and early sessions emit) already in phase 1; the
+    // invariant is the cumulative total once the watermark passes
+    // everything
+    assert(phase1 < batchSessions, s"phase1=$phase1 of $batchSessions")
+    assert(phase2 == batchSessions,
+      s"streamed $phase2 sessions vs batch $batchSessions")
+  }
+
   test("running totals via mapGroupsWithState equal batch totals") {
     val tmp = java.nio.file.Files.createTempDirectory("events-stream3").toFile
     java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
