@@ -16,15 +16,23 @@ object Bench {
     // for session startup
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    // cold (first run: includes planning + codegen/JIT — the per-round
+    // headline) and warm (second run: steady-state compute, the number
+    // that scales with data volume)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(); val warm = once()
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"value_warm":$totalWarm,"queries_warm":${fmt(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,6 +113,20 @@ object RelationalQueries {
         .orderBy("p_brand")
     }),
 
+    // rollup / cube (Expand-based grouping sets; NULLS FIRST pinned —
+    // DuckDB defaults to NULLS LAST, Spark to NULLS FIRST)
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // distinct aggregation (Expand-based plan)
     "q_distinct_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -210,6 +224,16 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
