@@ -40,13 +40,14 @@ object SimilarityQueries {
       Similarity.nearPairsLsh(Similarity.emb(s, dir), planes, tau = 0.4)
         .orderBy("id_a", "id_b")),
 
-    // IVF ANN top-3 (8 coarse cells, nprobe=1; coarse quantizer = the
+    // IVF ANN top-3 (8 TRAINED coarse cells — KMeansND.fit output frozen
+    // as literals, see TrainedIvfCentroids — nprobe=1; quantizer = the
     // k-means assignment kernel)
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Similarity.emb(s, dir), coarse, nQueries = 10, k = 3)
         .orderBy("qid", "rk")))
 
-  private val coarse = Similarity.ivfCoarse(nlist = 8, dim = D, seed = 21L)
+  private val coarse = graft.operators.TrainedIvfCentroids.cells
 
   // ---- oracle SQL generation ----
 
