@@ -68,6 +68,18 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // frame-based running window (integer-valued quantities: exact sums;
+    // ordering key (okey, lineno, price) is unique in the fixtures)
+    "q_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
     // A3 — bag UNION ALL + group (reducer.py:115-118 multi-source merge)
     "q_union_all" -> ((s, dir) => {
       val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
@@ -197,6 +209,14 @@ object RelationalQueries {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "q_union_all" ->
       """SELECT nationkey, count(*) AS n FROM (
