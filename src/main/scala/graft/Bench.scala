@@ -19,10 +19,17 @@ object Bench {
     // cold (first run: includes planning + codegen/JIT — the per-round
     // headline) and warm (second run: steady-state compute, the number
     // that scales with data volume)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            // record the failure so a broken query can't masquerade as a
+            // fast one; time-to-failure still reported for context
+            errors.getOrElseUpdate(name,
+              t.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once(); val warm = once()
@@ -32,7 +39,8 @@ object Bench {
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"value_warm":$totalWarm,"queries_warm":${fmt(_._3)},"sf":"$sfDir"}""")
+    val errJson = errors.map { case (n, m) => s"\"$n\":\"$m\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"value_warm":$totalWarm,"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

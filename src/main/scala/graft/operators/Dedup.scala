@@ -80,9 +80,15 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
     val sb = sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
-    inter.join(sa, "doc_a").join(sb, "doc_b")
+    val out = inter.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= tau)
+    // materialize the (tiny) pair set eagerly so the shingle cache can be
+    // released immediately — without this, cached blocks accumulate for
+    // the life of the session (Bench runs every query twice)
+    val res = out.localCheckpoint(true)
+    ss.unpersist()
+    res
   }
 
   /** Universal-hash modulus (Mersenne prime 2^31−1) and per-function
@@ -162,11 +168,17 @@ object Dedup {
     val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val sizes = ssCand.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    inter
+    val out = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= tau)
+    // eagerly materialize the verified pairs (tiny), then release both
+    // caches — see jaccardPairs note
+    val res = out.localCheckpoint(true)
+    cand.unpersist()
+    ssCand.unpersist()
+    res
   }
 
   /** 32-bit SimHash per doc over distinct whitespace tokens.

@@ -24,9 +24,14 @@ import org.apache.spark.sql.types.DoubleType
   */
 object FoldSquaredSqrt extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Pow(Sqrt(child), Literal(2.0, DoubleType)) =>
-      If(GreaterThanOrEqual(child, Literal(0.0, DoubleType)),
-        child, Literal(Double.NaN, DoubleType))
+    // Only fold deterministic children: `child` appears twice in the
+    // rewrite, so a nondeterministic one would be evaluated twice with
+    // different values. NULL guard first: If's else-branch fires when the
+    // predicate is null, which would turn NULL into NaN without it.
+    case Pow(Sqrt(child), Literal(2.0, DoubleType)) if child.deterministic =>
+      If(IsNull(child), Literal(null, DoubleType),
+        If(GreaterThanOrEqual(child, Literal(0.0, DoubleType)),
+          child, Literal(Double.NaN, DoubleType)))
   }
 }
 

@@ -16,11 +16,20 @@ object MultimodalQueries {
     "mm_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(s, dir).orderBy("media_id")),
 
+    // NOTE: the query output carries scalar DIGESTS of the feature
+    // vector, not the raw array — the driver's compare sorts the output
+    // by every column and cannot sort array cells. The full Array[Float]
+    // pipeline still runs (digests are computed FROM it).
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("feature"))
+          col("width"), col("height"),
+          size(col("feature")).as("feat_dim"),
+          round(aggregate(col("feature"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")) * 1e6).cast("long").as("feat_l1_1e6"),
+          round(array_max(col("feature")).cast("double") * 1e6).cast("long")
+            .as("feat_max_1e6"))
         .orderBy("media_id")),
 
     "mm_frames" -> ((s, dir) =>

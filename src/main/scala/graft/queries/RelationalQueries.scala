@@ -68,16 +68,18 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
-    // frame-based running window (integer-valued quantities: exact sums;
-    // ordering key (okey, lineno, price) is unique in the fixtures)
+    // frame-based running window. The ordering key includes l_quantity so
+    // it matches the documented point identity (okey, lineno, price, qty)
+    // — a unique sort key is what makes the cross-engine compare
+    // deterministic even if fixtures are regenerated
     "q_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           sum(col("l_quantity")).over(w).as("running_qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "running_qty")
     }),
 
     // A3 — bag UNION ALL + group (reducer.py:115-118 multi-source merge)
@@ -213,10 +215,10 @@ object RelationalQueries {
     "q_running_sum" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  sum(l_quantity) OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_extendedprice
+        |    ORDER BY l_linenumber, l_extendedprice, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, running_qty""".stripMargin,
 
     "q_union_all" ->
       """SELECT nationkey, count(*) AS n FROM (

@@ -69,6 +69,19 @@ class SourcesAndPlansSpec extends SparkSpec {
       assert(!opt.toLowerCase.contains("sqrt"), s"sqrt survived:\n$opt")
       val out = df.collect().map(_.getDouble(0))
       assert(out(0) == 4.0 && out(1) == 9.0 && out(2).isNaN)
+
+      // NULL must stay NULL through the fold (pow(sqrt(null),2) is null;
+      // an unguarded If would turn it into its NaN else-branch)
+      val nullable = Seq(Some(4.0), None).toDF("d2")
+        .select(pow(sqrt(col("d2")), 2.0).as("roundtrip"))
+      val nOut = nullable.collect()
+      assert(nOut(0).getDouble(0) == 4.0 && nOut(1).isNullAt(0))
+
+      // nondeterministic children are NOT folded (the rewrite would
+      // duplicate and re-evaluate them)
+      val nd = spark.range(1)
+        .select(pow(sqrt(rand(7)), 2.0).as("r"))
+      assert(nd.queryExecution.optimizedPlan.toString.toLowerCase.contains("sqrt"))
     } finally spark.experimental.extraOptimizations = Nil
   }
 
