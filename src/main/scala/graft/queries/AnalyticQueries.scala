@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryHelpers._
+
+/** Round-2 analytic operator coverage: the full window-function suite,
+  * pivot, set operators, exact percentiles, moment statistics, date/time
+  * and array function families, scalar subqueries, and batch
+  * sessionization. All DuckDB-oracle checked.
+  *
+  * The reference has none of these (SURVEY §2.5 "none in the reference");
+  * they exist because a user of a general analytics engine needs them and
+  * Catalyst provides them natively — each query pins the capability under
+  * the cross-engine gate and documents the type alignment quirks
+  * (DuckDB rank/ntile/len return BIGINT where Spark returns INT; DuckDB
+  * sum(INT) returns HUGEINT; DuckDB dayofweek is 0-based).
+  *
+  * Scale notes: window suites shuffle once on their partition key; the
+  * sessionization is the scalable lag+cumulative-sum form (one shuffle by
+  * user_id, no self-join); the scalar subquery broadcasts a 1-row
+  * aggregate rather than re-scanning per row.
+  */
+object AnalyticQueries {
+
+  /** 30-minute session gap in MICROseconds. Session math runs on integer
+    * micros on both engines: Spark's raw ts_ns keeps full nanosecond
+    * precision but DuckDB narrows the TIMESTAMP(NANOS) parquet column to
+    * its native microsecond timestamp, so nanos are not cross-engine
+    * comparable — micros are.
+    */
+  private val SessionGapUs = 1800L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- window-function suite: ranking + offset + frame-default
+    // first_value, one shuffle on the partition key; the ORDER key
+    // (o_totalprice DESC, o_orderkey) is unique so every function is
+    // deterministic cross-engine
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        rnd(percent_rank().over(w), 6).as("pct_rank"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("top_key"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // ---- pivot (Spark relational pivot ≡ conditional aggregation);
+    // quantities are integer-valued doubles → sums are exact
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
+    // ---- set operators (INTERSECT / EXCEPT are distinct-set semantics
+    // in both engines)
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(
+          o.where(col("o_orderpriority") === "2-HIGH").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .except(
+          o.where(col("o_orderpriority") === "2-HIGH").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: both sort and linearly interpolate at p·(n−1))
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          rnd(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"),
+          rnd(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+          rnd(expr("percentile(l_extendedprice, 0.75)"), 4).as("price_p75"),
+          rnd(expr("percentile(l_quantity, 0.5)"), 4).as("qty_med"))
+        .orderBy("l_returnflag")),
+
+    // ---- moment statistics (both engines use numerically stable
+    // single-pass central-moment updates; merge-order ulp drift absorbed
+    // by 6-dp rounding)
+    "q_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          rnd(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          rnd(var_samp(col("l_discount")), 6).as("var_disc"),
+          rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        .orderBy("l_returnflag")),
+
+    // ---- date/time function family over o_orderdate
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy((year(col("o_orderdate")) * lit(100) + month(col("o_orderdate"))).as("ym"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"),
+          datediff(to_date(max(col("o_orderdate"))), to_date(min(col("o_orderdate"))))
+            .as("span_days"),
+          (dayofweek(to_date(min(col("o_orderdate")))) - lit(1)).as("first_dow"),
+          date_add(to_date(min(col("o_orderdate"))), 30).as("plus30"))
+        .orderBy("ym")),
+
+    // ---- array function family over the 64-dim embeddings (all narrow
+    // per-row ops; digests scaled to integers — see QueryHelpers)
+    "q_array_funcs" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6 + 0.5)
+          .cast("long").as("first_1e6"),
+        floor(array_max(col("embedding")).cast("double") * 1e6 + 0.5)
+          .cast("long").as("max_1e6"),
+        floor(element_at(sort_array(col("embedding"), asc = false), 2).cast("double") * 1e6 + 0.5)
+          .cast("long").as("second_1e6"),
+        floor(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")) * 1e6 + 0.5)
+          .cast("long").as("sum_1e6"))
+        .orderBy("vec_id")),
+
+    // ---- scalar subquery: orders above the (rounded) global average —
+    // the 1-row aggregate is broadcast, never recomputed per row
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgP = o.agg(rnd(avg(col("o_totalprice")), 4).as("avg_price"))
+      o.join(broadcast(avgP))
+        .where(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"),
+          rnd(max(col("o_totalprice") - col("avg_price")), 4).as("max_over"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- batch sessionization (30-min gap) — lag + running sum over one
+    // user_id shuffle; integer ns arithmetic end-to-end. This is the
+    // batch twin of streaming.EventStream's flatMapGroupsWithState
+    // sessionizer.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > lit(SessionGapUs), 1)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        // integer division (DIV / //): `/` would be float division on both
+        // engines, and DuckDB CAST(double→BIGINT) rounds where Spark
+        // truncates
+        .withColumn("duration_s", expr("(end_us - start_us) DIV 1000000"))
+        .drop("end_us")
+        .orderBy("user_id", "session_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_suite" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |  CAST(row_number() OVER w AS INT) AS rn,
+         |  CAST(rank() OVER w AS INT) AS rnk,
+         |  CAST(dense_rank() OVER w AS INT) AS drnk,
+         |  CAST(ntile(4) OVER w AS INT) AS quartile,
+         |  ${rndSql("percent_rank() OVER w", 6)} AS pct_rank,
+         |  lag(o_totalprice, 1) OVER w AS prev_price,
+         |  lead(o_orderkey, 1) OVER w AS next_key,
+         |  first_value(o_orderkey) OVER w AS top_key
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |             ORDER BY o_totalprice DESC, o_orderkey)
+         |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_percentiles" ->
+      s"""SELECT l_returnflag,
+         |  ${rndSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS price_p25,
+         |  ${rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS price_p50,
+         |  ${rndSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS price_p75,
+         |  ${rndSql("quantile_cont(l_quantity, 0.5)", 4)} AS qty_med
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats" ->
+      s"""SELECT l_returnflag,
+         |  ${rndSql("stddev_samp(l_quantity)", 6)} AS sd_qty,
+         |  ${rndSql("var_samp(l_discount)", 6)} AS var_disc,
+         |  ${rndSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+         |  ${rndSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qty_disc
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+        |            + EXTRACT(month FROM o_orderdate) AS INT) AS ym,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT EXTRACT(day FROM o_orderdate)) AS BIGINT) AS n_days,
+        |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+        |                 CAST(max(o_orderdate) AS DATE)) AS INT) AS span_days,
+        |  CAST(dayofweek(CAST(min(o_orderdate) AS DATE)) AS INT) AS first_dow,
+        |  CAST(min(o_orderdate) AS DATE) + 30 AS plus30
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS first_1e6,
+        |  CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS max_1e6,
+        |  CAST(floor(CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS second_1e6,
+        |  CAST(floor(list_aggregate(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE)), 'sum') * 1e6 + 0.5) AS BIGINT) AS sum_1e6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      s"""WITH a AS (SELECT ${rndSql("avg(o_totalprice)", 4)} AS avg_price FROM orders)
+         |SELECT o_orderpriority, count(*) AS n_above,
+         |  ${rndSql("max(o_totalprice - avg_price)", 4)} AS max_over
+         |FROM orders, a WHERE o_totalprice > avg_price
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts_us, event_id,
+         |    CASE WHEN ts_us - lag(ts_us, 1) OVER w > ${SessionGapUs} THEN 1
+         |         WHEN lag(ts_us, 1) OVER w IS NULL THEN 1
+         |         ELSE 0 END AS new_s
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), sessions AS (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_us) AS start_us,
+         |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin)
+}

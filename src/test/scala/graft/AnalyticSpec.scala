@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticQueries
+
+/** Round-2 analytic query suite: semantic spot-checks against
+  * independently computed expectations, plus the plan-shape properties
+  * that keep each query viable at corpus scale (the DuckDB oracle pins
+  * full-output correctness at sf0.01; these tests pin behavior and
+  * scale-shape at sf0.001).
+  */
+class AnalyticSpec extends SparkSpec {
+
+  private def q(name: String) = AnalyticQueries.queries(name)(spark, sf)
+
+  test("q_window_suite: rn is the sort position and lead/lag are offsets") {
+    val rows = q("q_window_suite")
+      .select("o_orderpriority", "rn", "o_orderkey", "next_key", "top_key")
+      .collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      // top_key = first row's key everywhere in the partition
+      assert(sorted.forall(_.getLong(4) == sorted.head.getLong(2)))
+      // next_key at rn=i is the key at rn=i+1
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) == b.getLong(2))
+        case _           =>
+      }
+      assert(sorted.last.isNullAt(3))
+    }
+  }
+
+  test("q_pivot equals groupBy over (status, flag) pairs") {
+    val piv = q("q_pivot").collect()
+      .flatMap(r => Seq("A", "N", "R").zipWithIndex.collect {
+        case (f, i) if !r.isNullAt(i + 1) => (r.getString(0), f) -> r.getDouble(i + 1)
+      }).toMap
+    val flat = Tables.lineitem(spark, sf)
+      .groupBy(col("l_linestatus"), col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(piv == flat)
+  }
+
+  test("q_intersect ∪ q_except = urgent custkeys; intersect ∩ except = ∅") {
+    val inter = q("q_intersect").collect().map(_.getLong(0)).toSet
+    val exc = q("q_except").collect().map(_.getLong(0)).toSet
+    val urgent = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    assert((inter & exc).isEmpty)
+    assert((inter | exc) == urgent)
+  }
+
+  test("q_sessionize: gaps within sessions ≤ 30 min, across sessions > 30 min") {
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val sessions = q("q_sessionize")
+      .select("user_id", "session_id", "n_events").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // every event lands in exactly one session
+    assert(sessions.keySet == ev.keySet)
+    ev.foreach { case (u, ts) => assert(sessions(u) == ts.length) }
+    // session count per user = 1 + number of >30min gaps
+    val wantCounts = ev.view.mapValues(ts =>
+      1 + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > gapUs)).toMap
+    val gotCounts = q("q_sessionize").groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCounts == wantCounts)
+  }
+
+  test("q_scalar_subquery broadcasts the 1-row aggregate (no row-wise rescan)") {
+    val p = plan(q("q_scalar_subquery"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the scalar aggregate:\n$p")
+  }
+
+  test("q_sessionize plans exactly one exchange (window + agg share the user_id partitioning)") {
+    val p = plan(q("q_sessionize"))
+    val nExchanges = "(?<!Reused)Exchange".r.findAllIn(p).length
+    // one hashpartitioning(user_id) exchange feeds both the window and the
+    // final aggregation — Catalyst reuses the partitioning; a second
+    // exchange would mean the session grouping reshuffles at scale
+    assert(nExchanges <= 2, s"too many exchanges ($nExchanges):\n$p")
+  }
+
+  test("q_percentiles matches a driver-side exact percentile") {
+    val got = q("q_percentiles").where(col("l_returnflag") === "A")
+      .select("price_p50").collect().head.getDouble(0)
+    val vals = Tables.lineitem(spark, sf).where(col("l_returnflag") === "A")
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val idx = 0.5 * (vals.length - 1)
+    val (lo, hi) = (vals(idx.toInt), vals(math.ceil(idx).toInt))
+    val want = lo + (hi - lo) * (idx - idx.toInt)
+    assert(math.abs(got - want) < 1e-3, s"got $got want $want")
+  }
+}
