@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansQueries.queries ++ RelationalQueries.queries ++
-      AnalyticQueries.queries ++
+      AnalyticQueries.queries ++ PipelineQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries
 
@@ -28,7 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      AnalyticQueries.oracleSql ++
+      AnalyticQueries.oracleSql ++ PipelineQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

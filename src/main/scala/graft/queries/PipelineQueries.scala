@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryHelpers._
+
+/** Training-data-pipeline operators (builder prompt: first-class
+  * components alongside SURVEY §2): deterministic dataset splitting,
+  * stratified sampling, histogramming, class-balance statistics, feature
+  * scaling, and sketch-quality pins.
+  *
+  * Design rules:
+  *  - Splits/samples are content-hash-deterministic (md5 of the record
+  *    key), NEVER rand(): reproducible across runs, engines, cluster
+  *    sizes, and re-partitioning — the property a training pipeline needs
+  *    so a re-run doesn't leak val into train.
+  *  - Approximate sketches (HLL distinct, approx quantiles) cannot be
+  *    value-compared across engines, so their queries pin the exact value
+  *    AND a boolean asserting the sketch landed within its error bound —
+  *    the oracle expects literal TRUE, so a sketch regression fails the
+  *    hash gate.
+  *  - Everything is one scan + at most one shuffle; nothing collects to
+  *    the driver.
+  */
+object PipelineQueries {
+
+  /** Deterministic hash bucket in [0, 100): first 8 hex digits of
+    * md5(key) as an integer, mod 100. Identical on DuckDB via
+    * CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % 100.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(100L))
+
+  private def hashBucketSql(k: String) =
+    s"CAST('0x' || substr(md5($k), 1, 8) AS BIGINT) % 100"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- 80/10/10 train/val/test split, content-hash routed. A narrow
+    // per-row op: no shuffle, no driver state, stable under re-runs.
+    "q_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          hashBucket(col("doc_id").cast("string")).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")),
+
+    // ---- stratified 20% sample: per-language deterministic top-fraction
+    // by hash order. One shuffle on the stratum key; at corpus scale each
+    // stratum samples independently (no global sort).
+    "q_stratified_sample" -> ((s, dir) => {
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("h", md5(concat(lit("strat"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .where(col("rn") <= ceil(col("cnt") * lit(0.2)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- fixed-width histogram of order totals (10 × 60k buckets,
+    // clamped): the token-count / length-distribution shape every corpus
+    // audit runs. Bucketing is identical-IEEE floor division.
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(least(greatest(floor(col("o_totalprice") / lit(60000.0)), lit(0.0)),
+          lit(9.0)).cast("int").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
+    // ---- class balance over the labeled embeddings (label skew check
+    // before training; pct via a single post-agg window over K rows)
+    "q_class_balance" -> ((s, dir) => {
+      val all = Window.partitionBy()
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct", rnd(col("n").cast("double") /
+          sum(col("n")).over(all).cast("double"), 6))
+        .orderBy("label")
+    }),
+
+    // ---- feature scaling: min-max + z-score per group, the standard
+    // normalization pass. Group stats via full-frame window (one shuffle,
+    // stats computed once per group, never collected).
+    "q_feature_scale" -> ((s, dir) => {
+      val g = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .withColumn("minmax", rnd(
+          (col("l_extendedprice") - min(col("l_extendedprice")).over(g)) /
+            (max(col("l_extendedprice")).over(g) - min(col("l_extendedprice")).over(g)), 6))
+        .withColumn("zscore", rnd(
+          (col("l_extendedprice") - avg(col("l_extendedprice")).over(g)) /
+            stddev_samp(col("l_extendedprice")).over(g), 4))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // ---- HLL sketch pin: approx_count_distinct must land within 3× its
+    // configured rsd of the exact distinct count (the oracle expects
+    // TRUE — a sketch regression fails the hash gate)
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <=
+            lit(0.15) * col("n_exact").cast("double")).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // ---- approx-quantile sketch pin: within 1% relative of the exact
+    // interpolated median
+    "q_approx_quantile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(rnd(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("ap") - col("p50_exact")) / col("p50_exact") <= lit(0.01))
+            .as("approx_ok"))
+        .orderBy("l_returnflag")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_split" ->
+      s"""SELECT doc_id,
+         |  ${hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,
+         |  CASE WHEN ${hashBucketSql("CAST(doc_id AS VARCHAR)")} < 80 THEN 'train'
+         |       WHEN ${hashBucketSql("CAST(doc_id AS VARCHAR)")} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents) t
+        |WHERE rn <= ceil(cnt * 0.2) ORDER BY doc_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice / 60000.0), 0), 9) AS INT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_class_balance" ->
+      s"""SELECT label, CAST(n AS BIGINT) AS n,
+         |  ${rndSql("CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)", 6)} AS pct
+         |FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label) t
+         |ORDER BY label""".stripMargin,
+
+    "q_feature_scale" ->
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         |  ${rndSql("(l_extendedprice - min(l_extendedprice) OVER g) / " +
+           "(max(l_extendedprice) OVER g - min(l_extendedprice) OVER g)", 6)} AS minmax,
+         |  ${rndSql("(l_extendedprice - avg(l_extendedprice) OVER g) / " +
+           "stddev_samp(l_extendedprice) OVER g", 4)} AS zscore
+         |FROM lineitem
+         |WINDOW g AS (PARTITION BY l_returnflag)
+         |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_quantile" ->
+      s"""SELECT l_returnflag,
+         |  ${rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50_exact,
+         |  TRUE AS approx_ok
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.PipelineQueries
+
+/** Training-pipeline operator properties: hash-split determinism and
+  * disjointness, stratification law, scaling bounds, sketch quality
+  * (including the driver-side Bloom filter / frequent-items sketches that
+  * have no SQL-expressible oracle form).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def q(name: String) = PipelineQueries.queries(name)(spark, sf)
+
+  test("q_split: deterministic under repartitioning, exhaustive, ~80/10/10") {
+    val a = q("q_split").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // identical assignment when the input arrives in a different layout
+    val b = q("q_split").repartition(7).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(a.size == nDocs)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / nDocs)
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toMap.toString)
+    assert(frac("val") < 0.2 && frac("test") < 0.2)
+  }
+
+  test("q_stratified_sample: per-stratum size = ceil(0.2 * stratum)") {
+    val got = q("q_stratified_sample").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.2).toLong).toMap
+    assert(got == want)
+  }
+
+  test("q_feature_scale: minmax bounded in [0,1], zscore near-zero mean") {
+    val rows = q("q_feature_scale").select("l_returnflag", "minmax", "zscore").collect()
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    val meanZ = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(meanZ) < 0.01, s"mean z-score $meanZ")
+  }
+
+  test("sketch pins hold: approx distinct + approx quantile within bounds") {
+    assert(q("q_approx_distinct").collect().forall(_.getBoolean(2)))
+    assert(q("q_approx_quantile").collect().forall(_.getBoolean(2)))
+  }
+
+  test("Bloom filter sketch: no false negatives, bounded false positives") {
+    val o = Tables.orders(spark, sf)
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+    val bf = urgent.stat.bloomFilter("o_custkey", 1000L, 0.03)
+    val urgentKeys = urgent.select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(urgentKeys.forall(bf.mightContain), "false negative in Bloom filter")
+    val others = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).filterNot(urgentKeys)
+    if (others.nonEmpty) {
+      val fpr = others.count(bf.mightContain).toDouble / others.length
+      assert(fpr < 0.15, s"false-positive rate $fpr")
+    }
+  }
+
+  test("frequent-items sketch finds every truly frequent value") {
+    val li = Tables.lineitem(spark, sf)
+    val freq = li.stat.freqItems(Array("l_returnflag"), 0.3)
+      .collect().head.getSeq[String](0).toSet
+    // every flag with support > 30% must be in the sketch result
+    val n = li.count()
+    val truly = li.groupBy("l_returnflag").count().collect()
+      .filter(_.getLong(1) > 0.3 * n).map(_.getString(0)).toSet
+    assert(truly.subsetOf(freq), s"missing ${truly -- freq}")
+  }
+}
