@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansQueries.queries ++ RelationalQueries.queries ++
       AnalyticQueries.queries ++ PipelineQueries.queries ++
+      TemporalQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries
 
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
       AnalyticQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      TemporalQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoin
+
+/** TemporalJoin semantics vs brute-force references, plus the plan
+  * properties that are the whole point of the implementations: as-of is
+  * one exchange (no join operator at all), banded range is a hash join
+  * (never nested-loop / cartesian).
+  */
+class TemporalSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def evUs: DataFrame =
+    Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+      col("event_type"), col("value"))
+
+  test("asOf matches per-row brute-force argmax") {
+    val e = evUs
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event"))
+
+    val got = TemporalJoin.asOf(clicks, purchases, Seq("user_id"),
+        "ts_us", "p_ts", Seq("p_ts", "p_event"))
+      .collect()
+      .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+      .toMap
+
+    val ps = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = clicks.collect().map { c =>
+      val (eid, uid, ts) = (c.getLong(0), c.getLong(1), c.getLong(2))
+      val cands = ps.filter(p => p._1 == uid && p._2 <= ts)
+      eid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(p => (p._2, p._3))).map(p => (p._2, p._3)))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("asOf plans exactly one (non-reused) exchange and zero joins") {
+    val e = evUs
+    val l = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val r = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"), col("value").as("p_value"))
+      .dropDuplicates("user_id", "p_ts")
+    val p = plan(TemporalJoin.asOf(l, r, Seq("user_id"), "ts_us", "p_ts",
+      Seq("p_ts", "p_value")))
+    assert(!p.contains("Join"), s"as-of should not plan a join:\n$p")
+    // the union feeds one hashpartitioning(user_id) exchange for the window
+    // (dropDuplicates adds its own upstream agg exchange on the right side)
+    val n = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"too many exchanges:\n$p")
+  }
+
+  test("bandedRange equals the naive inequality join") {
+    val e = evUs
+    val l = e.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_event"), col("user_id"), col("ts_us").as("s_ts"))
+    val r = e.select(col("user_id"), col("ts_us"), col("event_id").as("r_event"))
+    val W = 3600L * 1000000L
+
+    val got = TemporalJoin.bandedRange(l, r, "user_id", "s_ts", "ts_us", W)
+      .select("s_event", "r_event").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+
+    val ls = l.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val rs = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = (for {
+      (se, lu, st) <- ls
+      (ru, ts, re) <- rs
+      if lu == ru && ts >= st && ts < st + W
+    } yield (se, re)).toSet
+    assert(got == want)
+  }
+
+  test("bandedRange plans a hash join, never nested-loop/cartesian") {
+    val e = evUs
+    val l = e.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_event"), col("user_id"), col("ts_us").as("s_ts"))
+    val p = plan(TemporalJoin.bandedRange(l,
+      e.select(col("user_id"), col("ts_us")), "user_id", "s_ts", "ts_us", 60000000L))
+    assert(p.contains("HashJoin"), s"expected a hash join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range join degenerated:\n$p")
+  }
+}
