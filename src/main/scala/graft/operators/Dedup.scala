@@ -134,8 +134,11 @@ object Dedup {
     val nBands = nHash / rowsPerBand
     // signatures read the RAW shingle stream: min() is unaffected by
     // duplicates, so the global per-doc distinct (a full shuffle of every
-    // shingle in the corpus) is skipped entirely on the signature path
-    val mh = minhashSignature(rawShingles(docs, n), nHash)
+    // shingle in the corpus) is skipped entirely on the signature path.
+    // Cached: the band self-join consumes it twice, and signature
+    // computation (the full corpus explode + hash) is the expensive part
+    // — one row per doc, so the cache is small at any corpus size.
+    val mh = minhashSignature(rawShingles(docs, n), nHash).cache()
     // band key = the raw signature rows (numeric join keys — no extra
     // hashing needed)
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
@@ -155,29 +158,40 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct().cache()
     // exact shingle SETS are materialized ONLY for candidate docs — at
-    // corpus scale candidates are a sliver, so the expensive distinct +
-    // verify joins never touch the non-candidate bulk. (The oracle
-    // computes sizes for every doc but uses them only for candidates, so
-    // outputs are identical.)
+    // corpus scale candidates are a sliver, so the expensive verify never
+    // touches the non-candidate bulk. (The oracle computes sizes for
+    // every doc but uses them only for candidates, so outputs are
+    // identical.) Two shape decisions, both from profiling at sf0.1:
+    //  - the candidate filter joins DOCUMENTS (one row per doc) BEFORE
+    //    the shingle explode — filtering after would re-explode the full
+    //    corpus a second time, costing more than the signature pass;
+    //  - each doc's shingle set is packed into ONE array row
+    //    (collect_set) and intersections are per-pair array_intersect —
+    //    the exploded-row formulation shuffled |cand|·|set| rows
+    //    (58M at sf0.1) through a join; this form moves |candDocs| array
+    //    rows and computes each intersection in a codegen'd hash probe.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val ssCand = rawShingles(docs, n)
-      .join(broadcast(candDocs), "doc_id").distinct().cache()
-    val sa = ssCand.select(col("doc_id").as("doc_a"), col("sh"))
-    val sb = ssCand.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sizes = ssCand.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val out = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+    val sets = rawShingles(docs.join(broadcast(candDocs), "doc_id"), n)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .withColumn("nsh", size(col("shs")).cast("long"))
+      .cache() // consumed by both join sides
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha"),
+        col("nsh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shb"),
+        col("nsh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= tau)
-    // eagerly materialize the verified pairs (tiny), then release both
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jac"))
+    // eagerly materialize the verified pairs (tiny), then release the
     // caches — see jaccardPairs note
     val res = out.localCheckpoint(true)
+    mh.unpersist()
     cand.unpersist()
-    ssCand.unpersist()
+    sets.unpersist()
     res
   }
 
