@@ -82,13 +82,26 @@ object KMeansND {
 
   /** Assignment: adds cluster_id + d2 for an n-dim point DF with a
     * double-array column `vec`. Literal centroids → no shuffle.
+    *
+    * Staged like Assign.withNearest (2-D): one named column per centroid
+    * distance, then least, then a CASE of column refs. The inlined
+    * struct form duplicated every distSqFast(vec, [64 literals]) subtree
+    * ~2× per centroid, and at K=10×dim=64 the tree is re-ANALYZED every
+    * fit iteration — staging cuts planning from seconds to noise.
     */
   def withNearest(points: DataFrame, cs: Seq[CentroidND]): DataFrame = {
-    val nearest = Assign.nearestND(col("vec"), cs)
-    points.withColumn("_n", nearest)
-      .withColumn("cluster_id", col("_n.cid"))
-      .withColumn("d2", col("_n.d2"))
-      .drop("_n")
+    val sorted = cs.sortBy(_.cid)
+    val ddNames = sorted.map(c => s"_dd${c.cid}")
+    val withDd = points.select(col("*") +: sorted.map(c =>
+      graft.functions.ArrayKernels.distSqFast(col("vec"),
+        array(c.vec.map(lit(_)): _*)).as(s"_dd${c.cid}")): _*)
+    val withD2 = withDd.withColumn("d2", least(ddNames.map(col): _*))
+    val cid = sorted.foldRight(lit(-1)) { (c, rest) =>
+      when(col(s"_dd${c.cid}") === col("d2"), lit(c.cid)).otherwise(rest)
+    }
+    // keep the historical column order: point cols, cluster_id, d2
+    withD2.withColumn("cluster_id", cid)
+      .select(points.columns.map(col) :+ col("cluster_id") :+ col("d2"): _*)
   }
 
   final case class FitResult(

@@ -28,6 +28,50 @@ object Profile {
       r
     }
 
+    import graft.operators.{Assign, Centroids}
+    import graft.functions.VecFunctions._
+    val pts = graft.Tables.points2d(spark, sfDir)
+    pts.count() // warm scan
+
+    time("recenter (current foldRight CASE form)") {
+      Assign.withNearest(pts, Centroids.k2d)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)), avg(col("x")), avg(col("y")), sum(col("d2")))
+        .collect()
+    }
+    time("recenter (staged dd-column form)") {
+      val cs = Centroids.k2d.sortBy(_.cid)
+      val withDd = pts.select(col("*") +:
+        cs.map(c => distSq2(col("x"), col("y"), lit(c.cx), lit(c.cy)).as(s"dd${c.cid}")): _*)
+      val mind = least(cs.map(c => col(s"dd${c.cid}")): _*)
+      val cid = cs.foldRight(lit(-1)) { (c, rest) =>
+        when(col(s"dd${c.cid}") === mind, lit(c.cid)).otherwise(rest)
+      }
+      withDd.withColumn("d2", mind).withColumn("cluster_id", cid)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)), avg(col("x")), avg(col("y")), sum(col("d2")))
+        .collect()
+    }
+    time("recenter (current, 2nd run)") {
+      Assign.withNearest(pts, Centroids.k2d)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)), avg(col("x")), avg(col("y")), sum(col("d2")))
+        .collect()
+    }
+    time("recenter (staged, 2nd run)") {
+      val cs = Centroids.k2d.sortBy(_.cid)
+      val withDd = pts.select(col("*") +:
+        cs.map(c => distSq2(col("x"), col("y"), lit(c.cx), lit(c.cy)).as(s"dd${c.cid}")): _*)
+      val mind = least(cs.map(c => col(s"dd${c.cid}")): _*)
+      val cid = cs.foldRight(lit(-1)) { (c, rest) =>
+        when(col(s"dd${c.cid}") === mind, lit(c.cid)).otherwise(rest)
+      }
+      withDd.withColumn("d2", mind).withColumn("cluster_id", cid)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)), avg(col("x")), avg(col("y")), sum(col("d2")))
+        .collect()
+    }
+
     val docs = graft.Tables.documents(spark, sfDir)
     docs.count() // warm scan
 
