@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KMeansQueries.queries ++ RelationalQueries.queries ++
       AnalyticQueries.queries ++ PipelineQueries.queries ++
-      TemporalQueries.queries ++
+      TemporalQueries.queries ++ TpchQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries
 
@@ -30,7 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
       AnalyticQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      TemporalQueries.oracleSql ++
+      TemporalQueries.oracleSql ++ TpchQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

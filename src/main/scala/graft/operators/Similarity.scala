@@ -133,6 +133,69 @@ object Similarity {
       CentroidND(i, Array.fill(dim)(rnd.nextDouble() * 0.9 - 0.45)))
   }
 
+  /** Multi-probe IVF top-k: each query searches its `nprobe` nearest
+    * coarse cells instead of only its own — the standard recall lever
+    * (README round-1 gap). Probe selection ranks cells by (squared
+    * distance, cid); cells partition the corpus so candidates never
+    * duplicate. Cost scales linearly with nprobe, shape stays
+    * broadcast-join + per-group top-k.
+    */
+  def ivfTopKMulti(
+      embDf: DataFrame, coarse: Seq[CentroidND], nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val sorted = coarse.sortBy(_.cid)
+    val celled = withNorm(embDf)
+      .withColumn("cell", Assign.nearestND(col("v"), sorted).getField("cid"))
+    // per-query distance to every coarse cell, staged as named columns
+    val qDd = withNorm(embDf).where(col("vec_id") < nQueries)
+      .select(Seq(col("vec_id"), col("v"), col("nrm")) ++ sorted.map(c =>
+        ArrayKernels.distSqFast(col("v"), array(c.vec.map(lit(_)): _*))
+          .as(s"_qd${c.cid}")): _*)
+    val probeArr = sort_array(array(sorted.map(c =>
+      struct(col(s"_qd${c.cid}").as("d"), lit(c.cid).as("c"))): _*))
+    val probes = qDd
+      .withColumn("p", explode(slice(probeArr, 1, nprobe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("p.c").as("cell"))
+    val joined = broadcast(probes)
+      .join(celled.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos5", rnd5(
+        ArrayKernels.dotFast(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos5").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("cos5"))
+  }
+
+  /** Multi-table LSH near-dup pairs: T independent plane sets, candidate
+    * pairs unioned across tables then deduped before scoring — the
+    * standard LSH amplification (recall 1-(1-p)^T for per-table
+    * collision probability p; README round-1 gap). Scoring touches each
+    * surviving pair once.
+    */
+  def nearPairsLshMulti(
+      embDf: DataFrame, tables: Seq[Seq[Array[Double]]], tau: Double): DataFrame = {
+    val n = withNorm(embDf).cache()
+    val candParts = tables.zipWithIndex.map { case (planes, t) =>
+      val bucketed = n.withColumn("bucket", bucketExpr(col("v"), planes))
+      val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"))
+      a.join(b, "bucket").where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    val cand = candParts.reduce(_ unionAll _).distinct()
+    val va = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val out = cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", ArrayKernels.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), rnd5(col("cos")).as("cos5"))
+    val res = out.localCheckpoint(true)
+    n.unpersist()
+    res
+  }
+
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
     * Recall < 1 by construction (LSH), but deterministic: the oracle
     * computes the identical buckets.

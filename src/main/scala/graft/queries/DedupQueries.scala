@@ -41,6 +41,34 @@ object DedupQueries {
       fp.withColumn("cnt_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .select(col("doc_id"), col("fp"), col("cnt_same"))
         .orderBy("doc_id")
+    }),
+
+    // edit-distance fuzzy-neighbor profile: a 2% hash-sampled probe set,
+    // blocked on (lang, length-bucket), levenshtein over 32-char
+    // prefixes; per probe doc emit its candidate count, closest distance
+    // and how many candidates sit at that distance. Blocking keeps the
+    // pair space |probe|·|block| (never corpus²); probes restricted to
+    // 'en' because levenshtein character semantics on CJK text differ
+    // between engines.
+    "dedup_fuzzy_edit" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars DIV 100").as("lb"),
+        substring(lower(col("text")), 1, 32).as("pfx"))
+      val probe = d.where(col("lang") === "en" &&
+          pmod(conv(substring(md5(concat(lit("fz"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long"), lit(100L)) < 2)
+        .select(col("doc_id").as("doc_a"), col("lang"), col("lb"),
+          col("pfx").as("pfx_a"))
+      val pairs = probe.join(d, Seq("lang", "lb"))
+        .where(col("doc_id") =!= col("doc_a"))
+        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx")))
+      val w = Window.partitionBy(col("doc_a"))
+      pairs.withColumn("md", min(col("dist")).over(w))
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("n_cand"),
+          min(col("dist")).as("min_dist"),
+          count(when(col("dist") === col("md"), 1)).as("n_at_min"))
+        .orderBy("doc_a")
     }))
 
   /** Shared shingle-set CTE (char k-grams, distinct per doc). */
@@ -117,5 +145,25 @@ object DedupQueries {
          |$jaccardTail WHERE jac >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashSql,
-    "dedup_simhash" -> simhashSql)
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_fuzzy_edit" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS lb,
+        |    substr(lower(text), 1, 32) AS pfx
+        |  FROM documents
+        |), probe AS (
+        |  SELECT doc_id AS doc_a, lang, lb, pfx AS pfx_a FROM d
+        |  WHERE lang = 'en'
+        |    AND CAST('0x' || substr(md5('fz' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 2
+        |), pairs AS (
+        |  SELECT probe.doc_a, CAST(levenshtein(probe.pfx_a, d.pfx) AS INT) AS dist
+        |  FROM probe JOIN d ON probe.lang = d.lang AND probe.lb = d.lb
+        |  WHERE d.doc_id <> probe.doc_a
+        |), q AS (
+        |  SELECT doc_a, dist, min(dist) OVER (PARTITION BY doc_a) AS md FROM pairs
+        |)
+        |SELECT doc_a, count(*) AS n_cand, min(dist) AS min_dist,
+        |  CAST(count(CASE WHEN dist = md THEN 1 END) AS BIGINT) AS n_at_min
+        |FROM q GROUP BY doc_a ORDER BY doc_a""".stripMargin)
 }

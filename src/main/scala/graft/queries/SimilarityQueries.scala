@@ -45,9 +45,28 @@ object SimilarityQueries {
     // k-means assignment kernel)
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Similarity.emb(s, dir), coarse, nQueries = 10, k = 3)
-        .orderBy("qid", "rk")))
+        .orderBy("qid", "rk")),
+
+    // multi-probe IVF (nprobe=2): each query searches its 2 nearest
+    // cells — the recall lever over sim_ann_ivf
+    "sim_ann_ivf_mp" -> ((s, dir) =>
+      Similarity.ivfTopKMulti(Similarity.emb(s, dir), coarse,
+          nQueries = 10, k = 3, nprobe = 2)
+        .orderBy("qid", "rk")),
+
+    // multi-table LSH amplification (3 independent 6-plane tables,
+    // candidates unioned then deduped) — the recall lever over
+    // sim_near_pairs_lsh
+    "sim_near_pairs_lsh_mt" -> ((s, dir) =>
+      Similarity.nearPairsLshMulti(Similarity.emb(s, dir), mtPlanes, tau = 0.4)
+        .orderBy("id_a", "id_b")))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
+
+  /** Three independent 6-plane tables for LSH amplification. */
+  private val mtPlanes: Seq[Seq[Array[Double]]] =
+    Seq(13L, 17L, 19L).map(seed =>
+      Similarity.hyperplanes(nPlanes = 6, dim = D, seed = seed))
 
   // ---- oracle SQL generation ----
 
@@ -65,10 +84,12 @@ object SimilarityQueries {
   private def planeDotSql(v: String, p: Array[Double]): String =
     p.zipWithIndex.map { case (pv, i) => s"$v[${i + 1}]*${pv}" }.mkString(" + ")
 
-  private def bucketSql(v: String): String =
-    planes.zipWithIndex.map { case (p, i) =>
+  private def bucketSqlFor(v: String, ps: Seq[Array[Double]]): String =
+    ps.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN (${planeDotSql(v, p)}) >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(v: String): String = bucketSqlFor(v, planes)
 
   /** Per-coarse-centroid squared distance, mirroring the
     * SquaredDistance kernel's ascending left-associative accumulation.
@@ -99,8 +120,64 @@ object SimilarityQueries {
        |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
+  /** Multi-probe IVF oracle: probe ranking via UNION ALL + row_number
+    * (ORDER BY pdist, pcell — the same (d, c) struct order the Spark
+    * sort_array uses; pdist is the identical expression text so values
+    * are bit-equal).
+    */
+  private def ivfMpSql: String = {
+    val dcols = coarse.map(c => s"${cellDistSql("v", c.vec)} AS dd${c.cid}")
+      .mkString(",\n        ")
+    val ddList = coarse.map(c => s"dd${c.cid}").mkString(", ")
+    val leastArgs = ddList
+    val caseArms = coarse.map(c => s"WHEN dd${c.cid} = mind THEN ${c.cid}").mkString(" ")
+    val probeUnion = coarse.map(c =>
+      s"SELECT qid, qv, qnrm, ${c.cid} AS pcell, dd${c.cid} AS pdist FROM cq")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $embCte,
+       |cd AS (SELECT vec_id, v, nrm,
+       |        $dcols
+       |      FROM en),
+       |cm AS (SELECT *, least($leastArgs) AS mind FROM cd),
+       |cc AS (SELECT vec_id, v, nrm,
+       |        CAST(CASE $caseArms ELSE -1 END AS INT) AS cell FROM cm),
+       |cq AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, $ddList
+       |      FROM cd WHERE vec_id < 10),
+       |pr AS (SELECT qid, qv, qnrm, pcell,
+       |        row_number() OVER (PARTITION BY qid ORDER BY pdist, pcell) AS prk
+       |      FROM ($probeUnion)),
+       |p2 AS (SELECT qid, qv, qnrm, pcell FROM pr WHERE prk <= 2),
+       |j AS (SELECT p2.qid, b.cell, b.vec_id,
+       |        ${rndSql(cosN("p2.qv", "b.v", "p2.qnrm", "b.nrm"), 5)} AS cos5
+       |      FROM p2 JOIN cc b ON b.cell = p2.pcell AND b.vec_id <> p2.qid),
+       |r AS (SELECT qid, cell, vec_id, cos5,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
+       |      FROM j)
+       |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
+
+  private def lshMtSql: String = {
+    val bucketCtes = mtPlanes.zipWithIndex.map { case (ps, t) =>
+      s"b$t AS (SELECT vec_id, ${bucketSqlFor("v", ps)} AS bucket FROM en)"
+    }.mkString(",\n")
+    val candUnion = mtPlanes.indices.map(t =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b$t a JOIN b$t b " +
+        "ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $embCte,
+       |$bucketCtes,
+       |cand AS (SELECT DISTINCT id_a, id_b FROM ($candUnion)),
+       |sc AS (SELECT id_a, id_b,
+       |        ${cosN("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |      FROM cand JOIN en a ON a.vec_id = id_a JOIN en b ON b.vec_id = id_b)
+       |SELECT id_a, id_b, ${rndSql("cos", 5)} AS cos5
+       |FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "sim_ann_ivf" -> ivfSql,
+    "sim_ann_ivf_mp" -> ivfMpSql,
+    "sim_near_pairs_lsh_mt" -> lshMtSql,
 
     "sim_near_pairs_lsh" ->
       s"""WITH $embCte,

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryHelpers._
+
+/** TPC-H-shaped multi-way join queries (Q3/Q5 adapted to the fixture
+  * schemas — orders has no shippriority; supplier joins through
+  * s_nationkey = c_nationkey as in Q5). These exercise what none of the
+  * single-join queries do: 3-6 table join ordering, broadcast selection
+  * for several dims at once, and selective timestamp predicates that
+  * must reach the parquet scans.
+  */
+object TpchQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q3: shipping-priority revenue — customer×orders×lineitem, date
+    // bracket both sides, top-10 by (rounded) revenue
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"),
+          col("o_orderpriority"))
+        .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5: local-supplier volume per nation in ASIA — 6-table join where
+    // the customer and supplier must share a nation
+    "q_tpch_q5" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy("n_name")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, count(*) AS n_items,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+}

