@@ -81,6 +81,19 @@ object AnalyticQueries {
         .orderBy("o_custkey")
     }),
 
+    // ---- explicit GROUPING SETS + grouping_id (rollup/cube's general
+    // form; Expand-based plan, one shuffle)
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // ---- exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: both sort and linearly interpolate at p·(n−1))
     "q_percentiles" -> ((s, dir) =>
@@ -210,6 +223,14 @@ object AnalyticQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_percentiles" ->
       s"""SELECT l_returnflag,

@@ -37,6 +37,16 @@ object MultimodalQueries {
         .toDF()
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"), min(col("frame_hash")).as("first_hash"))
+        .orderBy("media_id")),
+
+    // batched resize pass (stub decimation — the binary-in/binary-out
+    // map shape; rows-only like the other stub-decode paths)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.mediaFromDocuments(s, dir), targetLen = 64)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          octet_length(col("content")).as("resized_len"),
+          md5(col("content")).as("resized_md5"), col("meta_len"))
         .orderBy("media_id")))
 
   val oracleSql: Map[String, String] = Map(

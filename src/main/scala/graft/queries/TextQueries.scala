@@ -30,7 +30,26 @@ object TextQueries {
       TextAnalysis.tokenReport(docs(s, dir)).orderBy("source")),
 
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprint(docs(s, dir)).orderBy("doc_id")))
+      TextAnalysis.winnowFingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    // corpus-wide top-50 word bigrams — the n-gram frequency table every
+    // corpus audit builds. Explode is narrow; one count shuffle keyed by
+    // bigram; top-k via TakeOrderedAndProject (count desc, bigram ties).
+    "text_ngram_freq" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
+      // guard size>=2: Spark sequence(1, 0) counts DOWN ([1,0]) where
+      // DuckDB generate_series(1, 0) is empty
+      toks.where(size(col("ts")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1)))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    }))
 
   private def langidSql: String = {
     val scores = TextAnalysis.markers.map { case (l, ms) =>
@@ -56,6 +75,19 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
+
+    "text_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+        |  FROM toks WHERE len(ts) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_chars,

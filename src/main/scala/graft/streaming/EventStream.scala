@@ -124,6 +124,16 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension row (here: the user's total order count from the
+    * batch `customer`-keyed aggregate). The static side is planned as a
+    * broadcast per micro-batch — the standard streaming-dimension-join
+    * shape; no state store involved.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** Run a streaming DF to a memory sink until all available data is
     * processed; returns the sink table.
     */

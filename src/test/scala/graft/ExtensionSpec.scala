@@ -161,6 +161,27 @@ class ExtensionSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("events-enrich").toFile
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      new java.io.File(tmp, "part-0.parquet").toPath)
+    // static dimension: per-user event-count profile from the batch table
+    val dim = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+    val stream = EventStream.enriched(
+      EventStream.readEvents(spark, tmp.getAbsolutePath)
+        .select(col("event_id"), col("user_id")), dim)
+    val got = EventStream.runToMemory(spark, stream, "enrich_out", OutputMode.Append())
+      .select("event_id", "user_total").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+      .join(dim, Seq("user_id"))
+      .select("event_id", "user_total").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("streaming incremental k-means matches a one-pass batch mean per cluster") {
     val tmp = java.nio.file.Files.createTempDirectory("events-stream2").toFile
     java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
