@@ -123,6 +123,33 @@ object Dedup {
     hm.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-doc shingle-hash ARRAY — the narrow form: shingles never leave
+    * the row (no string explode, no shuffle).
+    */
+  def shingleHashArray(docs: DataFrame, n: Int): DataFrame =
+    spread(docs.select(col("doc_id"), lower(col("text")).as("t"))
+        .where(length(col("t")) >= n))
+      .select(col("doc_id"), transform(
+        sequence(lit(1), length(col("t")) - (n - 1)),
+        i => shingleBaseHash(col("t").substr(i, lit(n)))).as("hs"))
+
+  /** Narrow MinHash signature: `array_min(transform(hs, h → (a·h+b) mod
+    * P))` per hash function — the whole signature pass is ONE map stage
+    * with zero shuffle (vs explode + 12-aggregate groupBy in
+    * [[minhashSignature]]; same values, min over the same multiset).
+    * This is the form that scales: signature cost is pure scan
+    * bandwidth, and the only shuffled data in the whole LSH pipeline is
+    * the 6-band keys.
+    */
+  def minhashSignatureNarrow(docs: DataFrame, n: Int, nHash: Int): DataFrame = {
+    val hs = shingleHashArray(docs, n)
+    val sigs = minhashCoeffs(nHash).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"),
+        h => (lit(a) * h + lit(b)) % lit(MinhashP))).as(s"h$i")
+    }
+    hs.select(col("doc_id") +: sigs: _*)
+  }
+
   /** LSH-banded near-dup pairs with exact-Jaccard verification.
     * bands of `rowsPerBand` signature rows each; same-bucket pairs are
     * candidates. The candidate set is tiny, so the verify join touches a
@@ -132,13 +159,11 @@ object Dedup {
       docs: DataFrame, n: Int = 8, nHash: Int = 12, rowsPerBand: Int = 2,
       tau: Double = 0.5): DataFrame = {
     val nBands = nHash / rowsPerBand
-    // signatures read the RAW shingle stream: min() is unaffected by
-    // duplicates, so the global per-doc distinct (a full shuffle of every
-    // shingle in the corpus) is skipped entirely on the signature path.
-    // Cached: the band self-join consumes it twice, and signature
-    // computation (the full corpus explode + hash) is the expensive part
-    // — one row per doc, so the cache is small at any corpus size.
-    val mh = minhashSignature(rawShingles(docs, n), nHash).cache()
+    // narrow signature: shingle hashes stay inside their row (array
+    // HOFs), so the pass is shuffle-free — see minhashSignatureNarrow.
+    // Cached: the band self-join consumes it twice; one row per doc, so
+    // the cache is small at any corpus size.
+    val mh = minhashSignatureNarrow(docs, n, nHash).cache()
     // band key = the raw signature rows (numeric join keys — no extra
     // hashing needed)
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
