@@ -162,6 +162,48 @@ object AnalyticQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- string-function family over part names (the subset whose
+    // semantics are identical across engines; instr≡strpos, lpad pads
+    // with the given char, translate maps char-for-char)
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        trim(col("p_name")).as("tr"),
+        lpad(col("p_name"), 30, ".").as("pad"),
+        reverse(col("p_name")).as("rev"),
+        substring(col("p_name"), 3, 8).as("mid"),
+        instr(col("p_name"), "a").as("pos_a"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tl"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"))
+        .orderBy("p_partkey")),
+
+    // ---- full outer join: supplier-nation profile vs customer-nation
+    // profile, each side filtered so both null patterns occur
+    "q_full_outer" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir).where(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      val cust = Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      sup.join(cust, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"), col("n_supp"), col("n_cust"))
+        .orderBy("nationkey")
+    }),
+
+    // ---- positional explode (UDTF surface): characters with their
+    // ordinal; DuckDB twin = unnest of a struct list (WITH ORDINALITY
+    // semantics)
+    "q_posexplode" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          posexplode(transform(
+            sequence(lit(1), length(col("n_name"))),
+            i => col("n_name").substr(i, lit(1)))).as(Seq("pos", "ch")))
+        .orderBy("n_nationkey", "pos")),
+
     // ---- batch sessionization (30-min gap) — lag + running sum over one
     // user_id shuffle; integer ns arithmetic end-to-end. This is the
     // batch twin of streaming.EventStream's flatMapGroupsWithState
@@ -275,6 +317,40 @@ object AnalyticQueries {
          |  ${rndSql("max(o_totalprice - avg_price)", 4)} AS max_over
          |FROM orders, a WHERE o_totalprice > avg_price
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  trim(p_name) AS tr,
+        |  lpad(p_name, 30, '.') AS pad,
+        |  reverse(p_name) AS rev,
+        |  substr(p_name, 3, 8) AS mid,
+        |  CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tl,
+        |  coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        |  concat_ws('|', p_brand, p_type) AS bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+        |  s.n_supp, c.n_cust
+        |FROM (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 0 GROUP BY 1) s
+        |FULL OUTER JOIN
+        |     (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+        |  ON s.nationkey = c.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_posexplode" ->
+      """WITH t AS (
+        |  SELECT n_nationkey,
+        |    unnest(list_transform(generate_series(1, length(n_name)),
+        |      i -> {pos: CAST(i - 1 AS INT), ch: substr(n_name, CAST(i AS INT), 1)})) AS u
+        |  FROM nation
+        |)
+        |SELECT n_nationkey, u.pos AS pos, u.ch AS ch FROM t
+        |ORDER BY n_nationkey, pos""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (
