@@ -124,6 +124,27 @@ object EventStream {
       }
   }
 
+  /** Stream-STREAM inner join with event-time bounds: each click joins
+    * purchases by the same user within the hour BEFORE the click
+    * (`c_ts - 1h <= p_ts <= c_ts`). Both sides carry watermarks and the
+    * join condition bounds event time in both directions, so the state
+    * store provably evicts rows older than watermark + bound — the
+    * requirement for unbounded streams (an unbounded condition would
+    * grow state forever).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases, expr(
+      "user_id = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"))
+      .select(col("c_event"), col("p_event"), col("user_id"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * user's dimension row (here: the user's total order count from the
     * batch `customer`-keyed aggregate). The static side is planned as a

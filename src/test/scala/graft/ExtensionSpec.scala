@@ -161,6 +161,28 @@ class ExtensionSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("events-ssj").toFile
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      new java.io.File(tmp, "part-0.parquet").toPath)
+    val stream = EventStream.clickPurchaseJoin(
+      EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val got = EventStream.runToMemory(spark, stream, "ssj_out", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val want = c.join(p, expr(
+      "user_id = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"))
+      .select("c_event", "p_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-static enrichment join equals the batch join") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("events-enrich").toFile

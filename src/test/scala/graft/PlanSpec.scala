@@ -59,4 +59,30 @@ class PlanSpec extends SparkSpec {
     val p = plan(Assign.withNearest(Tables.points2d(spark, sf), Centroids.k2d))
     assert(p.contains("*(1) Project"), s"no codegen span:\n$p")
   }
+
+  test("q_tpch_q3: timestamp brackets reach the scans, dims broadcast") {
+    val p = plan(queries.TpchQueries.queries("q_tpch_q3")(spark, sf))
+    // both date predicates must be data filters on the parquet scans, not
+    // post-join filters
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in:\n$p")
+    val scanSection = p.split("FileScan").drop(1)
+    assert(scanSection.exists(_.contains("o_orderdate")), s"order-date filter not at scan:\n$p")
+    assert(scanSection.exists(_.contains("l_shipdate")), s"ship-date filter not at scan:\n$p")
+  }
+
+  test("q_split plans no exchange (hash routing is narrow)") {
+    val df = queries.PipelineQueries.queries("q_split")(spark, sf)
+    // ignore the final presentation orderBy: check the split itself
+    val core = Tables.documents(spark, sf).select(col("doc_id"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)).as("bucket"))
+    val p = plan(core)
+    assert(!p.contains("Exchange"), s"split should be narrow:\n$p")
+    assert(df.columns.sameElements(Array("doc_id", "bucket", "split")))
+  }
+
+  test("q_pivot aggregates partially before its exchange") {
+    val p = plan(queries.AnalyticQueries.queries("q_pivot")(spark, sf))
+    assert(p.contains("partial_"), s"no map-side combine in pivot:\n$p")
+  }
 }
