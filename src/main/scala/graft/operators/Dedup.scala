@@ -255,4 +255,31 @@ object Dedup {
   def simhashFpSql: String =
     (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString("(", " + ", ")")
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHam` via byte-block
+    * LSH: the 32-bit fingerprint splits into 4 bytes; any pair within
+    * Hamming 3 must agree EXACTLY on at least one byte (pigeonhole over 4
+    * blocks), so same-(block, byte) candidates + a bit_count(xor) verify
+    * is complete for maxHam ≤ 3 — never a corpus² comparison.
+    */
+  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "byte-block LSH is only complete for maxHam <= 3")
+    val fp = simhash(docs).cache()
+    val blocks = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 to 3).map(b =>
+        struct(lit(b).as("b"), expr(s"(fp >> ${8 * b}) & 255").as("k"))): _*)).as("blk"))
+      .select(col("doc_id"), col("fp"), col("blk.b").as("b"), col("blk.k").as("k"))
+    val cand = blocks.as("x").join(blocks.as("y"), Seq("b", "k"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.fp").as("fp_a"),
+        col("y.doc_id").as("doc_b"), col("y.fp").as("fp_b"))
+      .distinct()
+    val out = cand
+      .withColumn("ham", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .where(col("ham") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+    val res = out.localCheckpoint(true)
+    fp.unpersist()
+    res
+  }
 }

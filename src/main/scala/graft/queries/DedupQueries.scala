@@ -43,6 +43,12 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup pairs at Hamming <= 3 (byte-block LSH — complete
+    // by pigeonhole; see Dedup.simhashPairs)
+    "dedup_simhash_hamming" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHam = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // edit-distance fuzzy-neighbor profile: a 2% hash-sampled probe set,
     // blocked on (lang, length-bucket), levenshtein over 32-char
     // prefixes; per probe doc emit its candidate count, closest distance
@@ -113,20 +119,36 @@ object DedupQueries {
        |$jaccardTail WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private def simhashSql: String = {
+  /** Shared toks→hs→sums→fp CTE chain for the simhash queries. */
+  private def simhashCtes: String = {
     val sums = (0 until 32).map(b =>
       s"sum(${Dedup.simhashContribSql(b, "h")}) AS s$b").mkString(",\n        ")
-    s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+    s"""toks AS (SELECT DISTINCT doc_id, tok FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
        |    FROM documents) t WHERE tok <> ''),
        |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
        |sums AS (SELECT doc_id,
        |        $sums
        |      FROM hs GROUP BY doc_id),
-       |fp AS (SELECT doc_id, ${Dedup.simhashFpSql} AS fp FROM sums)
+       |fp AS (SELECT doc_id, ${Dedup.simhashFpSql} AS fp FROM sums)""".stripMargin
+  }
+
+  private def simhashSql: String =
+    s"""WITH $simhashCtes
        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS cnt_same
        |FROM fp ORDER BY doc_id""".stripMargin
-  }
+
+  private def simhashHammingSql: String =
+    s"""WITH $simhashCtes,
+       |blocks AS (SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS k
+       |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
+       |                y.doc_id AS doc_b, y.fp AS fp_b
+       |         FROM blocks x JOIN blocks y
+       |           ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -146,6 +168,7 @@ object DedupQueries {
 
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_hamming" -> simhashHammingSql,
 
     "dedup_fuzzy_edit" ->
       """WITH d AS (

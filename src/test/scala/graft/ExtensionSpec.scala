@@ -40,6 +40,16 @@ class ExtensionSpec extends SparkSpec {
     assert(mh.toSet == Set((1L, 2L)))
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
+
+    // hamming-pairs: identical docs are a ham=0 pair; a one-word edit
+    // stays within the <=3 ball (shared vocabulary dominates the bit sums)
+    val nearDocs = Seq((1L, base), (2L, base),
+      (3L, base + " extra"), (4L, "completely different words here xyzzy plugh"))
+      .toDF("doc_id", "text")
+    val hp = Dedup.simhashPairs(nearDocs, maxHam = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(hp.get((1L, 2L)).contains(0))
+    assert(!hp.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
   test("brute-force topk: nearest neighbor of a vector is its duplicate") {
