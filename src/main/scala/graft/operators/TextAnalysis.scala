@@ -57,8 +57,17 @@ object TextAnalysis {
         langs.map(l => col(s"s_$l"))): _*)
   }
 
+  /** English stopwords for the quality stop_ratio (space-padded exact
+    * token matches, like the langId markers).
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "a", "is", "it", "for", "on")
+
   /** Per-document quality metrics — all per-row exact arithmetic. */
-  def quality(docs: DataFrame): DataFrame =
+  def quality(docs: DataFrame): DataFrame = {
+    val stopHits = stopwords
+      .map(w => expr(occSql("concat(' ', lower(text), ' ')", s" $w ")))
+      .reduce(_ + _)
     docs.select(
       col("doc_id"),
       col("n_chars"),
@@ -73,7 +82,12 @@ object TextAnalysis {
       (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
         length(col("text"))).as("digit_ratio"),
       (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double") /
-        length(col("text"))).as("upper_ratio"))
+        length(col("text"))).as("upper_ratio"),
+      // stopword tokens / whitespace tokens — the filter every corpus
+      // quality pass applies (low stop_ratio ≈ non-natural-language)
+      (stopHits / (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+        + lit(1)).cast("double")).as("stop_ratio"))
+  }
 
   /** Corpus token report grouped by source (exact integer sums). */
   def tokenReport(docs: DataFrame): DataFrame =

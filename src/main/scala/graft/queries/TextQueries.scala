@@ -90,13 +90,17 @@ object TextQueries {
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, n_chars,
-        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS INT) AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
-        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
-        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, n_chars,
+         |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio,
+         |  ${TextAnalysis.stopwords
+                .map(w => TextAnalysis.occSql("concat(' ', lower(text), ' ')", s" $w "))
+                .mkString("(", " + ", ")")}
+         |    / CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS DOUBLE) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT source, count(*) AS n_docs,
