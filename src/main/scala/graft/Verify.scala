@@ -18,13 +18,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Dump queries on a small thread pool: each write is its own Spark
+    // job into its own directory, and concurrent jobs overlap planning
+    // with execution (most of these queries are planning-bound at
+    // sf0.01) — roughly halves the correctness-gate wall clock.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
       }
-    }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
