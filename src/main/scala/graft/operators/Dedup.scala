@@ -150,6 +150,21 @@ object Dedup {
     hs.select(col("doc_id") +: sigs: _*)
   }
 
+  /** Fastest signature path: the native one-pass kernel
+    * (graft.functions.MinhashKernel — no hex round trip, no intermediate
+    * hash array; identical values to [[minhashSignatureNarrow]], proven
+    * in KernelSpec).
+    */
+  def minhashSignatureFast(docs: DataFrame, n: Int, nHash: Int): DataFrame = {
+    val coeffs = minhashCoeffs(nHash)
+    spread(docs.select(col("doc_id"), lower(col("text")).as("t"))
+        .where(length(col("t")) >= n))
+      .select(col("doc_id"),
+        graft.functions.MinhashKernel.minhashFast(col("t"), n, coeffs).as("sig"))
+      .select(col("doc_id") +:
+        (0 until nHash).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
   /** LSH-banded near-dup pairs with exact-Jaccard verification.
     * bands of `rowsPerBand` signature rows each; same-bucket pairs are
     * candidates. The candidate set is tiny, so the verify join touches a
@@ -159,11 +174,11 @@ object Dedup {
       docs: DataFrame, n: Int = 8, nHash: Int = 12, rowsPerBand: Int = 2,
       tau: Double = 0.5): DataFrame = {
     val nBands = nHash / rowsPerBand
-    // narrow signature: shingle hashes stay inside their row (array
-    // HOFs), so the pass is shuffle-free — see minhashSignatureNarrow.
-    // Cached: the band self-join consumes it twice; one row per doc, so
-    // the cache is small at any corpus size.
-    val mh = minhashSignatureNarrow(docs, n, nHash).cache()
+    // native one-pass signature kernel (shuffle-free; see
+    // minhashSignatureFast/MinhashKernel). Cached: the band self-join
+    // consumes it twice; one row per doc, so the cache is small at any
+    // corpus size.
+    val mh = minhashSignatureFast(docs, n, nHash).cache()
     // band key = the raw signature rows (numeric join keys — no extra
     // hashing needed)
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
@@ -195,11 +210,15 @@ object Dedup {
     //    the exploded-row formulation shuffled |cand|·|set| rows
     //    (58M at sf0.1) through a join; this form moves |candDocs| array
     //    rows and computes each intersection in a codegen'd hash probe.
+    // Jaccard is computed over 60-bit shingle HASHES, not strings: the
+    // hash is deterministic md5-derived on both engines, so collisions
+    // (if any) are identical and outputs still match — and long-array
+    // intersection beats string-set intersection by the cost of string
+    // hashing. array_distinct keeps even the set-building narrow.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = rawShingles(docs.join(broadcast(candDocs), "doc_id"), n)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("shs"))
+    val sets = shingleHashArray(docs.join(broadcast(candDocs), "doc_id"), n)
+      .select(col("doc_id"), array_distinct(col("hs")).as("shs"))
       .withColumn("nsh", size(col("shs")).cast("long"))
       .cache() // consumed by both join sides
     val out = cand

@@ -102,8 +102,9 @@ object DedupQueries {
       s"SELECT doc_id, $bi AS band, h$a AS k1, h$b AS k2 FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""WITH ${ssetsCte(8)},
-       |sizes AS (SELECT doc_id, count(*) AS nsh FROM ssets GROUP BY doc_id),
        |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm FROM ssets),
+       |hset AS (SELECT DISTINCT doc_id, hm FROM hs),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM hset GROUP BY doc_id),
        |mh AS (SELECT doc_id,
        |        $mins
        |      FROM hs GROUP BY doc_id),
@@ -113,8 +114,8 @@ object DedupQueries {
        |           ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
        |           AND x.doc_id < y.doc_id),
        |it AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-       |       FROM cand c JOIN ssets sa ON sa.doc_id = c.doc_a
-       |                   JOIN ssets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |       FROM cand c JOIN hset sa ON sa.doc_id = c.doc_a
+       |                   JOIN hset sb ON sb.doc_id = c.doc_b AND sb.hm = sa.hm
        |       GROUP BY c.doc_a, c.doc_b),
        |$jaccardTail WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }

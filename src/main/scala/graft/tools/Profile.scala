@@ -83,8 +83,20 @@ object Profile {
         .select(Dedup.shingleBaseHash(col("sh")).as("hm"))
         .agg(sum(col("hm"))).collect()
     }
-    time("full 12-hash signature") {
+    time("signature: exploded groupBy form") {
       Dedup.minhashSignature(Dedup.rawShingles(docs, 8), 12).count()
+    }
+    time("signature: narrow HOF form") {
+      Dedup.minhashSignatureNarrow(docs, 8, 12).count()
+    }
+    time("signature: native kernel") {
+      Dedup.minhashSignatureFast(docs, 8, 12).count()
+    }
+    time("signature: native kernel (2nd)") {
+      Dedup.minhashSignatureFast(docs, 8, 12).count()
+    }
+    time("signature: narrow HOF (2nd)") {
+      Dedup.minhashSignatureNarrow(docs, 8, 12).count()
     }
     time("bands self-join → candidate pairs") {
       val nHash = 12; val rowsPerBand = 2
