@@ -35,12 +35,20 @@ object Bench {
       val cold = once(); val warm = once()
       (name, cold, warm)
     }
+    // The driver captures only the TAIL of stdout (round-1 BENCH parsed
+    // as null because the full two-map line outgrew the capture); keep
+    // the stdout JSON line compact — 3-decimal cold times only — and put
+    // the full cold+warm+error detail in a sidecar file.
+    def fmt3(v: Double): String = f"$v%.3f"
     def fmt(f: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+      results.map(r => s"\"" + r._1 + "\":" + fmt3(f(r))).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
     val errJson = errors.map { case (n, m) => s"\"$n\":\"$m\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._2)},"value_warm":$totalWarm,"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), detail)
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
