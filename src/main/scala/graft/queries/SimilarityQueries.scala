@@ -59,7 +59,20 @@ object SimilarityQueries {
     // sim_near_pairs_lsh
     "sim_near_pairs_lsh_mt" -> ((s, dir) =>
       Similarity.nearPairsLshMulti(Similarity.emb(s, dir), mtPlanes, tau = 0.4)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // cross-extension integration: documents ⋈ embeddings on the shared
+    // id space — per (lang, label) count + mean embedding norm (the
+    // text↔vector linkage every multimodal corpus needs)
+    "sim_doc_embedding_join" -> ((s, dir) => {
+      val d = graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val e = Similarity.withNorm(Similarity.emb(s, dir))
+        .select(col("vec_id"), col("label"), col("nrm"))
+      d.join(e, d("doc_id") === e("vec_id"))
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n"), rnd(avg(col("nrm")), 5).as("avg_norm"))
+        .orderBy("lang", "label")
+    }))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
 
@@ -178,6 +191,15 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ivfSql,
     "sim_ann_ivf_mp" -> ivfMpSql,
     "sim_near_pairs_lsh_mt" -> lshMtSql,
+
+    "sim_doc_embedding_join" ->
+      s"""WITH $embCte
+         |SELECT d.lang, e2.label, count(*) AS n,
+         |  ${rndSql("avg(en.nrm)", 5)} AS avg_norm
+         |FROM documents d
+         |JOIN en ON d.doc_id = en.vec_id
+         |JOIN embeddings e2 ON e2.vec_id = en.vec_id
+         |GROUP BY d.lang, e2.label ORDER BY lang, label""".stripMargin,
 
     "sim_near_pairs_lsh" ->
       s"""WITH $embCte,
