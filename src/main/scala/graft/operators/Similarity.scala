@@ -196,6 +196,63 @@ object Similarity {
     res
   }
 
+  /** Product-quantization top-k via asymmetric distance computation
+    * (ADC) — the compressed-corpus ANN path: each corpus vector is
+    * encoded as M small code ids (here 4 × 3 bits); each query
+    * precomputes an M×K table of exact subspace distances to every code;
+    * a pair's approximate distance is then M table lookups + adds. The
+    * corpus scan touches ONLY codes — at 100 TB the quantized corpus is
+    * ~16 bytes/vector instead of 256, and the scan is memory-bandwidth
+    * bound on codes, not floats.
+    *
+    * Encoding is the same staged argmin shape as k-means assignment
+    * (per-subspace distance columns → least → first-match CASE).
+    */
+  def pqTopK(
+      embDf: DataFrame, books: Seq[Seq[CentroidND]], nQueries: Int,
+      k: Int): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val n = withNorm(embDf)
+
+    // corpus side: M code columns (argmin per subspace, staged)
+    var coded = n.select(col("vec_id"), col("v"))
+    books.zipWithIndex.foreach { case (codes, s) =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val dds = codes.sortBy(_.cid).map(c =>
+        ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*)))
+      coded = coded.withColumn(s"_qd$s", least(dds: _*))
+      val cell = codes.sortBy(_.cid).zip(dds).foldRight(lit(-1): Column) {
+        case ((c, d), rest) => when(d === col(s"_qd$s"), lit(c.cid)).otherwise(rest)
+      }
+      coded = coded.withColumn(s"cell$s", cell).drop(s"_qd$s")
+    }
+    val corpus = coded.select(col("vec_id") +:
+      (0 until m).map(s => col(s"cell$s")): _*)
+
+    // query side: exact subvectors + the M×K ADC lookup tables
+    var q = n.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    books.zipWithIndex.foreach { case (codes, s) =>
+      val qsub = slice(col("qv"), s * subDim + 1, subDim)
+      q = q.withColumn(s"dt$s", array(codes.sortBy(_.cid).map(c =>
+        ArrayKernels.distSqFast(qsub, array(c.vec.map(lit(_)): _*))): _*))
+    }
+    val queries = q.select(col("qid") +: (0 until m).map(s => col(s"dt$s")): _*)
+
+    // ADC scan: per (query, corpus) pair, M lookups + adds
+    val adc = (0 until m)
+      .map(s => element_at(col(s"dt$s"), col(s"cell$s") + 1))
+      .reduce(_ + _)
+    val joined = broadcast(queries).crossJoin(corpus)
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc5", rnd5(adc))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc5").asc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("adc5"))
+  }
+
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
     * Recall < 1 by construction (LSH), but deterministic: the oracle
     * computes the identical buckets.

@@ -61,6 +61,13 @@ object SimilarityQueries {
       Similarity.nearPairsLshMulti(Similarity.emb(s, dir), mtPlanes, tau = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // product-quantization ADC top-3: corpus as 4×3-bit codes, per-query
+    // distance lookup tables — the compressed-corpus ANN path
+    "sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Similarity.emb(s, dir),
+          graft.operators.TrainedPqCodebooks.books, nQueries = 10, k = 3)
+        .orderBy("qid", "rk")),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -169,6 +176,58 @@ object SimilarityQueries {
        |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
+  /** PQ/ADC oracle: per-subspace argmin encoding of the corpus (same
+    * dd/least/CASE shape as the IVF cells, over slice index ranges) +
+    * per-query code-distance columns + CASE-lookup ADC sum. Distance
+    * terms ascend within each subspace and subspaces sum in order, the
+    * exact float order of the Spark kernel.
+    */
+  private def pqSql: String = {
+    val books = graft.operators.TrainedPqCodebooks.books
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    def subDist(v: String, c: Array[Double], s: Int): String =
+      c.zipWithIndex.map { case (cv, i) =>
+        s"($v[${s * subDim + i + 1}] - $cv)*($v[${s * subDim + i + 1}] - $cv)"
+      }.mkString(" + ")
+    val ddCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
+      yield s"${subDist("v", c.vec, s)} AS dd${s}_${c.cid}").mkString(",\n        ")
+    val minCols = (0 until m).map(s =>
+      s"least(${books(s).map(c => s"dd${s}_${c.cid}").mkString(", ")}) AS m$s")
+      .mkString(",\n        ")
+    val cellCols = (0 until m).map { s =>
+      val arms = books(s).sortBy(_.cid)
+        .map(c => s"WHEN dd${s}_${c.cid} = m$s THEN ${c.cid}").mkString(" ")
+      s"CAST(CASE $arms ELSE -1 END AS INT) AS cell$s"
+    }.mkString(",\n        ")
+    val dtCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
+      yield s"${subDist("qv", c.vec, s)} AS dt${s}_${c.cid}").mkString(",\n        ")
+    val adc = (0 until m).map { s =>
+      val arms = books(s).sortBy(_.cid)
+        .map(c => s"WHEN ${c.cid} THEN q.dt${s}_${c.cid}").mkString(" ")
+      s"(CASE cc.cell$s $arms END)"
+    }.mkString(" + ")
+    s"""WITH $embCte,
+       |cd AS (SELECT vec_id, v,
+       |        $ddCols
+       |      FROM en),
+       |cm AS (SELECT *,
+       |        $minCols
+       |      FROM cd),
+       |cc AS (SELECT vec_id,
+       |        $cellCols
+       |      FROM cm),
+       |q AS (SELECT vec_id AS qid, v AS qv,
+       |        $dtCols
+       |      FROM en WHERE vec_id < 10),
+       |j AS (SELECT q.qid, cc.vec_id, ${rndSql(s"($adc)", 5)} AS adc5
+       |      FROM q, cc WHERE cc.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, adc5,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc5 ASC, vec_id) AS INT) AS rk
+       |      FROM j)
+       |SELECT qid, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
+
   private def lshMtSql: String = {
     val bucketCtes = mtPlanes.zipWithIndex.map { case (ps, t) =>
       s"b$t AS (SELECT vec_id, ${bucketSqlFor("v", ps)} AS bucket FROM en)"
@@ -191,6 +250,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ivfSql,
     "sim_ann_ivf_mp" -> ivfMpSql,
     "sim_near_pairs_lsh_mt" -> lshMtSql,
+    "sim_pq_topk" -> pqSql,
 
     "sim_doc_embedding_join" ->
       s"""WITH $embCte

@@ -40,6 +40,19 @@ class RecallSpec extends SparkSpec {
       s"multi-table recall ${(mt & truth).size} < single ${(st & truth).size}")
   }
 
+  test("PQ/ADC: approximate distances track true distances (recall > 0, full k per query)") {
+    val truth = q("sim_topk").where(col("rk") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = q("sim_pq_topk").select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every query returns exactly k=3 candidates (the scan is exhaustive
+    // over codes, so no query can come up short)
+    assert(pq.groupBy(_._1).forall(_._2.length == 3))
+    assert(pq.toSet.intersect(truth).nonEmpty,
+      "PQ found none of the true top-3 - quantizer degenerate?")
+  }
+
   test("fuzzy edit profile: min_dist consistent with a brute-force check") {
     val rows = graft.queries.DedupQueries.queries("dedup_fuzzy_edit")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
