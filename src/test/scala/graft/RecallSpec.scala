@@ -53,6 +53,18 @@ class RecallSpec extends SparkSpec {
       "PQ found none of the true top-3 - quantizer degenerate?")
   }
 
+  test("PQ corpus encoding is narrow (codes computed without any exchange)") {
+    import graft.operators.{Similarity, TrainedPqCodebooks}
+    // re-create the corpus-encoding side only: argmin codes per subspace
+    val emb = Similarity.emb(spark, sf)
+    val coded = Similarity.pqTopK(emb, TrainedPqCodebooks.books, 10, 3)
+    val p = plan(coded)
+    // the only join is the broadcast of the 10-query table
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast ADC scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"PQ scan must not shuffle the corpus for the join:\n$p")
+  }
+
   test("fuzzy edit profile: min_dist consistent with a brute-force check") {
     val rows = graft.queries.DedupQueries.queries("dedup_fuzzy_edit")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
