@@ -24,6 +24,27 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("_salt"), s"salt column missing from plan:\n$p")
   }
 
+  test("compaction collapses a fragmented dataset without losing rows") {
+    import graft.operators.Compact
+    val frag = java.nio.file.Files.createTempDirectory("frag").toString
+    val compacted = java.nio.file.Files.createTempDirectory("compacted").toString
+    // fragment: 40 tiny files
+    Tables.documents(spark, sf).repartition(40)
+      .write.mode("overwrite").parquet(frag)
+    val (nFrag, bytes) = Compact.datasetFiles(spark, frag)
+    assert(nFrag == 40)
+    val stats = Compact.compactParquet(spark, frag, compacted,
+      targetBytes = bytes) // target = whole dataset → 1 file
+    assert(stats.outFiles == 1, s"expected 1 output file, got $stats")
+    assert(stats.rows == Tables.documents(spark, sf).count())
+    // identical content, not just counts
+    val a = spark.read.parquet(compacted).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark // warehouse dir set (static conf) in SparkSpec
     s2.sql("DROP TABLE IF EXISTS li_b")
