@@ -83,4 +83,25 @@ object TextFormats {
       .select(col("r"), concat(col("cluster_id").cast("string"), lit(":"),
         col("x").cast("string"), lit(","), col("y").cast("string")).as("value"))
       .write.mode("overwrite").partitionBy("r").text(path)
+
+  /** JSON-lines events source/sink (the interchange format ingestion
+    * pipelines actually receive): explicit schema on read — no sampling
+    * inference pass over a 100-TB drop — with ts carried as epoch micros
+    * (JSON has no timestamp type).
+    */
+  val eventsJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def writeEventsJsonl(events: DataFrame, path: String): Unit =
+    events.select(col("event_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").json(path)
+
+  def readEventsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsJsonSchema).json(path)
 }

@@ -45,6 +45,43 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("JSON-lines events round-trip losslessly with an explicit schema") {
+    import graft.sources.TextFormats
+    val dir = java.nio.file.Files.createTempDirectory("events-jsonl").toString
+    val ev = Tables.events(spark, sf)
+    TextFormats.writeEventsJsonl(ev, dir)
+    val back = TextFormats.readEventsJsonl(spark, dir)
+    val a = back.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val b = ev.select(col("event_id"), expr("ts_ns DIV 1000"),
+        col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(a == b)
+  }
+
+  test("range-partitioned layout: per-file min/max ranges are disjoint (enables file skipping)") {
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartitionByRange(4, col("l_extendedprice"))
+      .write.mode("overwrite").parquet(dir)
+    // per-file price ranges must not overlap — the property min-max
+    // row-group statistics need for a selective filter to skip files
+    val ranges = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark // warehouse dir set (static conf) in SparkSpec
     s2.sql("DROP TABLE IF EXISTS li_b")
