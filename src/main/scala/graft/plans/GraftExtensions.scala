@@ -35,12 +35,30 @@ object FoldSquaredSqrt extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: strength-reduce `pow(x, 2.0)` → `x * x`.
+  *
+  * The reference squares distances with `pow(d, 2)` (mapper.py:42,
+  * master.py:329); `java.lang.Math.pow` is a transcendental call (~20×
+  * a multiply) while `x*x` is one instruction — and for the exponent 2
+  * the results are bit-identical (pow(x,2) is exact for doubles), so
+  * unlike FoldSquaredSqrt this rewrite is value-preserving on EVERY
+  * input including NULL/NaN/±Inf. Only deterministic children are
+  * folded: `x` appears twice after the rewrite.
+  */
+object FoldPowTwo extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Pow(child, Literal(2.0, DoubleType)) if child.deterministic =>
+      Multiply(child, child)
+  }
+}
+
 /** Session-extension entry point: register with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSquaredSqrt)
+    e.injectOptimizerRule(_ => FoldPowTwo)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

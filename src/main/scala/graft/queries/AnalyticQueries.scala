@@ -193,6 +193,20 @@ object AnalyticQueries {
         .orderBy("nationkey")
     }),
 
+    // ---- left outer join with a filtered build side (null-extension on
+    // the probe side; completes the pinned join-type matrix: inner, semi,
+    // anti, full outer, cross, left)
+    "q_left_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bigCust = Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(broadcast(bigCust), o("o_custkey") === bigCust("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          rnd(sum(col("o_totalprice")) / 1e6, 4).as("rev_m"))
+        .orderBy("segment")
+    }),
+
     // ---- positional explode (UDTF surface): characters with their
     // ordinal; DuckDB twin = unnest of a struct list (WITH ORDINALITY
     // semantics)
@@ -341,6 +355,14 @@ object AnalyticQueries {
         |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
         |  ON s.nationkey = c.nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    "q_left_join" ->
+      s"""SELECT coalesce(c_mktsegment, '(none)') AS segment,
+         |  count(*) AS n, ${rndSql("sum(o_totalprice) / 1e6", 4)} AS rev_m
+         |FROM orders
+         |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+         |           WHERE c_acctbal > 9000) c ON o_custkey = c_custkey
+         |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_posexplode" ->
       """WITH t AS (

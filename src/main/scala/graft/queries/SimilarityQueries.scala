@@ -68,6 +68,15 @@ object SimilarityQueries {
           graft.operators.TrainedPqCodebooks.books, nQueries = 10, k = 3)
         .orderBy("qid", "rk")),
 
+    // IVF+PQ composition: nprobe=2 cells select candidates, ADC prices
+    // them — the full-production ANN stack
+    "sim_ivf_pq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Similarity.emb(s, dir),
+          graft.operators.TrainedIvfCentroids.cells,
+          graft.operators.TrainedPqCodebooks.books,
+          nQueries = 10, k = 3, nprobe = 2)
+        .orderBy("qid", "rk")),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -228,6 +237,80 @@ object SimilarityQueries {
        |SELECT qid, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
+  /** IVF+PQ oracle: IVF cell + probe CTEs (as in ivfMpSql) composed
+    * with the PQ encode/table CTEs (as in pqSql); candidates join on the
+    * probed cell and rank by the CASE-lookup ADC.
+    */
+  private def ivfPqSql: String = {
+    val books = graft.operators.TrainedPqCodebooks.books
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    def subDist(v: String, c: Array[Double], s: Int): String =
+      c.zipWithIndex.map { case (cv, i) =>
+        s"($v[${s * subDim + i + 1}] - $cv)*($v[${s * subDim + i + 1}] - $cv)"
+      }.mkString(" + ")
+    // IVF side (full 64-dim cells)
+    val cellDcols = coarse.map(c => s"${cellDistSql("v", c.vec)} AS cd${c.cid}")
+      .mkString(",\n        ")
+    val cdList = coarse.map(c => s"cd${c.cid}").mkString(", ")
+    val cellArms = coarse.map(c => s"WHEN cd${c.cid} = mind THEN ${c.cid}").mkString(" ")
+    val probeUnion = coarse.map(c =>
+      s"SELECT qid, qv, ${c.cid} AS pcell, cd${c.cid} AS pdist FROM cq")
+      .mkString("\n  UNION ALL ")
+    // PQ side
+    val codeDds = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
+      yield s"${subDist("v", c.vec, s)} AS dd${s}_${c.cid}").mkString(",\n        ")
+    val codeMins = (0 until m).map(s =>
+      s"least(${books(s).map(c => s"dd${s}_${c.cid}").mkString(", ")}) AS m$s")
+      .mkString(",\n        ")
+    val codeCols = (0 until m).map { s =>
+      val arms = books(s).sortBy(_.cid)
+        .map(c => s"WHEN dd${s}_${c.cid} = m$s THEN ${c.cid}").mkString(" ")
+      s"CAST(CASE $arms ELSE -1 END AS INT) AS code$s"
+    }.mkString(",\n        ")
+    val dtCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
+      yield s"${subDist("qv", c.vec, s)} AS dt${s}_${c.cid}").mkString(",\n        ")
+    val dtList = (for { s <- 0 until m; c <- books(s) }
+      yield s"dt${s}_${c.cid}").mkString(", ")
+    val adc = (0 until m).map { s =>
+      val arms = books(s).sortBy(_.cid)
+        .map(c => s"WHEN ${c.cid} THEN p2.dt${s}_${c.cid}").mkString(" ")
+      s"(CASE cc.code$s $arms END)"
+    }.mkString(" + ")
+    s"""WITH $embCte,
+       |vd AS (SELECT vec_id, v,
+       |        $cellDcols
+       |      FROM en),
+       |vm AS (SELECT *, least($cdList) AS mind FROM vd),
+       |pq AS (SELECT vec_id, v,
+       |        CAST(CASE $cellArms ELSE -1 END AS INT) AS cell
+       |      FROM vm),
+       |pe AS (SELECT vec_id, cell, v,
+       |        $codeDds
+       |      FROM pq),
+       |pm AS (SELECT *,
+       |        $codeMins
+       |      FROM pe),
+       |cc AS (SELECT vec_id, cell,
+       |        $codeCols
+       |      FROM pm),
+       |cq AS (SELECT vec_id AS qid, v AS qv, $cdList
+       |      FROM vd WHERE vec_id < 10),
+       |pr AS (SELECT qid, qv, pcell,
+       |        row_number() OVER (PARTITION BY qid ORDER BY pdist, pcell) AS prk
+       |      FROM ($probeUnion)),
+       |pt AS (SELECT qid, qv, pcell,
+       |        $dtCols
+       |      FROM pr WHERE prk <= 2),
+       |p2 AS (SELECT qid, pcell, $dtList FROM pt),
+       |j AS (SELECT p2.qid, cc.cell, cc.vec_id, ${rndSql(s"($adc)", 5)} AS adc5
+       |      FROM p2 JOIN cc ON cc.cell = p2.pcell AND cc.vec_id <> p2.qid),
+       |r AS (SELECT qid, cell, vec_id, adc5,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc5 ASC, vec_id) AS INT) AS rk
+       |      FROM j)
+       |SELECT qid, cell, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
+
   private def lshMtSql: String = {
     val bucketCtes = mtPlanes.zipWithIndex.map { case (ps, t) =>
       s"b$t AS (SELECT vec_id, ${bucketSqlFor("v", ps)} AS bucket FROM en)"
@@ -251,6 +334,7 @@ object SimilarityQueries {
     "sim_ann_ivf_mp" -> ivfMpSql,
     "sim_near_pairs_lsh_mt" -> lshMtSql,
     "sim_pq_topk" -> pqSql,
+    "sim_ivf_pq_topk" -> ivfPqSql,
 
     "sim_doc_embedding_join" ->
       s"""WITH $embCte

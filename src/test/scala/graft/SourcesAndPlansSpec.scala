@@ -85,6 +85,25 @@ class SourcesAndPlansSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("FoldPowTwo strength-reduces pow(x,2) to x*x; ordering preserves the sqrt fold") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(plans.FoldSquaredSqrt, plans.FoldPowTwo)
+    try {
+      val df = Seq(3.0, -2.5).toDF("x").select(pow(col("x"), 2.0).as("sq"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.toUpperCase.contains("POWER"), s"pow survived:\n$opt")
+      assert(df.collect().map(_.getDouble(0)).toSeq == Seq(9.0, 6.25))
+      // the sqrt-roundtrip pattern still folds all the way to x (not to
+      // sqrt(x)*sqrt(x)) because FoldSquaredSqrt is applied first
+      val rt = Seq(4.0).toDF("x").select(pow(sqrt(col("x")), 2.0).as("v"))
+      val rtOpt = rt.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!rtOpt.contains("sqrt"), s"sqrt survived the combined rules:\n$rtOpt")
+      // nondeterministic children stay un-folded
+      val nd = spark.range(1).select(pow(rand(7), 2.0).as("r"))
+      assert(nd.queryExecution.optimizedPlan.toString.toUpperCase.contains("POWER"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("injected task failure is retried by the scheduler (X1-X3 subsumption)") {
     // the reference hand-rolls straggler+failure resubmission
     // (master.py:127-173, mapper.py:100-108); Spark's scheduler retries
