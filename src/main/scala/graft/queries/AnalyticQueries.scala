@@ -81,6 +81,15 @@ object AnalyticQueries {
         .orderBy("o_custkey")
     }),
 
+    "q_union_distinct" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .union(
+          o.where(col("o_orderpriority") === "2-HIGH").select(col("o_custkey")))
+        .distinct()
+        .orderBy("o_custkey")
+    }),
+
     // ---- explicit GROUPING SETS + grouping_id (rollup/cube's general
     // form; Expand-based plan, one shuffle)
     "q_grouping_sets" -> ((s, dir) =>
@@ -277,6 +286,12 @@ object AnalyticQueries {
     "q_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
         |ORDER BY o_custkey""".stripMargin,
 
