@@ -85,6 +85,22 @@ class SourcesAndPlansSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("SQL-text entry point: views + native functions work through spark.sql") {
+    graft.tools.SqlRunner.register(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDf = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDf)
+    // native kernels callable from SQL text
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+  }
+
   test("FoldPowTwo strength-reduces pow(x,2) to x*x; ordering preserves the sqrt fold") {
     import spark.implicits._
     spark.experimental.extraOptimizations = Seq(plans.FoldSquaredSqrt, plans.FoldPowTwo)
