@@ -117,7 +117,9 @@ object AnalyticQueries {
 
     // ---- moment statistics (both engines use numerically stable
     // single-pass central-moment updates; merge-order ulp drift absorbed
-    // by 6-dp rounding)
+    // by 6-dp rounding). Skewness needs a dialect bridge: Spark returns
+    // POPULATION g1, DuckDB SAMPLE skewness = g1·√(n(n−1))/(n−2) — the
+    // exact algebraic transform is applied on the Spark side.
     "q_stats" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -125,7 +127,10 @@ object AnalyticQueries {
           rnd(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
           rnd(var_samp(col("l_discount")), 6).as("var_disc"),
           rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-          rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+          rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+          rnd(skewness(col("l_quantity")) *
+            sqrt(count(lit(1)).cast("double") * (count(lit(1)) - 1).cast("double")) /
+            (count(lit(1)) - 2).cast("double"), 6).as("skew_qty"))
         .orderBy("l_returnflag")),
 
     // ---- date/time function family over o_orderdate
@@ -316,7 +321,8 @@ object AnalyticQueries {
          |  ${rndSql("stddev_samp(l_quantity)", 6)} AS sd_qty,
          |  ${rndSql("var_samp(l_discount)", 6)} AS var_disc,
          |  ${rndSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
-         |  ${rndSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qty_disc
+         |  ${rndSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qty_disc,
+         |  ${rndSql("skewness(l_quantity)", 6)} AS skew_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_date_funcs" ->
