@@ -133,6 +133,21 @@ object AnalyticQueries {
             (count(lit(1)) - 2).cast("double"), 6).as("skew_qty"))
         .orderBy("l_returnflag")),
 
+    // ---- linear-regression aggregates (the fit-as-aggregate surface
+    // both engines share) + deterministic string aggregation (sorted
+    // distinct values so the concatenation order is engine-independent)
+    "q_regression" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          rnd(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          rnd(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          rnd(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"))
+        .orderBy("l_returnflag")),
+
     // ---- date/time function family over o_orderdate
     "q_date_funcs" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -323,6 +338,15 @@ object AnalyticQueries {
          |  ${rndSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
          |  ${rndSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qty_disc,
          |  ${rndSql("skewness(l_quantity)", 6)} AS skew_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_regression" ->
+      s"""SELECT l_returnflag,
+         |  ${rndSql("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+         |  ${rndSql("regr_intercept(l_extendedprice, l_quantity)", 4)} AS icept,
+         |  ${rndSql("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2,
+         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_date_funcs" ->
