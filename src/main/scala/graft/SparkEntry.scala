@@ -20,6 +20,7 @@ object SparkEntry {
     KMeansQueries.queries ++ RelationalQueries.queries ++
       AnalyticQueries.queries ++ PipelineQueries.queries ++
       TemporalQueries.queries ++ TpchQueries.queries ++
+      SqlTextQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries
 
@@ -31,6 +32,7 @@ object SparkEntry {
     KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
       AnalyticQueries.oracleSql ++ PipelineQueries.oracleSql ++
       TemporalQueries.oracleSql ++ TpchQueries.oracleSql ++
+      SqlTextQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Queries driven through `spark.sql` over the registered fixture views —
+  * the SQL-dialect entry path (graft.tools.SqlRunner) under the oracle
+  * gate. Each query's text is written in the dialect intersection, so
+  * the IDENTICAL string is executed by Spark AND by DuckDB as its own
+  * oracle: the strongest possible form of the determinism contract.
+  *
+  * q_sql_recursive exercises WITH RECURSIVE (new in Spark 4) — iterative
+  * computation expressed inside the SQL dialect rather than a driver
+  * loop.
+  */
+object SqlTextQueries {
+
+  private val cteSql =
+    """WITH seg AS (
+      |  SELECT c_mktsegment AS segment, avg(c_acctbal) AS avg_bal,
+      |    count(*) AS n_cust
+      |  FROM customer GROUP BY c_mktsegment
+      |)
+      |SELECT segment, n_cust,
+      |  floor(avg_bal * 10000.0 + 0.5) / 10000.0 AS avg_bal_r
+      |FROM seg ORDER BY segment""".stripMargin
+
+  private val recursiveSql =
+    """WITH RECURSIVE t(n) AS (
+      |  SELECT 1
+      |  UNION ALL
+      |  SELECT n + 1 FROM t WHERE n < 25
+      |)
+      |SELECT t.n, n_name FROM t
+      |JOIN nation ON n_nationkey = t.n - 1
+      |ORDER BY t.n""".stripMargin
+
+  private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
+    graft.tools.SqlRunner.register(s, dir)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_cte" -> run(cteSql) _,
+    "q_sql_recursive" -> run(recursiveSql) _)
+
+  /** The oracle SQL IS the executed SQL — one string, two engines. */
+  val oracleSql: Map[String, String] = Map(
+    "q_sql_cte" -> cteSql,
+    "q_sql_recursive" -> recursiveSql)
+}
