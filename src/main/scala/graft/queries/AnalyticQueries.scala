@@ -130,7 +130,9 @@ object AnalyticQueries {
           rnd(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
           rnd(skewness(col("l_quantity")) *
             sqrt(count(lit(1)).cast("double") * (count(lit(1)) - 1).cast("double")) /
-            (count(lit(1)) - 2).cast("double"), 6).as("skew_qty"))
+            (count(lit(1)) - 2).cast("double"), 6).as("skew_qty"),
+          // Spark kurtosis is population excess == DuckDB kurtosis_pop
+          rnd(kurtosis(col("l_quantity")), 6).as("kurt_qty"))
         .orderBy("l_returnflag")),
 
     // ---- linear-regression aggregates (the fit-as-aggregate surface
@@ -337,7 +339,8 @@ object AnalyticQueries {
          |  ${rndSql("var_samp(l_discount)", 6)} AS var_disc,
          |  ${rndSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
          |  ${rndSql("covar_samp(l_quantity, l_discount)", 6)} AS cov_qty_disc,
-         |  ${rndSql("skewness(l_quantity)", 6)} AS skew_qty
+         |  ${rndSql("skewness(l_quantity)", 6)} AS skew_qty,
+         |  ${rndSql("kurtosis_pop(l_quantity)", 6)} AS kurt_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_regression" ->
