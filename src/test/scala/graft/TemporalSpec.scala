@@ -57,6 +57,16 @@ class TemporalSpec extends SparkSpec {
     assert(n <= 2, s"too many exchanges:\n$p")
   }
 
+  test("asOf works when the left side has ONLY key + timestamp columns") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "ts")
+    val r = Seq((1L, 8L, "a"), (1L, 15L, "b"), (2L, 9L, "c")).toDF("k", "rts", "pay")
+    val got = TemporalJoin.asOf(l, r, Seq("k"), "ts", "rts", Seq("rts", "pay"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(3)) null else x.getString(3))).toSet
+    assert(got == Set((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, null)))
+  }
+
   test("bandedRange equals the naive inequality join") {
     val e = evUs
     val l = e.where(col("event_type") === "signup")
