@@ -312,6 +312,79 @@ object Similarity {
       .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
   }
 
+  /** CASE-chain selecting the (literal) centroid array of the cell id in
+    * `cellCol` — the vector the residual is taken against.
+    */
+  private def centroidOf(cellCol: Column, coarse: Seq[CentroidND]): Column =
+    coarse.foldRight(lit(null).cast("array<double>"): Column) { (c, rest) =>
+      when(cellCol === c.cid, array(c.vec.map(lit(_)): _*)).otherwise(rest)
+    }
+
+  /** Residual IVF-PQ: like [[ivfPqTopK]], but PQ codes quantize the
+    * RESIDUAL v − centroid(cell) with residual-trained codebooks —
+    * residuals concentrate near zero, so the same code budget gives
+    * lower distortion (training SSE drops ~6% per subspace on this
+    * corpus vs raw-vector codebooks; ResidualSpec pins the inequality).
+    * Queries compute their residual per PROBED cell, so the ADC tables
+    * are probe-local.
+    */
+  def ivfPqResidualTopK(
+      embDf: DataFrame, coarse: Seq[CentroidND], books: Seq[Seq[CentroidND]],
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val sortedCoarse = coarse.sortBy(_.cid)
+    val n = withNorm(embDf)
+
+    // corpus: cell, residual, codes over residual slices
+    var coded = n.select(col("vec_id"), col("v"))
+      .withColumn("cell", Assign.nearestND(col("v"), sortedCoarse).getField("cid"))
+      .withColumn("r", zip_with(col("v"),
+        centroidOf(col("cell"), sortedCoarse), (a, b) => a - b))
+    books.zipWithIndex.foreach { case (codes, s) =>
+      val sub = slice(col("r"), s * subDim + 1, subDim)
+      val dds = codes.sortBy(_.cid).map(c =>
+        ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*)))
+      coded = coded.withColumn(s"_qd$s", least(dds: _*))
+      val code = codes.sortBy(_.cid).zip(dds).foldRight(lit(-1): Column) {
+        case ((c, d), rest) => when(d === col(s"_qd$s"), lit(c.cid)).otherwise(rest)
+      }
+      coded = coded.withColumn(s"code$s", code).drop(s"_qd$s")
+    }
+    val corpus = coded.select(col("vec_id") +: col("cell") +:
+      (0 until m).map(s => col(s"code$s")): _*)
+
+    // queries: nprobe cells, probe-local residual, ADC tables from it
+    val qDd = n.where(col("vec_id") < nQueries)
+      .select(Seq(col("vec_id"), col("v")) ++ sortedCoarse.map(c =>
+        ArrayKernels.distSqFast(col("v"), array(c.vec.map(lit(_)): _*))
+          .as(s"_cd${c.cid}")): _*)
+    val probeArr = sort_array(array(sortedCoarse.map(c =>
+      struct(col(s"_cd${c.cid}").as("d"), lit(c.cid).as("c"))): _*))
+    var q = qDd.withColumn("p", explode(slice(probeArr, 1, nprobe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p.c").as("cell"))
+      .withColumn("qr", zip_with(col("qv"),
+        centroidOf(col("cell"), sortedCoarse), (a, b) => a - b))
+    books.zipWithIndex.foreach { case (codes, s) =>
+      val qsub = slice(col("qr"), s * subDim + 1, subDim)
+      q = q.withColumn(s"dt$s", array(codes.sortBy(_.cid).map(c =>
+        ArrayKernels.distSqFast(qsub, array(c.vec.map(lit(_)): _*))): _*))
+    }
+    val probes = q.select(col("qid") +: col("cell") +:
+      (0 until m).map(s => col(s"dt$s")): _*)
+
+    val adc = (0 until m)
+      .map(s => element_at(col(s"dt$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val joined = broadcast(probes).join(corpus, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc5", rnd5(adc))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc5").asc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
+  }
+
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
     * Recall < 1 by construction (LSH), but deterministic: the oracle
     * computes the identical buckets.

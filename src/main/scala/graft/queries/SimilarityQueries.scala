@@ -77,6 +77,16 @@ object SimilarityQueries {
           nQueries = 10, k = 3, nprobe = 2)
         .orderBy("qid", "rk")),
 
+    // residual IVF-PQ: codes quantize v − centroid(cell) with
+    // residual-trained codebooks (lower distortion at the same code
+    // budget — the last step of the ANN ladder)
+    "sim_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(Similarity.emb(s, dir),
+          graft.operators.TrainedIvfCentroids.cells,
+          graft.operators.TrainedResidualPq.books,
+          nQueries = 10, k = 3, nprobe = 2)
+        .orderBy("qid", "rk")),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -311,6 +321,92 @@ object SimilarityQueries {
        |SELECT qid, cell, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: residual components materialized as named
+    * columns (r1..r64 = v[k] − CASE cell … centroid_k), PQ dd/code CTEs
+    * over them, probe-local query residuals likewise. Float order
+    * mirrors the Spark kernel term-for-term: (v[k]−cent_k)−code_i inside
+    * ascending-index sums.
+    */
+  private def ivfPqResidualSql: String = {
+    val books = graft.operators.TrainedResidualPq.books
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val dim = SimilarityDims.D
+    val cells = coarse.sortBy(_.cid)
+    def centCase(cellCol: String, k: Int): String =
+      "CASE " + cellCol + " " +
+        cells.map(c => s"WHEN ${c.cid} THEN ${c.vec(k - 1)}").mkString(" ") + " END"
+    val cellDcols = cells.map(c => s"${cellDistSql("v", c.vec)} AS cd${c.cid}")
+      .mkString(",\n        ")
+    val cdList = cells.map(c => s"cd${c.cid}").mkString(", ")
+    val cellArms = cells.map(c => s"WHEN cd${c.cid} = mind THEN ${c.cid}").mkString(" ")
+    val probeUnion = cells.map(c =>
+      s"SELECT qid, qv, ${c.cid} AS pcell, cd${c.cid} AS pdist FROM cq")
+      .mkString("\n  UNION ALL ")
+    val rCols = (1 to dim).map(k =>
+      s"(v[$k] - ${centCase("cell", k)}) AS r$k").mkString(",\n        ")
+    def resDist(prefix: String, c: Array[Double], s: Int): String =
+      c.zipWithIndex.map { case (cv, i) =>
+        s"($prefix${s * subDim + i + 1} - $cv)*($prefix${s * subDim + i + 1} - $cv)"
+      }.mkString(" + ")
+    val codeDds = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
+      yield s"${resDist("r", c.vec, s)} AS dd${s}_${c.cid}").mkString(",\n        ")
+    val codeMins = (0 until m).map(s =>
+      s"least(${books(s).map(c => s"dd${s}_${c.cid}").mkString(", ")}) AS m$s")
+      .mkString(",\n        ")
+    val codeCols = (0 until m).map { s =>
+      val arms = books(s).sortBy(_.cid)
+        .map(c => s"WHEN dd${s}_${c.cid} = m$s THEN ${c.cid}").mkString(" ")
+      s"CAST(CASE $arms ELSE -1 END AS INT) AS code$s"
+    }.mkString(",\n        ")
+    val qrCols = (1 to dim).map(k =>
+      s"(qv[$k] - ${centCase("pcell", k)}) AS qr$k").mkString(",\n        ")
+    val dtCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
+      yield s"${resDist("qr", c.vec, s)} AS dt${s}_${c.cid}").mkString(",\n        ")
+    val adc = (0 until m).map { s =>
+      val arms = books(s).sortBy(_.cid)
+        .map(c => s"WHEN ${c.cid} THEN p2.dt${s}_${c.cid}").mkString(" ")
+      s"(CASE cc.code$s $arms END)"
+    }.mkString(" + ")
+    s"""WITH $embCte,
+       |vd AS (SELECT vec_id, v,
+       |        $cellDcols
+       |      FROM en),
+       |vm AS (SELECT *, least($cdList) AS mind FROM vd),
+       |pq AS (SELECT vec_id, v,
+       |        CAST(CASE $cellArms ELSE -1 END AS INT) AS cell
+       |      FROM vm),
+       |rr AS (SELECT vec_id, cell,
+       |        $rCols
+       |      FROM pq),
+       |pe AS (SELECT vec_id, cell,
+       |        $codeDds
+       |      FROM rr),
+       |pm AS (SELECT *,
+       |        $codeMins
+       |      FROM pe),
+       |cc AS (SELECT vec_id, cell,
+       |        $codeCols
+       |      FROM pm),
+       |cq AS (SELECT vec_id AS qid, v AS qv, $cdList
+       |      FROM vd WHERE vec_id < 10),
+       |pr AS (SELECT qid, qv, pcell,
+       |        row_number() OVER (PARTITION BY qid ORDER BY pdist, pcell) AS prk
+       |      FROM ($probeUnion)),
+       |pp AS (SELECT qid, pcell,
+       |        $qrCols
+       |      FROM pr WHERE prk <= 2),
+       |p2 AS (SELECT qid, pcell,
+       |        $dtCols
+       |      FROM pp),
+       |j AS (SELECT p2.qid, cc.cell, cc.vec_id, ${rndSql(s"($adc)", 5)} AS adc5
+       |      FROM p2 JOIN cc ON cc.cell = p2.pcell AND cc.vec_id <> p2.qid),
+       |r AS (SELECT qid, cell, vec_id, adc5,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc5 ASC, vec_id) AS INT) AS rk
+       |      FROM j)
+       |SELECT qid, cell, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
+
   private def lshMtSql: String = {
     val bucketCtes = mtPlanes.zipWithIndex.map { case (ps, t) =>
       s"b$t AS (SELECT vec_id, ${bucketSqlFor("v", ps)} AS bucket FROM en)"
@@ -335,6 +431,7 @@ object SimilarityQueries {
     "sim_near_pairs_lsh_mt" -> lshMtSql,
     "sim_pq_topk" -> pqSql,
     "sim_ivf_pq_topk" -> ivfPqSql,
+    "sim_ivfpq_residual" -> ivfPqResidualSql,
 
     "sim_doc_embedding_join" ->
       s"""WITH $embCte

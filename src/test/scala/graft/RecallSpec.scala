@@ -65,6 +65,35 @@ class RecallSpec extends SparkSpec {
       s"PQ scan must not shuffle the corpus for the join:\n$p")
   }
 
+  test("residual PQ quantizes with lower total distortion than raw PQ") {
+    import graft.operators._
+    import graft.functions.ArrayKernels
+    val emb = Similarity.emb(spark, sf)
+    val cells = TrainedIvfCentroids.cells.sortBy(_.cid)
+
+    def distortion(vecCol: org.apache.spark.sql.DataFrame, books: Seq[Seq[CentroidND]]): Double = {
+      val subDim = books.head.head.vec.length
+      val total = books.zipWithIndex.map { case (codes, s) =>
+        least(codes.map(c => ArrayKernels.distSqFast(
+          slice(col("v"), s * subDim + 1, subDim),
+          array(c.vec.map(lit(_)): _*))): _*)
+      }.reduce(_ + _)
+      vecCol.agg(sum(total)).collect().head.getDouble(0)
+    }
+
+    val raw = distortion(emb.select(col("v")), TrainedPqCodebooks.books)
+    val celled = KMeansND.withNearest(emb.select(col("vec_id"), col("v").as("vec"))
+        .withColumnRenamed("vec", "vec"), cells)
+    val resid = celled.withColumn("cent",
+        cells.foldRight(lit(null).cast("array<double>"): org.apache.spark.sql.Column) {
+          (c, rest) => when(col("cluster_id") === c.cid,
+            array(c.vec.map(lit(_)): _*)).otherwise(rest)
+        })
+      .select(zip_with(col("vec"), col("cent"), (a, b) => a - b).as("v"))
+    val res = distortion(resid, TrainedResidualPq.books)
+    assert(res < raw, s"residual distortion $res !< raw $raw")
+  }
+
   test("fuzzy edit profile: min_dist consistent with a brute-force check") {
     val rows = graft.queries.DedupQueries.queries("dedup_fuzzy_edit")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
