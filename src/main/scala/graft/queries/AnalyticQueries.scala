@@ -238,6 +238,18 @@ object AnalyticQueries {
         .orderBy("segment")
     }),
 
+    // ---- right outer join (the mirrored null-extension; with q_left_join
+    // every SQL join type is oracle-pinned)
+    "q_right_join" -> ((s, dir) => {
+      val bigCust = Tables.customer(s, dir).where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, dir)
+      bigCust.join(o, bigCust("c_custkey") === o("o_custkey"), "right")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment")
+    }),
+
     // ---- positional explode (UDTF surface): characters with their
     // ordinal; DuckDB twin = unnest of a struct list (WITH ORDINALITY
     // semantics)
@@ -411,6 +423,13 @@ object AnalyticQueries {
          |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
          |           WHERE c_acctbal > 9000) c ON o_custkey = c_custkey
          |GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_right_join" ->
+      """SELECT coalesce(c_mktsegment, '(none)') AS segment, count(*) AS n
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_acctbal > 9000) c
+        |RIGHT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_posexplode" ->
       """WITH t AS (
