@@ -139,4 +139,8 @@ class KMeansSpec extends SparkSpec {
     val df = operators.MLlibFlagship.run(spark, sf)
     assert(df.count() == 10)
   }
+
+  test("SparkEntry.entry smoke: rows > 0 (the driver's exact check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
