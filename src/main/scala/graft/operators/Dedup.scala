@@ -71,9 +71,16 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 3, dfCap: Int = 100, tau: Double = 0.05): DataFrame = {
     val ss = shingles(docs, n).cache()
     val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val rare = ss.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .where(col("df") <= dfCap).drop("df")
+    // Stop-shingle removal as groupBy-df → broadcast anti-join, NOT a
+    // count-over-window: the window form sorts and shuffles every
+    // (doc, shingle) row to find what is by construction a tiny
+    // stop-shingle list; the groupBy is map-side combined (the shuffle
+    // carries one partial count per distinct shingle per partition) and
+    // the anti-join against the broadcast stop list never re-shuffles
+    // the shingle stream at all.
+    val stop = ss.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select(col("sh"))
+    val rare = ss.join(broadcast(stop), Seq("sh"), "left_anti")
     val a = rare.select(col("doc_id").as("doc_a"), col("sh"))
     val b = rare.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
@@ -239,12 +246,20 @@ object Dedup {
     res
   }
 
-  /** 32-bit SimHash per doc over distinct whitespace tokens.
+  /** 64-bit SimHash per doc over distinct whitespace tokens.
     *
     * Bit b of a token's hash = bit of the hex digit at md5 position
-    * 1+b/4, extracted with instr/floor/% integer arithmetic (identical
-    * on both engines); fingerprint bit b = sign of the per-doc sum of
-    * (2·bit−1).
+    * 1+b/4 (the first 16 of md5's 32 hex digits), extracted with
+    * instr/floor/% integer arithmetic (identical on both engines);
+    * fingerprint bit b = sign of the per-doc sum of (2·bit−1).
+    *
+    * 64 bits, not 32: with 32-bit fingerprints over 8-bit LSH blocks the
+    * candidate buckets hold ≤256 distinct keys, and on a low-entropy
+    * corpus same-bucket candidates go quadratic (15k pairs on 5k docs
+    * measured at sf0.1). 16-bit blocks over a 64-bit fingerprint give
+    * 65536 keys per block and an order of magnitude fewer candidates,
+    * while the pigeonhole completeness argument (4 blocks, Ham ≤ 3) is
+    * unchanged.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = spread(docs.select(col("doc_id"), col("text")))
@@ -257,11 +272,14 @@ object Dedup {
     sums.select(col("doc_id"), expr(simhashFpSql).as("fp"))
   }
 
-  /** SUM(±1) aggregate expressions s0..s31 (shared SQL text with the
+  /** Fingerprint width in bits (4 LSH blocks of FpBits/4 each). */
+  val SimhashBits = 64
+
+  /** SUM(±1) aggregate expressions s0..s63 (shared SQL text with the
     * oracle — see DedupQueries).
     */
   private def simhashBitSums: Seq[Column] =
-    (0 until 32).map(b => expr(s"sum(${simhashContribSql(b, "h")})").as(s"s$b"))
+    (0 until SimhashBits).map(b => expr(s"sum(${simhashContribSql(b, "h")})").as(s"s$b"))
 
   /** SQL text for one token's ±1 contribution on bit b. */
   def simhashContribSql(b: Int, h: String): String = {
@@ -270,23 +288,36 @@ object Dedup {
     s"(2 * (CAST(floor((instr('0123456789abcdef', substr($h, $pos, 1)) - 1) / $p.0) AS INT) % 2) - 1)"
   }
 
-  /** SQL text folding s0..s31 into the BIGINT fingerprint. */
+  /** SQL text folding s0..s63 into the BIGINT fingerprint. Bit 63's
+    * weight is Long.MinValue, which neither engine can parse as a
+    * literal (DuckDB promotes 9223372036854775808 to HUGEINT, and a
+    * left shift 1<<63 is an overflow error there) — so it is written as
+    * MaxValue − 1 + (−1)... i.e. `CAST(-9223372036854775807 AS BIGINT)
+    * - 1`, which both engines evaluate to the exact min BIGINT. The
+    * addition chain never overflows: bits 0..62 prefix-sum to at most
+    * 2^63−1 and the (negative) bit-63 term is added last.
+    */
   def simhashFpSql: String =
-    (0 until 32).map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString("(", " + ", ")")
+    (0 until SimhashBits).map {
+      case 63 => "(CASE WHEN s63 > 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE CAST(0 AS BIGINT) END)"
+      case b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
 
-  /** SimHash near-dup pairs at Hamming distance ≤ `maxHam` via byte-block
-    * LSH: the 32-bit fingerprint splits into 4 bytes; any pair within
-    * Hamming 3 must agree EXACTLY on at least one byte (pigeonhole over 4
-    * blocks), so same-(block, byte) candidates + a bit_count(xor) verify
-    * is complete for maxHam ≤ 3 — never a corpus² comparison.
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHam` via block
+    * LSH: the 64-bit fingerprint splits into 4 16-bit blocks; any pair
+    * within Hamming 3 must agree EXACTLY on at least one block
+    * (pigeonhole over 4 blocks), so same-(block, key) candidates + a
+    * bit_count(xor) verify is complete for maxHam ≤ 3 — never a corpus²
+    * comparison. (`>>` on the negative high-bit fingerprint
+    * sign-extends identically on both engines; the & 65535 mask makes
+    * the block key non-negative.)
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
-    require(maxHam <= 3, "byte-block LSH is only complete for maxHam <= 3")
+    require(maxHam <= 3, "4-block LSH is only complete for maxHam <= 3")
     val fp = simhash(docs).cache()
     val blocks = fp.select(col("doc_id"), col("fp"),
       explode(array((0 to 3).map(b =>
-        struct(lit(b).as("b"), expr(s"(fp >> ${8 * b}) & 255").as("k"))): _*)).as("blk"))
+        struct(lit(b).as("b"), expr(s"(fp >> ${16 * b}) & 65535").as("k"))): _*)).as("blk"))
       .select(col("doc_id"), col("fp"), col("blk.b").as("b"), col("blk.k").as("k"))
     val cand = blocks.as("x").join(blocks.as("y"), Seq("b", "k"))
       .where(col("x.doc_id") < col("y.doc_id"))

@@ -122,7 +122,7 @@ object DedupQueries {
 
   /** Shared toks→hs→sums→fp CTE chain for the simhash queries. */
   private def simhashCtes: String = {
-    val sums = (0 until 32).map(b =>
+    val sums = (0 until Dedup.SimhashBits).map(b =>
       s"sum(${Dedup.simhashContribSql(b, "h")}) AS s$b").mkString(",\n        ")
     s"""toks AS (SELECT DISTINCT doc_id, tok FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
@@ -141,7 +141,7 @@ object DedupQueries {
 
   private def simhashHammingSql: String =
     s"""WITH $simhashCtes,
-       |blocks AS (SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS k
+       |blocks AS (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS k
        |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
        |                y.doc_id AS doc_b, y.fp AS fp_b

@@ -64,6 +64,78 @@ object KMeansQueries {
        |      FROM m)""".stripMargin
   }
 
+  /** Unrolled fixed-iteration Lloyd fit (SURVEY §5.1 promise; the
+    * reference's driver loop master.py:352-366): each iteration assigns
+    * against the current centroids, recomputes per-cluster means ROUNDED
+    * at 4dp (the §7.5 cross-engine contract — the rounded double is
+    * bit-identical on both engines when the raw avgs agree at 4dp), and
+    * the K-row result becomes the next iteration's plan literals — the
+    * same driver-resident-centroids shape as KMeansLoop/the reference.
+    */
+  private def unrolledCentroids(s: SparkSession, dir: String, iters: Int): Seq[Centroid2D] = {
+    val pts = Tables.points2d(s, dir).select(col("x"), col("y"))
+    var cs = Centroids.k2d
+    for (_ <- 1 to iters) {
+      cs = Assign.withNearest(pts, cs)
+        .groupBy(col("cluster_id"))
+        .agg(rnd(avg(col("x")), 4).as("cx"), rnd(avg(col("y")), 4).as("cy"))
+        .collect()
+        .map(r => Centroid2D(r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq.sortBy(_.cid)
+    }
+    cs
+  }
+
+  /** SQL twin of the unrolled fit: the centroid collect is replaced by a
+    * group-means CTE pivoted to ONE row (cx0..cy7) and CROSS JOINed back
+    * onto the points — relationally expressing "centroids become next
+    * iteration's constants" without needing a unique point key. An empty
+    * cluster pivots to NULL, its dd_k drops out of least() and the CASE
+    * arm never fires — exactly matching the Spark side, where the cid is
+    * simply absent from the collected literal set.
+    */
+  private def unrolledOracleSql(init: Seq[Centroid2D], iters: Int): String = {
+    val sorted = init.sortBy(_.cid)
+    val cids = sorted.map(_.cid)
+    val leastArgs = cids.map(k => s"dd$k").mkString(", ")
+    val caseArms = cids.map(k => s"WHEN dd$k = dmin THEN $k").mkString(" ")
+    def dCte(i: Int, src: String, cx: Int => String, cy: Int => String): String = {
+      val dcols = cids.map { k =>
+        s"(x - ${cx(k)})*(x - ${cx(k)}) + (y - ${cy(k)})*(y - ${cy(k)}) AS dd$k"
+      }.mkString(",\n        ")
+      s"d$i AS (SELECT x, y,\n        $dcols\n      FROM $src)"
+    }
+    def nCte(i: Int) = s"n$i AS (SELECT *, least($leastArgs) AS dmin FROM d$i)"
+    def aCte(i: Int) =
+      s"a$i AS (SELECT x, y, dmin, CAST(CASE $caseArms ELSE -1 END AS INT) AS cluster_id FROM n$i)"
+    def gCte(i: Int) =
+      s"g$i AS (SELECT cluster_id, ${rndSql("avg(x)", 4)} AS cx, ${rndSql("avg(y)", 4)} AS cy FROM a$i GROUP BY cluster_id)"
+    def wCte(i: Int) = {
+      val cols = cids.flatMap(k => Seq(
+        s"max(CASE WHEN cluster_id = $k THEN cx END) AS cx$k",
+        s"max(CASE WHEN cluster_id = $k THEN cy END) AS cy$k")).mkString(",\n        ")
+      s"w$i AS (SELECT\n        $cols\n      FROM g$i)"
+    }
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "p AS (SELECT l_extendedprice AS x, l_quantity AS y FROM lineitem)")
+    for (i <- 1 to iters + 1) {
+      if (i == 1)
+        ctes += dCte(1, "p",
+          k => Centroids.sqlDouble(sorted.find(_.cid == k).get.cx),
+          k => Centroids.sqlDouble(sorted.find(_.cid == k).get.cy))
+      else
+        ctes += dCte(i, s"p CROSS JOIN w${i - 1}", k => s"cx$k", k => s"cy$k")
+      ctes += nCte(i); ctes += aCte(i)
+      if (i <= iters) { ctes += gCte(i); ctes += wCte(i) }
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT cluster_id, count(*) AS cnt,
+       |       ${rndSql("avg(x)", 4)} AS new_x,
+       |       ${rndSql("avg(y)", 4)} AS new_y,
+       |       ${rndSql("sum(dmin) / 1e9", 2)} AS sse_e9
+       |FROM a${iters + 1} GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1 — scan + projection; Catalyst prunes the parquet scan to 4 cols
     "kmeans_scan_points" -> ((s, dir) =>
@@ -134,6 +206,20 @@ object KMeansQueries {
         .withColumn("cluster_id", Assign.nearestCid1(col("x"), cs))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cnt"), rnd(avg(col("x")), 4).as("new_x"))
+        .orderBy("cluster_id")
+    }),
+
+    // §3.1 — the reference's ONLY real query, oracle-pinned: 2 full Lloyd
+    // iterations unrolled from the seeded literals, then the step stats
+    // (counts, means, SSE) of the resulting model.
+    "kmeans_fit_unrolled" -> ((s, dir) => {
+      val cs = unrolledCentroids(s, dir, iters = 2)
+      Assign.withNearest(Tables.points2d(s, dir).select(col("x"), col("y")), cs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"),
+          rnd(avg(col("x")), 4).as("new_x"),
+          rnd(avg(col("y")), 4).as("new_y"),
+          rnd(sum(col("d2")) / lit(1e9), 2).as("sse_e9"))
         .orderBy("cluster_id")
     }),
 
@@ -210,6 +296,8 @@ object KMeansQueries {
          |SELECT c.cid AS cluster_id, coalesce(g.cnt, 0) AS cnt,
          |       coalesce(g.mx, c.cx) AS new_x, coalesce(g.my, c.cy) AS new_y
          |FROM c LEFT JOIN g ON g.cluster_id = c.cid ORDER BY cluster_id""".stripMargin,
+
+    "kmeans_fit_unrolled" -> unrolledOracleSql(Centroids.k2d, iters = 2),
 
     "kmeans_1d" ->
       s"""${assignCtes1d(Centroids.k1d)}

@@ -21,7 +21,7 @@ object SqlTextQueries {
       |  FROM customer GROUP BY c_mktsegment
       |)
       |SELECT segment, n_cust,
-      |  floor(avg_bal * 10000.0 + 0.5) / 10000.0 AS avg_bal_r
+      |  CAST(floor(avg_bal * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_bal_r
       |FROM seg ORDER BY segment""".stripMargin
 
   private val recursiveSql =
