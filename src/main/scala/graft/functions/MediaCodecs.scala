@@ -1,0 +1,298 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** REAL decoders for two public trivial media formats — binary PPM (P6,
+  * netpbm) and PCM WAV (RIFF) — as native Catalyst expressions.
+  *
+  * This replaces the round-2 decode STUB (the container has no image/
+  * audio codec libraries, but PPM and WAV need none: both are plain
+  * header + payload formats with public specs). The expressions parse
+  * actual bytes — magic, whitespace/comment-tolerant PPM headers,
+  * little-endian RIFF chunk walks — and emit integer digests (dims,
+  * per-channel byte sums) that the DuckDB oracle re-derives from the
+  * fixtures' closed-form pixel generator, so the decode path sits under
+  * the hash gate like any relational operator.
+  *
+  * Codegen: each expression stays inside whole-stage codegen by emitting
+  * a call to a static decode method (the `StaticInvoke` pattern Spark's
+  * own object expressions use) — no iterator boundary, no Dataset
+  * serialization, null-safe on malformed input. At 100 TB the decode
+  * stage is a narrow map over binary columns; bytes never become a
+  * join/shuffle key.
+  */
+object MediaCodecs {
+
+  // ---------- PPM (P6) ----------
+
+  /** Parse one P6 header at `off`: returns (width, height, payloadStart)
+    * or null. Whitespace- and comment-tolerant per the netpbm spec
+    * (`#` to end-of-line inside the header), maxval must be 255 (the
+    * 1-byte-per-sample variant), header ends with exactly one
+    * whitespace byte before the payload.
+    */
+  private def parsePpmHeader(b: Array[Byte], off: Int): Array[Int] = {
+    var i = off
+    def eof = i >= b.length
+    if (i + 2 > b.length || b(i) != 'P' || b(i + 1) != '6') return null
+    i += 2
+    def skipWs(): Boolean = { // whitespace and # comments; false if none
+      var any = false
+      var go = true
+      while (go && !eof) {
+        val c = b(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1; any = true }
+        else if (c == '#') { while (!eof && b(i) != '\n') i += 1; any = true }
+        else go = false
+      }
+      any
+    }
+    def readInt(): Int = {
+      if (eof || b(i) < '0' || b(i) > '9') return -1
+      var v = 0
+      while (!eof && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    if (!skipWs()) return null
+    val w = readInt(); if (w <= 0) return null
+    if (!skipWs()) return null
+    val h = readInt(); if (h <= 0) return null
+    if (!skipWs()) return null
+    val maxval = readInt(); if (maxval != 255) return null
+    if (eof) return null
+    val c = b(i)
+    if (c != ' ' && c != '\t' && c != '\n' && c != '\r') return null
+    i += 1 // exactly ONE whitespace byte separates header from payload
+    if (i + w * h * 3 > b.length) return null
+    Array(w, h, i)
+  }
+
+  /** Decode one P6 image → (w, h, sum_r, sum_g, sum_b) or null. */
+  def decodePpm(bytes: Array[Byte]): InternalRow = {
+    val hd = parsePpmHeader(bytes, 0)
+    if (hd == null) return null
+    val Array(w, h, p) = hd
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val n = w * h
+    var k = 0
+    while (k < n) {
+      val j = p + k * 3
+      sr += bytes(j) & 0xff; sg += bytes(j + 1) & 0xff; sb += bytes(j + 2) & 0xff
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, sr, sg, sb))
+  }
+
+  /** Decode a concatenated-P6 stream ("raw video": successive frames) →
+    * array of (frame_idx, w, h, rgb_sum), or null if byte 0 isn't a
+    * valid frame. Trailing garbage after the last whole frame is
+    * ignored (a real demuxer stops at the first unparseable block).
+    */
+  def decodePpmFrames(bytes: Array[Byte]): ArrayData = {
+    var off = 0
+    var idx = 0
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var hd = parsePpmHeader(bytes, off)
+    if (hd == null) return null
+    while (hd != null) {
+      val Array(w, h, p) = hd
+      var s = 0L
+      val len = w * h * 3
+      var j = p
+      val end = p + len
+      while (j < end) { s += bytes(j) & 0xff; j += 1 }
+      out += new GenericInternalRow(Array[Any](idx, w, h, s))
+      idx += 1
+      off = end
+      hd = if (off >= bytes.length) null else parsePpmHeader(bytes, off)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** REAL 2× nearest-neighbor downsample: decode, sample
+    * out(x,y,c) = in(2x, 2y, c), re-encode as P6. Null on malformed
+    * input or when either output dimension would hit zero.
+    */
+  def resizePpmHalf(bytes: Array[Byte]): Array[Byte] = {
+    val hd = parsePpmHeader(bytes, 0)
+    if (hd == null) return null
+    val Array(w, h, p) = hd
+    val w2 = w / 2; val h2 = h / 2
+    if (w2 == 0 || h2 == 0) return null
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = p + ((2 * y) * w + 2 * x) * 3
+        val dst = header.length + (y * w2 + x) * 3
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---------- WAV (RIFF / PCM) ----------
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    i + 4 <= b.length && b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+
+  /** Decode a PCM WAV → (sample_rate, bits, n_samples, sum_samples) or
+    * null. Walks the RIFF chunk list (fmt before data, unknown chunks
+    * skipped — real files carry LIST/INFO etc.), 8-bit mono PCM
+    * payload summed as unsigned bytes.
+    */
+  def decodeWav(bytes: Array[Byte]): InternalRow = {
+    if (!tag(bytes, 0, "RIFF") || bytes.length < 12 || !tag(bytes, 8, "WAVE")) return null
+    var i = 12
+    var rate = -1; var bits = -1; var channels = -1
+    while (i + 8 <= bytes.length) {
+      val sz = le32(bytes, i + 4)
+      if (sz < 0 || i + 8 + sz > bytes.length) return null
+      if (tag(bytes, i, "fmt ")) {
+        if (sz < 16 || le16(bytes, i + 8) != 1) return null // PCM only
+        channels = le16(bytes, i + 10)
+        rate = le32(bytes, i + 12)
+        bits = le16(bytes, i + 22)
+      } else if (tag(bytes, i, "data")) {
+        if (rate < 0 || bits != 8 || channels != 1) return null
+        var s = 0L
+        var j = i + 8
+        val end = j + sz
+        while (j < end) { s += bytes(j) & 0xff; j += 1 }
+        return new GenericInternalRow(Array[Any](rate, bits, sz, s))
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+    }
+    null
+  }
+
+  // ---------- encoders (fixture synthesis — real container bytes) ----------
+
+  def encodePpm(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    val n = w * h * 3
+    while (j < n) { out(header.length + j) = pix(j).toByte; j += 1 }
+    out
+  }
+
+  /** Canonical 44-byte-header PCM WAV, 8-bit mono. */
+  def encodeWav(rate: Int, samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](44 + n)
+    def putTag(i: Int, t: String): Unit = { var k = 0; while (k < 4) { out(i + k) = t(k).toByte; k += 1 } }
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); put32(4, 36 + n); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, rate); put32(28, rate); put16(32, 1); put16(34, 8)
+    putTag(36, "data"); put32(40, n)
+    System.arraycopy(samples, 0, out, 44, n)
+    out
+  }
+
+  // ---------- Column wrappers ----------
+
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  def ppmDecode(c: Column): Column = toCol(PpmDecodeExpr(toExpr(c)))
+  def ppmFrames(c: Column): Column = toCol(PpmFramesExpr(toExpr(c)))
+  def ppmResizeHalf(c: Column): Column = toCol(PpmResizeExpr(toExpr(c)))
+  def wavDecode(c: Column): Column = toCol(WavDecodeExpr(toExpr(c)))
+
+  val ppmStruct: StructType = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  val frameStruct: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType), StructField("w", IntegerType),
+    StructField("h", IntegerType), StructField("rgb_sum", LongType)))
+
+  val wavStruct: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("bits", IntegerType),
+    StructField("n_samples", IntegerType), StructField("sum_samples", LongType)))
+}
+
+/** Shared shape: unary binary→T decoder that calls a static MediaCodecs
+  * method from generated code and maps a Java null to SQL NULL.
+  */
+abstract class MediaDecodeExpr extends UnaryExpression {
+  /** Fully-qualified static call target, e.g. "decodePpm". */
+  protected def method: String
+  /** Java type of the decode result in generated code. */
+  protected def javaType: String
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ($javaType) graft.functions.MediaCodecs.$method($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+}
+
+case class PpmDecodeExpr(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = MediaCodecs.ppmStruct
+  override def prettyName: String = "graft_ppm_decode"
+  override protected def method: String = "decodePpm"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodePpm(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class PpmFramesExpr(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = ArrayType(MediaCodecs.frameStruct, containsNull = false)
+  override def prettyName: String = "graft_ppm_frames"
+  override protected def method: String = "decodePpmFrames"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodePpmFrames(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class PpmResizeExpr(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_ppm_resize_half"
+  override protected def method: String = "resizePpmHalf"
+  override protected def javaType: String = "byte[]"
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.resizePpmHalf(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class WavDecodeExpr(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = MediaCodecs.wavStruct
+  override def prettyName: String = "graft_wav_decode"
+  override protected def method: String = "decodeWav"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodeWav(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}

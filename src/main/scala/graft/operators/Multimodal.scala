@@ -1,20 +1,25 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.MediaCodecs
 
-/** Multimodal column plumbing (training-data-pipeline extension surface).
+/** Multimodal columns (training-data-pipeline extension surface).
   *
   * Media assets are opaque `binary` columns with typed metadata — the
   * pattern a 100-TB multimodal corpus uses: the bytes stay a black box to
   * the planner (never a join/filter key), metadata columns drive
-  * partition pruning, and decode/feature-extraction runs as batched
-  * per-partition compute so codec state is reused across records.
+  * partition pruning, and decode/feature-extraction runs as a narrow
+  * codegen'd map stage (graft.functions.MediaCodecs — REAL parsers for
+  * the public PPM and WAV formats; no external codec library needed).
   *
-  * The decoders themselves are STUBS (this container has no image/audio
-  * codecs): [[decodeStub]]/[[featureStub]] produce deterministic fakes.
-  * Everything Spark-side — schema, Dataset encoders, batched
-  * mapPartitions shape, frame-sampling explode — is real and tested.
+  * The fixtures carry no real media, so [[synthesizeMedia]] builds
+  * actual container bytes — spec-conformant binary PPM images, PCM WAV
+  * audio, and concatenated-PPM "video" streams — whose payload bytes
+  * follow a closed-form formula of (media_id, index). The decoders never
+  * see the formula (they parse bytes like any file from disk); the
+  * DuckDB oracle re-derives the expected digests from the formula — so
+  * decode, frame demux and resize all sit under the driver's hash gate.
   */
 object Multimodal {
 
@@ -24,118 +29,96 @@ object Multimodal {
       content: Array[Byte],
       meta_len: Int)
 
-  final case class MediaFeatures(
-      media_id: Long,
-      kind: String,
-      n_bytes: Int,
-      width: Int,
-      height: Int,
-      feature: Array[Float])
+  // ---- synthesis formulas (single source of truth; the oracle SQL in
+  // MultimodalQueries mirrors these term for term) ----
+  //   kind  = media_id % 3 → 0 image, 1 audio, 2 video
+  //   image: w = 16+m%33, h = 12+m%17,  pix[j]      = (m·31 + j·7)  % 256
+  //   audio: rate = 8000+(m%5)·1000, n = 256+m%513, s[j] = (m·17 + j·5) % 256
+  //   video: w = 8+m%9, h = 6+m%5, F = 2+m%4, frame f pix[j] = (m·31 + f·13 + j·7) % 256
 
-  final case class Frame(media_id: Long, frame_idx: Int, frame_hash: String)
-
-  /** STUB — stands in for a real image/audio decoder (`???` per the
-    * builder contract): derives fake dimensions deterministically from
-    * the byte content. A real deployment swaps only this function.
-    */
-  def decodeStub(kind: String, content: Array[Byte]): (Int, Int) = {
-    val n = content.length
-    kind match {
-      case "image" => (64 + n % 192, 64 + (n / 7) % 192)
-      case "audio" => (n * 8, 1) // samples × mono
-      case _       => (320, 240)
-    }
-  }
-
-  /** STUB feature extractor: 8-bin byte histogram, L1-normalized —
-    * deterministic, fixed-dim, same shape a real embedding would have.
-    */
-  def featureStub(content: Array[Byte], dim: Int = 8): Array[Float] = {
-    val bins = new Array[Float](dim)
-    var i = 0
-    while (i < content.length) {
-      bins(((content(i) & 0xff) * dim) / 256) += 1f
-      i += 1
-    }
-    val total = math.max(1f, content.length.toFloat)
-    bins.map(_ / total)
-  }
-
-  /** Synthesize a media table from `documents` (the fixtures carry no
-    * real media): bytes = UTF-8 text, kind round-robins by doc_id. The
-    * point is the plumbing, not the pixels.
-    */
-  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+  def synthesizeMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + lit(1)).cast("int")).as("kind"),
-        col("text").cast("binary").as("content"),
-        length(col("text")).as("meta_len"))
-      .as[MediaRecord]
-  }
-
-  /** Batched decode + feature extraction: mapPartitions with explicit
-    * micro-batches (grouped iterator) — the shape that amortizes codec
-    * init; at scale each partition holds many assets and the stage is
-    * narrow (no shuffle).
-    */
-  def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // a real impl would decode the whole batch through one codec
-        batch.map { m =>
-          val (w, h) = decodeStub(m.kind, m.content)
-          MediaFeatures(m.media_id, m.kind, m.content.length, w, h,
-            featureStub(m.content))
-        }
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { m =>
+      val bytes = (m % 3) match {
+        case 0 =>
+          val w = (16 + m % 33).toInt; val h = (12 + m % 17).toInt
+          MediaCodecs.encodePpm(w, h, j => ((m * 31 + j * 7) % 256).toInt)
+        case 1 =>
+          val rate = (8000 + (m % 5) * 1000).toInt
+          val n = (256 + m % 513).toInt
+          MediaCodecs.encodeWav(rate,
+            Array.tabulate(n)(j => ((m * 17 + j * 5) % 256).toByte))
+        case _ =>
+          val w = (8 + m % 9).toInt; val h = (6 + m % 5).toInt
+          val f = (2 + m % 4).toInt
+          (0 until f).toArray.flatMap(fi =>
+            MediaCodecs.encodePpm(w, h, j => ((m * 31 + fi * 13 + j * 7) % 256).toInt))
       }
+      val kind = (m % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      MediaRecord(m, kind, bytes, bytes.length)
     }
   }
 
-  /** STUB resize: deterministic decimation of the byte stream to
-    * `targetLen` bytes (stands in for image resampling — a real impl
-    * decodes, resizes, re-encodes). Keeps the map-shaped contract:
-    * binary in → smaller binary out, metadata updated.
+  /** Per-kind feature extraction over real decoded bytes, normalized to
+    * one schema:
+    *   image: d1=w, d2=h, n_units=pixels, s0/s1/s2 = channel byte sums
+    *   audio: d1=sample_rate, d2=bits, n_units=samples, s0 = sample sum
+    *   video: d1=w, d2=h, n_units=frames, s0 = total rgb sum
+    * All-integer digests — exact cross-engine, no float rounding. Each
+    * branch stages the decoded struct as a named column so the decoder
+    * runs once per row (CollapseProject keeps the stage split; see the
+    * Assign.withNearest planning note).
     */
-  def resizeStub(content: Array[Byte], targetLen: Int): Array[Byte] = {
-    if (content.length <= targetLen) content
-    else {
-      val out = new Array[Byte](targetLen)
-      var i = 0
-      while (i < targetLen) {
-        out(i) = content((i.toLong * content.length / targetLen).toInt)
-        i += 1
-      }
-      out
-    }
+  def features(media: DataFrame): DataFrame = {
+    val img = media.where(col("kind") === "image")
+      .withColumn("d", MediaCodecs.ppmDecode(col("content")))
+      .select(col("media_id"), col("kind"),
+        octet_length(col("content")).as("n_bytes"),
+        col("d.w").as("d1"), col("d.h").as("d2"),
+        (col("d.w") * col("d.h")).as("n_units"),
+        col("d.sum_r").as("s0"), col("d.sum_g").as("s1"), col("d.sum_b").as("s2"))
+    val aud = media.where(col("kind") === "audio")
+      .withColumn("d", MediaCodecs.wavDecode(col("content")))
+      .select(col("media_id"), col("kind"),
+        octet_length(col("content")).as("n_bytes"),
+        col("d.sample_rate").as("d1"), col("d.bits").as("d2"),
+        col("d.n_samples").as("n_units"),
+        col("d.sum_samples").as("s0"), lit(0L).as("s1"), lit(0L).as("s2"))
+    val vid = media.where(col("kind") === "video")
+      .withColumn("fs", MediaCodecs.ppmFrames(col("content")))
+      .select(col("media_id"), col("kind"),
+        octet_length(col("content")).as("n_bytes"),
+        element_at(col("fs"), 1).getField("w").as("d1"),
+        element_at(col("fs"), 1).getField("h").as("d2"),
+        size(col("fs")).as("n_units"),
+        aggregate(col("fs"), lit(0L), (acc, f) => acc + f.getField("rgb_sum")).as("s0"),
+        lit(0L).as("s1"), lit(0L).as("s2"))
+    img.unionAll(aud).unionAll(vid)
   }
 
-  /** Batched resize over media records (same mapPartitions shape as
-    * extractFeatures).
+  /** Frame demux: one row per decoded video frame (real successive-PPM
+    * parsing — the explode-shaped transform a video pipeline needs).
     */
-  def resize(ds: Dataset[MediaRecord], targetLen: Int): Dataset[MediaRecord] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(m =>
-      m.copy(content = resizeStub(m.content, targetLen),
-        meta_len = math.min(m.meta_len, targetLen))))
-  }
+  def frames(media: DataFrame): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(MediaCodecs.ppmFrames(col("content"))).as("f"))
+      .select(col("media_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.w").as("w"), col("f.h").as("h"), col("f.rgb_sum").as("rgb_sum"))
 
-  /** Frame sampling for `video` records: every `stride` bytes becomes a
-    * "frame" (stub for keyframe extraction); one output row per sampled
-    * frame — the explode-shaped transform a video pipeline needs.
+  /** Real 2× image downsample: binary in → re-encoded smaller binary out
+    * (MediaCodecs.resizePpmHalf), digested by re-decoding the output —
+    * the resized artifact itself is a valid PPM any external tool could
+    * read.
     */
-  def frameSample(ds: Dataset[MediaRecord], stride: Int = 64): Dataset[Frame] = {
-    import ds.sparkSession.implicits._
-    ds.filter(_.kind == "video").flatMap { m =>
-      m.content.grouped(stride).zipWithIndex.map { case (chunk, i) =>
-        Frame(m.media_id, i, java.security.MessageDigest.getInstance("MD5")
-          .digest(chunk).map("%02x".format(_)).mkString)
-      }
-    }
-  }
+  def resizeHalf(media: DataFrame): DataFrame =
+    media.where(col("kind") === "image")
+      .withColumn("rz", MediaCodecs.ppmResizeHalf(col("content")))
+      .withColumn("d", MediaCodecs.ppmDecode(col("rz")))
+      .select(col("media_id"),
+        octet_length(col("rz")).as("n_bytes"),
+        col("d.w").as("w2"), col("d.h").as("h2"),
+        col("d.sum_r").as("s0"), col("d.sum_g").as("s1"), col("d.sum_b").as("s2"))
 
   /** Metadata-only view — pure SQL functions, oracle-checkable: at scale
     * this is the query that runs WITHOUT touching the media bytes.

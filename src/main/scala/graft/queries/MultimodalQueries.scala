@@ -4,50 +4,113 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Multimodal plumbing queries. `mm_meta` is oracle-checked (pure SQL
-  * metadata, never touches media bytes — the 100-TB fast path);
-  * `mm_features` / `mm_frames` exercise the batched mapPartitions decode
-  * stub and frame-sampling explode (rows-only check; the decode is a
-  * deterministic fake, see Multimodal scaladoc).
+/** Multimodal queries — ALL oracle-checked as of round 3.
+  *
+  * The Spark side decodes REAL container bytes (binary PPM / PCM WAV /
+  * concatenated-PPM video, built by Multimodal.synthesizeMedia and
+  * parsed by graft.functions.MediaCodecs). The oracle never decodes:
+  * it re-derives the expected integer digests from the synthesis
+  * formulas (see Multimodal scaladoc) with generate_series arithmetic.
+  * A decoder bug — header walk, channel order, frame demux, resample
+  * indexing — breaks the hash compare; every digest is exact integer
+  * math, so there is no float-rounding slack anywhere in this family.
+  *
+  * `mm_meta` stays the metadata-only fast path (never touches bytes).
   */
 object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.synthesizeMedia(s, dir).toDF()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(s, dir).orderBy("media_id")),
 
-    // NOTE: the query output carries scalar DIGESTS of the feature
-    // vector, not the raw array — the driver's compare sorts the output
-    // by every column and cannot sort array cells. The full Array[Float]
-    // pipeline still runs (digests are computed FROM it).
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
-        .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"),
-          size(col("feature")).as("feat_dim"),
-          round(aggregate(col("feature"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")) * 1e6).cast("long").as("feat_l1_1e6"),
-          round(array_max(col("feature")).cast("double") * 1e6).cast("long")
-            .as("feat_max_1e6"))
-        .orderBy("media_id")),
+      Multimodal.features(media(s, dir)).orderBy("media_id")),
 
     "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.mediaFromDocuments(s, dir))
-        .toDF()
-        .groupBy(col("media_id"))
-        .agg(count(lit(1)).as("n_frames"), min(col("frame_hash")).as("first_hash"))
-        .orderBy("media_id")),
+      Multimodal.frames(media(s, dir)).orderBy("media_id", "frame_idx")),
 
-    // batched resize pass (stub decimation — the binary-in/binary-out
-    // map shape; rows-only like the other stub-decode paths)
     "mm_resize" -> ((s, dir) =>
-      Multimodal.resize(Multimodal.mediaFromDocuments(s, dir), targetLen = 64)
-        .toDF()
-        .select(col("media_id"), col("kind"),
-          octet_length(col("content")).as("resized_len"),
-          md5(col("content")).as("resized_md5"), col("meta_len"))
-        .orderBy("media_id")))
+      Multimodal.resizeHalf(media(s, dir)).orderBy("media_id")))
+
+  /** Shared CTE prefix: per-kind dimension formulas (mirror
+    * Multimodal.synthesizeMedia term for term).
+    */
+  private val dims =
+    """m AS (SELECT doc_id AS media_id FROM documents),
+      |img AS (SELECT media_id, CAST(16 + media_id % 33 AS INT) AS w,
+      |               CAST(12 + media_id % 17 AS INT) AS h
+      |        FROM m WHERE media_id % 3 = 0),
+      |vid AS (SELECT media_id, CAST(8 + media_id % 9 AS INT) AS w,
+      |               CAST(6 + media_id % 5 AS INT) AS h,
+      |               CAST(2 + media_id % 4 AS INT) AS f
+      |        FROM m WHERE media_id % 3 = 2)""".stripMargin
+
+  private val featuresSql =
+    s"""WITH $dims,
+       |ipx AS (SELECT media_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS j FROM img),
+       |iagg AS (SELECT media_id, w, h,
+       |    CAST(sum(CASE WHEN j % 3 = 0 THEN (media_id*31 + j*7) % 256 ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN j % 3 = 1 THEN (media_id*31 + j*7) % 256 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN j % 3 = 2 THEN (media_id*31 + j*7) % 256 ELSE 0 END) AS BIGINT) AS s2
+       |  FROM ipx GROUP BY media_id, w, h),
+       |aud AS (SELECT media_id, CAST(8000 + (media_id % 5) * 1000 AS INT) AS rate,
+       |               CAST(256 + media_id % 513 AS INT) AS n
+       |        FROM m WHERE media_id % 3 = 1),
+       |apx AS (SELECT media_id, rate, n, unnest(generate_series(0, n - 1)) AS j FROM aud),
+       |aagg AS (SELECT media_id, rate, n,
+       |    CAST(sum((media_id*17 + j*5) % 256) AS BIGINT) AS s0
+       |  FROM apx GROUP BY media_id, rate, n),
+       |vfr AS (SELECT media_id, w, h, f, unnest(generate_series(0, f - 1)) AS fi FROM vid),
+       |vpx AS (SELECT media_id, w, h, f, fi, unnest(generate_series(0, w*h*3 - 1)) AS j FROM vfr),
+       |vagg AS (SELECT media_id, w, h, f,
+       |    CAST(sum((media_id*31 + fi*13 + j*7) % 256) AS BIGINT) AS s0
+       |  FROM vpx GROUP BY media_id, w, h, f)
+       |SELECT media_id, 'image' AS kind,
+       |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3 AS INT) AS n_bytes,
+       |  w AS d1, h AS d2, CAST(w*h AS INT) AS n_units, s0, s1, s2 FROM iagg
+       |UNION ALL
+       |SELECT media_id, 'audio' AS kind, CAST(44 + n AS INT) AS n_bytes,
+       |  rate AS d1, CAST(8 AS INT) AS d2, n AS n_units, s0,
+       |  CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2 FROM aagg
+       |UNION ALL
+       |SELECT media_id, 'video' AS kind,
+       |  CAST(f * (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3) AS INT) AS n_bytes,
+       |  w AS d1, h AS d2, f AS n_units, s0,
+       |  CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2 FROM vagg
+       |ORDER BY media_id""".stripMargin
+
+  private val framesSql =
+    s"""WITH $dims,
+       |vfr AS (SELECT media_id, w, h, f, unnest(generate_series(0, f - 1)) AS fi FROM vid),
+       |vpx AS (SELECT media_id, w, h, fi, unnest(generate_series(0, w*h*3 - 1)) AS j FROM vfr)
+       |SELECT media_id, CAST(fi AS INT) AS frame_idx, w, h,
+       |  CAST(sum((media_id*31 + fi*13 + j*7) % 256) AS BIGINT) AS rgb_sum
+       |FROM vpx GROUP BY media_id, fi, w, h
+       |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Resized pixel (x,y,c) samples source index ((2y)·w + 2x)·3 + c —
+    * the exact index arithmetic of MediaCodecs.resizePpmHalf, replayed
+    * over the generator formula instead of the bytes.
+    */
+  private val resizeSql =
+    s"""WITH $dims,
+       |rs AS (SELECT media_id, w, CAST(w // 2 AS INT) AS w2, CAST(h // 2 AS INT) AS h2 FROM img),
+       |rpx AS (SELECT media_id, w, w2, h2, unnest(generate_series(0, w2*h2*3 - 1)) AS k FROM rs),
+       |rv AS (SELECT media_id, w2, h2, k,
+       |    (media_id*31 + ((((k // 3) // w2) * 2 * w + ((k // 3) % w2) * 2) * 3 + k % 3) * 7) % 256 AS v
+       |  FROM rpx),
+       |ragg AS (SELECT media_id, w2, h2,
+       |    CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS s2
+       |  FROM rv GROUP BY media_id, w2, h2)
+       |SELECT media_id,
+       |  CAST(9 + length(CAST(w2 AS VARCHAR)) + length(CAST(h2 AS VARCHAR)) + w2*h2*3 AS INT) AS n_bytes,
+       |  w2, h2, s0, s1, s2
+       |FROM ragg ORDER BY media_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "mm_meta" ->
@@ -55,5 +118,8 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS content_hash,
         |  lower(hex(substr(text, 1, 4))) AS magic
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_features" -> featuresSql,
+    "mm_frames" -> framesSql,
+    "mm_resize" -> resizeSql)
 }

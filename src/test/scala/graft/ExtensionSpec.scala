@@ -110,25 +110,30 @@ class ExtensionSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
   }
 
-  test("multimodal: batched feature extraction preserves rows and shapes") {
-    val media = Multimodal.mediaFromDocuments(spark, sf)
+  test("multimodal: real decode covers every synthesized record") {
+    val media = Multimodal.synthesizeMedia(spark, sf).toDF()
     val n = media.count()
-    val feats = Multimodal.extractFeatures(media, batchSize = 32).collect()
-    assert(feats.length == n)
-    assert(feats.forall(_.feature.length == 8))
-    assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
-    val frames = Multimodal.frameSample(media, stride = 64)
+    val feats = Multimodal.features(media)
+    // every record decodes (no NULL digests — a parse failure would
+    // surface as nulls in d1/s0)
+    assert(feats.count() == n)
+    assert(feats.where(col("d1").isNull || col("s0").isNull).count() == 0)
+    val frames = Multimodal.frames(media)
     assert(frames.count() > 0)
   }
 
-  test("multimodal resize: deterministic decimation preserves count, caps size") {
-    val media = Multimodal.mediaFromDocuments(spark, sf)
-    val resized = Multimodal.resize(media, targetLen = 32).collect()
-    assert(resized.length == media.count())
-    assert(resized.forall(_.content.length <= 32))
-    // deterministic: same input -> same bytes
-    val again = Multimodal.resize(media, targetLen = 32).collect()
-    assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  test("multimodal resize: decoded output dims are half the input dims") {
+    val media = Multimodal.synthesizeMedia(spark, sf).toDF()
+    val in = media.where(col("kind") === "image")
+      .withColumn("d", graft.functions.MediaCodecs.ppmDecode(col("content")))
+      .select(col("media_id"), col("d.w").as("w"), col("d.h").as("h"))
+    val out = Multimodal.resizeHalf(media)
+    val joined = in.join(out, "media_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getInt(r.fieldIndex("w2")) == r.getInt(r.fieldIndex("w")) / 2)
+      assert(r.getInt(r.fieldIndex("h2")) == r.getInt(r.fieldIndex("h")) / 2)
+    }
   }
 
   test("MLlib MinHashLSH agrees with our LSH on the strongest near-dups") {
