@@ -312,6 +312,91 @@ object Similarity {
       .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
   }
 
+  /** Broadcast-model IVF+PQ — the PRODUCTION shape of [[ivfPqTopK]].
+    *
+    * The literal form inlines centroids/codebooks into the plan (CASE
+    * chains + literal arrays): ideal for the oracle and fine at demo
+    * sizes, but at production nlist ≥ 1024 the inlined argmin blows up
+    * analysis/codegen (measured ~1.3 s planning per inlined K=8 argmin
+    * — see the build playbook). Here the model is DATA, not plan:
+    *
+    *  - one tiny model table (s = −1 rows: coarse cells, distance over
+    *    the full vector; s ≥ 0 rows: subspace codebooks, distance over
+    *    the s-th slice) broadcast once;
+    *  - corpus cell + M codes from ONE broadcast join + ONE
+    *    map-side-combined groupBy: `min(struct(d, id))` is the strict-<
+    *    lowest-id argmin, partial-aggregated to one row per vector
+    *    before the (corpus-sized) shuffle;
+    *  - per-query ADC tables assembled with array_sort(collect_list),
+    *    probe cells by row_number over the broadcast cell table.
+    *
+    * Plan size is now independent of nlist/M·K, and the output is
+    * bit-identical to [[ivfPqTopK]] (same distance kernels over the
+    * same doubles, same tie-breaks, same ADC summation order) — pinned
+    * by RecallSpec and by sharing the literal form's oracle SQL.
+    */
+  def ivfPqTopKBroadcast(
+      embDf: DataFrame, coarse: Seq[CentroidND], books: Seq[Seq[CentroidND]],
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = embDf.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val model = (coarse.sortBy(_.cid).map(c => (-1, c.cid, c.vec.toSeq)) ++
+      (for { s <- books.indices; c <- books(s).sortBy(_.cid) }
+        yield (s, c.cid, c.vec.toSeq))).toDF("s", "mcid", "mvec")
+
+    val n = embDf.select(col("vec_id"), col("v"))
+    val dist = when(col("s") === -1,
+        ArrayKernels.distSqFast(col("v"), col("mvec")))
+      .otherwise(ArrayKernels.distSqFast(
+        slice(col("v"), col("s") * lit(subDim) + lit(1), lit(subDim)), col("mvec")))
+    val corpus = n.crossJoin(broadcast(model)).withColumn("d", dist)
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("s") === -1, struct(col("d"), col("mcid"))))
+          .getField("mcid").as("cell"),
+        (0 until m).map(s =>
+          min(when(col("s") === s, struct(col("d"), col("mcid"))))
+            .getField("mcid").as(s"code$s")): _*)
+
+    val q = n.where(col("vec_id") < nQueries)
+    val cellsDf = model.where(col("s") === -1)
+      .select(col("mcid").as("pcell"), col("mvec").as("cvec"))
+    val probes = q.crossJoin(broadcast(cellsDf))
+      .withColumn("cd", ArrayKernels.distSqFast(col("v"), col("cvec")))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cd"), col("pcell"))))
+      .where(col("prk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("pcell").as("cell"))
+    val bookDf = model.where(col("s") >= 0)
+    val dts = q.crossJoin(broadcast(bookDf))
+      .withColumn("dt", ArrayKernels.distSqFast(
+        slice(col("v"), col("s") * lit(subDim) + lit(1), lit(subDim)), col("mvec")))
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(
+          when(col("s") === 0, struct(col("mcid"), col("dt"))))),
+          e => e.getField("dt")).as("dt0"),
+        (1 until m).map(s =>
+          transform(array_sort(collect_list(
+            when(col("s") === s, struct(col("mcid"), col("dt"))))),
+            e => e.getField("dt")).as(s"dt$s")): _*)
+      .withColumnRenamed("vec_id", "qid")
+    val queries = probes.join(dts, "qid")
+
+    val adc = (0 until m)
+      .map(s => element_at(col(s"dt$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val joined = broadcast(queries).join(corpus, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc5", rnd5(adc))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc5").asc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
+  }
+
   /** CASE-chain selecting the (literal) centroid array of the cell id in
     * `cellCol` — the vector the residual is taken against.
     */

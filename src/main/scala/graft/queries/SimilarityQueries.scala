@@ -77,6 +77,16 @@ object SimilarityQueries {
           nQueries = 10, k = 3, nprobe = 2)
         .orderBy("qid", "rk")),
 
+    // broadcast-model IVF+PQ: same answer as sim_ivf_pq_topk (shares its
+    // oracle SQL) but the centroids/codebooks are a broadcast TABLE, not
+    // plan literals — the shape that still plans at nlist >= 1024
+    "sim_ivf_pq_bt" -> ((s, dir) =>
+      Similarity.ivfPqTopKBroadcast(Similarity.emb(s, dir),
+          graft.operators.TrainedIvfCentroids.cells,
+          graft.operators.TrainedPqCodebooks.books,
+          nQueries = 10, k = 3, nprobe = 2)
+        .orderBy("qid", "rk")),
+
     // residual IVF-PQ: codes quantize v − centroid(cell) with
     // residual-trained codebooks (lower distortion at the same code
     // budget — the last step of the ANN ladder)
@@ -431,6 +441,9 @@ object SimilarityQueries {
     "sim_near_pairs_lsh_mt" -> lshMtSql,
     "sim_pq_topk" -> pqSql,
     "sim_ivf_pq_topk" -> ivfPqSql,
+    // the broadcast-table form computes the identical result, so the
+    // literal form's oracle pins it too
+    "sim_ivf_pq_bt" -> ivfPqSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
 
     "sim_doc_embedding_join" ->

@@ -65,6 +65,23 @@ class RecallSpec extends SparkSpec {
       s"PQ scan must not shuffle the corpus for the join:\n$p")
   }
 
+  test("broadcast-model IVF+PQ matches the literal form exactly, with no literal model in the plan") {
+    import graft.operators.{TrainedIvfCentroids, TrainedPqCodebooks}
+    val lit = q("sim_ivf_pq_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val bt = q("sim_ivf_pq_bt").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(lit.nonEmpty)
+    assert(lit.toSeq == bt.toSeq, "broadcast-table IVF+PQ diverged from the literal form")
+    // the model rides in a LocalRelation, not in expression literals: a
+    // centroid component must appear in the literal plan but NOT in the
+    // broadcast-table plan
+    val marker = TrainedIvfCentroids.cells.head.vec.head.toString
+    assert(plan(q("sim_ivf_pq_topk")).contains(marker))
+    assert(!plan(q("sim_ivf_pq_bt")).contains(marker),
+      "broadcast-table plan still inlines centroid literals")
+  }
+
   test("residual PQ quantizes with lower total distortion than raw PQ") {
     import graft.operators._
     import graft.functions.ArrayKernels
