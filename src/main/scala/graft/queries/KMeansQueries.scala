@@ -16,6 +16,9 @@ import graft.queries.QueryHelpers._
   */
 object KMeansQueries {
 
+  /** Seed for the Rerandomize-repair pin (two draws — one empty cluster). */
+  private val RerandSeed = 77L
+
   private def assigned2d(spark: SparkSession, sfDir: String, cs: Seq[Centroid2D]): DataFrame =
     Assign.withNearest(Tables.points2d(spark, sfDir), cs)
 
@@ -198,6 +201,25 @@ object KMeansQueries {
         .orderBy("cluster_id")
     }),
 
+    // A5 — Rerandomize repair policy (master.py:265-271) under the hash
+    // gate: k2dWithEmpty guarantees EXACTLY ONE empty cluster (cid 8 sits
+    // at 1e9, outside any data box at any SF), so the seeded draw
+    // sequence is two nextDouble() calls whose values are inlined as
+    // literals into the oracle; the bounding box is exact min/max —
+    // order-independent, so bit-identical cross-engine.
+    "kmeans_repair_rerandomize" -> ((s, dir) => {
+      import s.implicits._
+      val cs = Centroids.k2dWithEmpty
+      val assigned = Assign.withNearest(
+        Tables.points2d(s, dir).select(col("x"), col("y")), cs)
+      val repaired = Recenter.recenter(s, assigned, cs,
+        Recenter.RepairPolicy.Rerandomize(seed = RerandSeed))
+      repaired.toDF()
+        .select(col("cid").as("cluster_id"),
+          rnd(col("cx"), 4).as("new_x"), rnd(col("cy"), 4).as("new_y"))
+        .orderBy("cluster_id")
+    }),
+
     // 1-D variant (sequential-kmeans.py oracle shape, correct argmin —
     // SURVEY §3.2 documented divergence)
     "kmeans_1d" -> ((s, dir) => {
@@ -298,6 +320,21 @@ object KMeansQueries {
          |FROM c LEFT JOIN g ON g.cluster_id = c.cid ORDER BY cluster_id""".stripMargin,
 
     "kmeans_fit_unrolled" -> unrolledOracleSql(Centroids.k2d, iters = 2),
+
+    "kmeans_repair_rerandomize" -> {
+      val r = new java.util.Random(RerandSeed)
+      val u1 = Centroids.sqlDouble(r.nextDouble())
+      val u2 = Centroids.sqlDouble(r.nextDouble())
+      s"""${assignCtes(Centroids.k2dWithEmpty)},
+         |bb AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM p),
+         |c AS (SELECT * FROM ${Centroids.sql2d(Centroids.k2dWithEmpty)}),
+         |g AS (SELECT cluster_id, avg(x) AS mx, avg(y) AS my FROM a GROUP BY cluster_id)
+         |SELECT c.cid AS cluster_id,
+         |       ${rndSql("coalesce(g.mx, bb.xlo + " + u1 + " * (bb.xhi - bb.xlo))", 4)} AS new_x,
+         |       ${rndSql("coalesce(g.my, bb.ylo + " + u2 + " * (bb.yhi - bb.ylo))", 4)} AS new_y
+         |FROM c CROSS JOIN bb LEFT JOIN g ON g.cluster_id = c.cid
+         |ORDER BY cluster_id""".stripMargin
+    },
 
     "kmeans_1d" ->
       s"""${assignCtes1d(Centroids.k1d)}
