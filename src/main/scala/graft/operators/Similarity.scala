@@ -470,6 +470,84 @@ object Similarity {
       .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
   }
 
+  /** Broadcast-model RESIDUAL IVF-PQ — the production shape of
+    * [[ivfPqResidualTopK]]. The literal residual form is the worst
+    * planning offender in the ladder: centroidOf() inlines a CASE chain
+    * per vector COMPONENT (64 × nlist literals). Here the cell's
+    * centroid vector arrives by broadcast join and the residual is one
+    * zip_with; codes/ADC work exactly as [[ivfPqTopKBroadcast]] but over
+    * residual slices. Output is bit-identical to the literal form
+    * (RecallSpec) and shares its oracle SQL.
+    */
+  def ivfPqResidualTopKBroadcast(
+      embDf: DataFrame, coarse: Seq[CentroidND], books: Seq[Seq[CentroidND]],
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = embDf.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val cellsDf = coarse.sortBy(_.cid).map(c => (c.cid, c.vec.toSeq))
+      .toDF("ccid", "cvec")
+    val bookDf = (for { s <- books.indices; c <- books(s).sortBy(_.cid) }
+      yield (s, c.cid, c.vec.toSeq)).toDF("s", "bcid", "bvec")
+
+    val n = embDf.select(col("vec_id"), col("v"))
+    // cell = broadcast-join argmin; keep the winning centroid VECTOR in
+    // the same min(struct) so the residual needs no second join
+    val celled = n.crossJoin(broadcast(cellsDf))
+      .withColumn("cd", ArrayKernels.distSqFast(col("v"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd"), col("ccid"), col("cvec"))).as("mc"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("mc.ccid").as("cell"),
+        zip_with(col("v"), col("mc.cvec"), (a, b) => a - b).as("r"))
+    // codes over residual slices: one broadcast join + one combined agg
+    val corpus = celled.crossJoin(broadcast(bookDf))
+      .withColumn("dd", ArrayKernels.distSqFast(
+        slice(col("r"), col("s") * lit(subDim) + lit(1), lit(subDim)), col("bvec")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(
+        min(when(col("s") === 0, struct(col("dd"), col("bcid"))))
+          .getField("bcid").as("code0"),
+        (1 until m).map(s =>
+          min(when(col("s") === s, struct(col("dd"), col("bcid"))))
+            .getField("bcid").as(s"code$s")): _*)
+
+    // queries: nprobe cells by row_number, probe-local residual from the
+    // probed cell's broadcast centroid, ADC tables over it
+    val q = n.where(col("vec_id") < nQueries)
+    val probes = q.crossJoin(broadcast(cellsDf))
+      .withColumn("cd", ArrayKernels.distSqFast(col("v"), col("cvec")))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cd"), col("ccid"))))
+      .where(col("prk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("ccid").as("cell"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("qr"))
+    val queries = probes.crossJoin(broadcast(bookDf))
+      .withColumn("dt", ArrayKernels.distSqFast(
+        slice(col("qr"), col("s") * lit(subDim) + lit(1), lit(subDim)), col("bvec")))
+      .groupBy(col("qid"), col("cell"))
+      .agg(
+        transform(array_sort(collect_list(
+          when(col("s") === 0, struct(col("bcid"), col("dt"))))),
+          e => e.getField("dt")).as("dt0"),
+        (1 until m).map(s =>
+          transform(array_sort(collect_list(
+            when(col("s") === s, struct(col("bcid"), col("dt"))))),
+            e => e.getField("dt")).as(s"dt$s")): _*)
+
+    val adc = (0 until m)
+      .map(s => element_at(col(s"dt$s"), col(s"code$s") + 1))
+      .reduce(_ + _)
+    val joined = broadcast(queries).join(corpus, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc5", rnd5(adc))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc5").asc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
+  }
+
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
     * Recall < 1 by construction (LSH), but deterministic: the oracle
     * computes the identical buckets.

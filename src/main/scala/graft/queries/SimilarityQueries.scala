@@ -97,6 +97,18 @@ object SimilarityQueries {
           nQueries = 10, k = 3, nprobe = 2)
         .orderBy("qid", "rk")),
 
+    // broadcast-model residual IVF-PQ: same answer as sim_ivfpq_residual
+    // (shares its oracle), centroids/codebooks as broadcast tables and
+    // the residual via zip_with against the joined centroid vector —
+    // the literal form's worst planning cost (a CASE chain per vector
+    // component) gone
+    "sim_ivfpq_residual_bt" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopKBroadcast(Similarity.emb(s, dir),
+          graft.operators.TrainedIvfCentroids.cells,
+          graft.operators.TrainedResidualPq.books,
+          nQueries = 10, k = 3, nprobe = 2)
+        .orderBy("qid", "rk")),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -445,6 +457,7 @@ object SimilarityQueries {
     // literal form's oracle pins it too
     "sim_ivf_pq_bt" -> ivfPqSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
+    "sim_ivfpq_residual_bt" -> ivfPqResidualSql,
 
     "sim_doc_embedding_join" ->
       s"""WITH $embCte

@@ -82,6 +82,17 @@ class RecallSpec extends SparkSpec {
       "broadcast-table plan still inlines centroid literals")
   }
 
+  test("broadcast-model residual IVF-PQ matches the literal residual form exactly") {
+    val lit = q("sim_ivfpq_residual").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val bt = q("sim_ivfpq_residual_bt").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(lit.nonEmpty && lit.toSeq == bt.toSeq)
+    val marker = graft.operators.TrainedResidualPq.books.head.head.vec.head.toString
+    assert(!plan(q("sim_ivfpq_residual_bt")).contains(marker),
+      "broadcast-table residual plan still inlines codebook literals")
+  }
+
   test("residual PQ quantizes with lower total distortion than raw PQ") {
     import graft.operators._
     import graft.functions.ArrayKernels
