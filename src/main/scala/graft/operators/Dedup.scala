@@ -261,7 +261,19 @@ object Dedup {
     * while the pigeonhole completeness argument (4 blocks, Ham ≤ 3) is
     * unchanged.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.SimhashKernel.simhashFast(lower(col("text"))).as("fp"))
+      .where(col("fp").isNotNull)
+
+  /** Expression-form twin of [[simhash]] — token explode + 64-sum
+    * aggregate whose SQL text is shared with the oracle verbatim. Kept
+    * as the cross-check anchor (KernelSpec pins kernel ≡ expression);
+    * the kernel is the default because this form shuffles every
+    * (doc, token) row where the kernel shuffles nothing.
+    */
+  def simhashExpr(docs: DataFrame): DataFrame = {
     val toks = spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))

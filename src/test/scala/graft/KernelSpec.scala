@@ -36,6 +36,32 @@ class KernelSpec extends SparkSpec {
     assert(!a.contains(2L))
   }
 
+  test("native simhash fingerprint == expression form on the full sf corpus") {
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.simhashExpr(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keySet == b.keySet)
+    val bad = a.keys.filter(k => a(k) != b(k))
+    assert(bad.isEmpty, s"fingerprint mismatch for docs ${bad.take(5)}")
+  }
+
+  test("native simhash: token dedup, whitespace split and no-token nulls match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the THE tHe"), // case-folds then dedups to one token
+      (2L, "  \t \n "), // whitespace only -> absent from both paths
+      (3L, "中文 词 词 mixed tokens　ok"), // multibyte + ideographic space
+      (4L, "a b c d e f g")).toDF("doc_id", "text")
+    val a = Dedup.simhashExpr(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(!a.contains(2L))
+  }
+
   test("the kernel runs inside whole-stage codegen") {
     val df = Dedup.minhashSignatureFast(Tables.documents(spark, sf), 8, 12)
     df.collect() // finalize the adaptive plan so codegen markers appear
