@@ -37,6 +37,39 @@ object PipelineQueries {
     s"CAST('0x' || substr(md5($k), 1, 8) AS BIGINT) % 100"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- END-TO-END training-data pipeline: exact-dedup keep set →
+    // quality gate → language ID → hash split → per-(split, lang) corpus
+    // stats. The composition a real data-curation run executes, as ONE
+    // declarative plan: Catalyst fuses the per-row stages (dedup winnow,
+    // quality ratios, langid scores, hash bucket are all narrow), so the
+    // whole pipeline is one scan + one dedup-group shuffle + one final
+    // aggregate — at 100 TB nothing materializes between stages.
+    "pipeline_e2e" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val kept = docs.join(keep, "doc_id")
+      // n_ws_tokens >= 20 sits at the corpus ~12th percentile, so the
+      // gate really filters (the usual "too short to train on" cut)
+      val qual = TextAnalysis.quality(kept)
+        .where(col("n_ws_tokens") >= 20 &&
+          col("punct_ratio") <= 0.2 && col("digit_ratio") <= 0.3)
+        .select(col("doc_id"), col("n_ws_tokens"), col("stop_ratio"))
+      val lang = TextAnalysis.langId(kept).select(col("doc_id"), col("pred"))
+      val meta = docs.select(col("doc_id"), col("lang"))
+      qual.join(lang, "doc_id").join(meta, "doc_id")
+        .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws_tokens").cast("long")).as("ws_tokens"),
+          rnd(avg(col("stop_ratio")), 6).as("avg_stop_6"))
+        .orderBy("split", "lang", "pred")
+    }),
+
     // ---- 80/10/10 train/val/test split, content-hash routed. A narrow
     // per-row op: no shuffle, no driver state, stable under re-runs.
     "q_split" -> ((s, dir) =>
@@ -133,7 +166,54 @@ object PipelineQueries {
             .as("approx_ok"))
         .orderBy("l_returnflag")))
 
+  /** Oracle twin of pipeline_e2e: the dedup/quality/langid/split
+    * fragments are the SAME SQL text as their standalone oracles
+    * (dedup_exact, text_quality, text_langid, q_split), chained as CTEs.
+    */
+  private def pipelineE2eSql: String = {
+    import graft.operators.TextAnalysis
+    val scores = TextAnalysis.markers.map { case (l, ms) =>
+      s"${ms.map(TextAnalysis.occSql("t", _)).mkString("(", " + ", ")")} AS s_$l"
+    }.mkString(",\n        ")
+    val langs = TextAnalysis.markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), rest) =>
+        val others = langs.drop(i + 1).map(o => s"s_$o")
+        val best = if (others.size == 1) others.head
+          else s"greatest(${others.mkString(", ")})"
+        s"CASE WHEN s_$l >= $best THEN '$l' ELSE $rest END"
+    }
+    val stopOcc = TextAnalysis.stopwords
+      .map(w => TextAnalysis.occSql("concat(' ', lower(text), ' ')", s" $w "))
+      .mkString("(", " + ", ")")
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+       |k AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keep USING (doc_id)),
+       |q AS (SELECT doc_id, lang,
+       |        CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS INT) AS n_ws_tokens,
+       |        CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+       |        $stopOcc / CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS DOUBLE) AS stop_ratio
+       |      FROM k),
+       |qf AS (SELECT doc_id, lang, n_ws_tokens, stop_ratio FROM q
+       |       WHERE n_ws_tokens >= 20 AND punct_ratio <= CAST(0.2 AS DOUBLE)
+       |         AND digit_ratio <= CAST(0.3 AS DOUBLE)),
+       |sc AS (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM k),
+       |sc2 AS (SELECT doc_id,
+       |        $scores
+       |      FROM sc),
+       |l AS (SELECT doc_id, $pred AS pred FROM sc2),
+       |j AS (SELECT qf.doc_id, qf.lang, qf.n_ws_tokens, qf.stop_ratio, l.pred,
+       |        ${hashBucketSql("CAST(qf.doc_id AS VARCHAR)")} AS bucket
+       |      FROM qf JOIN l ON l.doc_id = qf.doc_id)
+       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, pred, count(*) AS n_docs, CAST(sum(n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  ${rndSql("avg(stop_ratio)", 6)} AS avg_stop_6
+       |FROM j GROUP BY 1, 2, 3 ORDER BY split, lang, pred""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "q_split" ->
       s"""SELECT doc_id,
          |  ${hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,
