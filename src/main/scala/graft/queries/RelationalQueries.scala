@@ -44,6 +44,24 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // Skew-mitigated join (SURVEY §4 "salting for skew"): the probe side
+    // is salted by row-content hash, the build side replicated S×, the
+    // join key becomes (key, salt) — a hot key's rows spread over S
+    // reducers. The OUTPUT is identical to the plain join, which is
+    // exactly what the oracle checks (salting must be invisible).
+    "q_skew_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, sup, "suppkey", salts = 8,
+          saltFrom = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
     // Window/top-k (SURVEY §2.5) — top 3 orders per priority; ties broken
     // on the unique o_orderkey so ranking is deterministic cross-engine
     "q_topk" -> ((s, dir) => {
@@ -194,6 +212,12 @@ object RelationalQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_skew_join" ->
+      s"""SELECT s_nationkey, count(*) AS n_items,
+         |  ${rndSql("sum(l_quantity)", 2)} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
