@@ -180,6 +180,43 @@ object AnalyticQueries {
           .cast("long").as("sum_1e6"))
         .orderBy("vec_id")),
 
+    // ---- bitwise function family (scalar &,|,^,shifts,bit_count +
+    // aggregate bit_and/bit_or/bit_xor) over exact integer keys — no
+    // float slack anywhere. Dialect note: Spark scalar xor is the ^
+    // operator, DuckDB's is the xor() function; DuckDB bit_count returns
+    // TINYINT (oracle casts to Spark's INT).
+    "q_bitwise" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_suppkey").cast("long").as("sk"),
+          expr("l_orderkey & CAST(255 AS BIGINT)").as("lo255"),
+          expr("(l_orderkey >> 4) | CAST(l_linenumber AS BIGINT)").as("orshift"),
+          expr("l_orderkey ^ CAST(l_partkey AS BIGINT)").as("xr"),
+          expr("CAST(bit_count(l_orderkey) AS INT)").as("bc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(sk)").as("and_sk"),
+          expr("bit_or(sk)").as("or_sk"),
+          expr("bit_xor(xr)").as("xor_all"),
+          sum(col("bc").cast("long")).as("sum_bits"),
+          max(col("orshift")).as("max_os"),
+          min(col("lo255")).as("min_lo"))
+        .orderBy("l_returnflag")),
+
+    // ---- null-handling family: nullif manufactures NULLs from real
+    // data, then coalesce/greatest/least/IS NULL consume them (both
+    // engines skip NULLs in greatest/least)
+    "q_null_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        expr("nullif(o_custkey % 7, CAST(3 AS BIGINT))").as("k7"),
+        expr("coalesce(nullif(o_custkey % 7, CAST(3 AS BIGINT)), CAST(-1 AS BIGINT))").as("k7c"),
+        expr("greatest(nullif(o_custkey % 7, CAST(3 AS BIGINT)), CAST(2 AS BIGINT))").as("g2"),
+        expr("least(nullif(o_custkey % 7, CAST(3 AS BIGINT)), CAST(2 AS BIGINT))").as("l2"),
+        expr("CAST(nullif(o_custkey % 7, CAST(3 AS BIGINT)) IS NULL AS INT)").as("is_n"),
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("pri_n"))
+        .orderBy("o_orderkey")),
+
     // ---- scalar subquery: orders above the (rounded) global average —
     // the 1-row aggregate is broadcast, never recomputed per row
     "q_scalar_subquery" -> ((s, dir) => {
@@ -384,6 +421,26 @@ object AnalyticQueries {
         |  CAST(floor(list_aggregate(list_transform(embedding,
         |         x -> CAST(x AS DOUBLE)), 'sum') * 1e6 + 0.5) AS BIGINT) AS sum_1e6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  bit_and(CAST(l_suppkey AS BIGINT)) AS and_sk,
+        |  bit_or(CAST(l_suppkey AS BIGINT)) AS or_sk,
+        |  bit_xor(xor(l_orderkey, CAST(l_partkey AS BIGINT))) AS xor_all,
+        |  CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_bits,
+        |  max((l_orderkey >> 4) | CAST(l_linenumber AS BIGINT)) AS max_os,
+        |  min(l_orderkey & CAST(255 AS BIGINT)) AS min_lo
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_custkey % 7, CAST(3 AS BIGINT)) AS k7,
+        |  coalesce(nullif(o_custkey % 7, CAST(3 AS BIGINT)), CAST(-1 AS BIGINT)) AS k7c,
+        |  greatest(nullif(o_custkey % 7, CAST(3 AS BIGINT)), CAST(2 AS BIGINT)) AS g2,
+        |  least(nullif(o_custkey % 7, CAST(3 AS BIGINT)), CAST(2 AS BIGINT)) AS l2,
+        |  CAST(nullif(o_custkey % 7, CAST(3 AS BIGINT)) IS NULL AS INT) AS is_n,
+        |  nullif(o_orderpriority, '3-MEDIUM') AS pri_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_scalar_subquery" ->
       s"""WITH a AS (SELECT ${rndSql("avg(o_totalprice)", 4)} AS avg_price FROM orders)
