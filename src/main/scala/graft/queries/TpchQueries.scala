@@ -33,6 +33,46 @@ object TpchQueries {
         .limit(10)
     }),
 
+    // Q10: returned-item revenue per customer — 4-table join, selective
+    // flag filter on the fact side, top-20 by (rounded) revenue
+    "q_tpch_q10" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      val n = Tables.nation(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          rnd(max(col("c_acctbal")), 2).as("acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q18: large-quantity orders — the HAVING-on-aggregate IN-subquery
+    // shape, realized as a left-semi join against the aggregated
+    // lineitem (sum(l_quantity) is exact: integral doubles, so no
+    // rounding needed anywhere in this query)
+    "q_tpch_q18" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy(col("l_orderkey").as("bok"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .where(col("sq") > 150).select(col("bok"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, o("o_orderkey") === big("bok"), "left_semi")
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("odate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Q5: local-supplier volume per nation in ASIA — 6-table join where
     // the customer and supplier must share a nation
     "q_tpch_q5" -> ((s, dir) => {
@@ -67,6 +107,29 @@ object TpchQueries {
          |  AND l_shipdate > TIMESTAMP '1998-01-01'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, n_name, count(*) AS n_items,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue,
+         |  ${rndSql("max(c_acctbal)", 2)} AS acctbal
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  o_totalprice, sum(l_quantity) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_tpch_q5" ->
       s"""SELECT n_name, count(*) AS n_items,
