@@ -180,6 +180,22 @@ object AnalyticQueries {
           .cast("long").as("sum_1e6"))
         .orderBy("vec_id")),
 
+    // ---- explicit window FRAMES (ROWS moving windows, value-RANGE
+    // windows, forward-looking frames) — the frame grammar
+    // q_window_suite doesn't touch. The window text is the dialect
+    // intersection, written once via expr() and reused verbatim as the
+    // oracle. ROWS frames order by the unique o_orderkey (deterministic
+    // membership); the RANGE frame is defined by the o_totalprice VALUE,
+    // so tie order cannot change it.
+    "q_window_frames" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rnd(expr("avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"), 4).as("mov_avg4"),
+        expr("count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)").as("cnt_1k"),
+        rnd(expr("sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)"), 4).as("fwd_sum"),
+        expr("first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").as("first_k"))
+        .orderBy("o_orderkey")),
+
     // ---- bitwise function family (scalar &,|,^,shifts,bit_count +
     // aggregate bit_and/bit_or/bit_xor) over exact integer keys — no
     // float slack anywhere. Dialect note: Spark scalar xor is the ^
@@ -421,6 +437,14 @@ object AnalyticQueries {
         |  CAST(floor(list_aggregate(list_transform(embedding,
         |         x -> CAST(x AS DOUBLE)), 'sum') * 1e6 + 0.5) AS BIGINT) AS sum_1e6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_window_frames" ->
+      s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+         |  ${rndSql("avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)", 4)} AS mov_avg4,
+         |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS cnt_1k,
+         |  ${rndSql("sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)", 4)} AS fwd_sum,
+         |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_k
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_bitwise" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -34,6 +34,20 @@ object SqlTextQueries {
       |JOIN nation ON n_nationkey = t.n - 1
       |ORDER BY t.n""".stripMargin
 
+  /** Correlated subqueries — EXISTS / NOT EXISTS predicates and a
+    * correlated scalar count, decorrelated by each engine's own
+    * optimizer (Catalyst rewrites these to semi/anti/left joins).
+    */
+  private val existsSql =
+    """SELECT n_nationkey, n_name,
+      |  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_supp
+      |FROM nation
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_nationkey = n_nationkey AND s_acctbal < -900)
+      |ORDER BY n_nationkey""".stripMargin
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     graft.tools.SqlRunner.register(s, dir)
     s.sql(sql)
@@ -41,10 +55,12 @@ object SqlTextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_cte" -> run(cteSql) _,
-    "q_sql_recursive" -> run(recursiveSql) _)
+    "q_sql_recursive" -> run(recursiveSql) _,
+    "q_sql_exists" -> run(existsSql) _)
 
   /** The oracle SQL IS the executed SQL — one string, two engines. */
   val oracleSql: Map[String, String] = Map(
     "q_sql_cte" -> cteSql,
-    "q_sql_recursive" -> recursiveSql)
+    "q_sql_recursive" -> recursiveSql,
+    "q_sql_exists" -> existsSql)
 }
