@@ -82,6 +82,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hive-style partitionBy layout: the partition filter prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orders-part").toString
+    Tables.orders(spark, sf)
+      .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+      .write.mode("overwrite").partitionBy("pri").parquet(dir)
+    val rd = spark.read.parquet(dir).where(col("pri") === "3")
+    val p = plan(rd)
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT as a row-level data filter
+    assert(p.contains("PartitionFilters") && p.replaceAll("\\s+", " ")
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*pri[^\\]]*=[^\\]]*3[^\\]]*\\].*"),
+      s"partition filter not pushed to the directory level:\n$p")
+    // only the pri=3 directory's files are read
+    val files = rd.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("pri=3")),
+      s"scan read non-matching partitions: ${files.filterNot(_.contains("pri=3")).take(3).mkString}")
+    // and the answer equals the unpartitioned filter
+    val expect = Tables.orders(spark, sf)
+      .where(substring(col("o_orderpriority"), 1, 1) === "3").count()
+    assert(rd.count() == expect)
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("li-part").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("lsk", pmod(col("l_suppkey"), lit(10L)))
+      .write.mode("overwrite").partitionBy("lsk").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.supplier(spark, sf)
+      .where(col("s_nationkey") === 3)
+      .select(pmod(col("s_suppkey"), lit(10L)).as("dsk")).distinct()
+    val joined = fact.join(dim, fact("lsk") === dim("dsk"))
+      .groupBy(col("lsk")).agg(count(lit(1)).as("n"))
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery on the fact scan:\n$p")
+    // correctness: equals the statically-filtered equivalent
+    val keys = dim.collect().map(_.getLong(0)).toSet
+    val expect = Tables.lineitem(spark, sf)
+      .withColumn("lsk", pmod(col("l_suppkey"), lit(10L)))
+      .where(col("lsk").isin(keys.toSeq: _*))
+      .groupBy(col("lsk")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition columns read back from directory names are inferred INT
+    assert(joined.select(col("lsk").cast("long"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark // warehouse dir set (static conf) in SparkSpec
     s2.sql("DROP TABLE IF EXISTS li_b")
