@@ -99,6 +99,56 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of common elements between two SORTED long arrays (a sorted-set
+  * merge — O(n+m), no per-row hash set, no materialized intersection
+  * array). `size(array_intersect(a, b))` builds a hash relation and an
+  * output array per ROW; on the MinHash verify stage that is ~10⁸
+  * hash-insert/probe ops across the candidate pairs. Inputs must be
+  * sorted and duplicate-free (array_sort ∘ array_distinct, paid once
+  * per doc, not once per pair).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val av = x.getLong(i); val bv = y.getLong(j)
+      if (av < bv) i += 1
+      else if (av > bv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $av = $a.getLong($i); long $bv = $b.getLong($j);
+         |  if ($av < $bv) $i++;
+         |  else if ($av > $bv) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
@@ -108,6 +158,9 @@ object ArrayKernels {
 
   def distSqFast(a: Column, b: Column): Column =
     toCol(SquaredDistance(toExpr(a), toExpr(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 
   /** Optional SQL registration: graft_dot / graft_dist_sq become callable
     * from spark.sql text.

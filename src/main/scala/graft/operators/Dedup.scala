@@ -197,12 +197,23 @@ object Dedup {
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id") +: col("b.band").as("band") +:
         keyNames.map(k => col(s"b.$k").as(k)): _*)
+    // Candidate pairs by GROUPING each (band, key) bucket and expanding
+    // doc pairs in place — the bands stream shuffles ONCE (map-side
+    // combined collect per bucket) where a self-join shuffles it twice
+    // and materializes the join build side. sort_array makes doc_a <
+    // doc_b hold structurally; buckets are small (the banding design
+    // invariant), so the in-bucket pair expansion is trivial.
     // cache: cand is consumed three times (candDocs ×2, inter join) and
     // is tiny — without it the whole signature pipeline re-executes per
     // consumer
-    val cand = bands.as("x").join(bands.as("y"), "band" +: keyNames)
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = bands.groupBy(col("band") +: keyNames.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct().cache()
     // exact shingle SETS are materialized ONLY for candidate docs — at
     // corpus scale candidates are a sliver, so the expensive verify never
@@ -224,8 +235,11 @@ object Dedup {
     // hashing. array_distinct keeps even the set-building narrow.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // sets are SORTED once per doc so the per-pair intersection is a
+    // native sorted-merge count (graft_sorted_intersect_count) — no
+    // per-pair hash relation, no materialized intersection array
     val sets = shingleHashArray(docs.join(broadcast(candDocs), "doc_id"), n)
-      .select(col("doc_id"), array_distinct(col("hs")).as("shs"))
+      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("shs"))
       .withColumn("nsh", size(col("shs")).cast("long"))
       .cache() // consumed by both join sides
     val out = cand
@@ -233,7 +247,8 @@ object Dedup {
         col("nsh").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shb"),
         col("nsh").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("sha"), col("shb")))
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jac"))

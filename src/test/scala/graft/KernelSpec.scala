@@ -62,6 +62,36 @@ class KernelSpec extends SparkSpec {
     assert(!a.contains(2L))
   }
 
+  test("sorted intersect count == size(array_intersect) on corpus shingle sets") {
+    import org.apache.spark.sql.functions._
+    val sets = Dedup.shingleHashArray(Tables.documents(spark, sf), n = 8)
+      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("shs"))
+    val a = sets.select(col("doc_id").as("ida"), col("shs").as("sa"))
+    val b = sets.select(col("doc_id").as("idb"), col("shs").as("sb"))
+    // a slice of the pair space is plenty for equality
+    val pairs = a.crossJoin(b)
+      .where(col("ida") < col("idb") && (col("ida") + col("idb")) % 97 === 0)
+      .select(col("ida"), col("idb"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("sa"), col("sb")).as("fast"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("ref"))
+    val bad = pairs.where(col("fast") =!= col("ref")).count()
+    assert(pairs.count() > 0 && bad == 0, s"$bad mismatching pairs")
+  }
+
+  test("sorted intersect count edges: empty, disjoint, identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0L),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq(1L, 5L, 9L, 11L), Seq(5L, 9L, 20L), 2L))
+      .toDF("a", "b", "want")
+      .withColumn("got",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("a"), col("b")))
+    assert(df.where(col("got") =!= col("want")).count() == 0)
+  }
+
   test("the kernel runs inside whole-stage codegen") {
     val df = Dedup.minhashSignatureFast(Tables.documents(spark, sf), 8, 12)
     df.collect() // finalize the adaptive plan so codegen markers appear
