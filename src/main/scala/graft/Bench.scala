@@ -60,15 +60,20 @@ object Bench {
     // the stdout JSON line compact — 3-decimal cold times only — and put
     // the full cold+warm+error detail in a sidecar file.
     def fmt3(v: Double): String = f"$v%.3f"
-    def fmt(f: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + fmt3(f(r))).mkString("{", ",", "}")
+    // per-query values at 2 decimals on stdout (95 queries × 3-decimal
+    // entries outgrew the ~2.5KB tail capture's comfort margin); full
+    // 3-decimal cold+warm detail lives in the sidecar
+    def fmt2(v: Double): String = f"$v%.2f"
+    def fmtMap(f: ((String, Double, Double)) => Double, fv: Double => String): String =
+      results.map(r => s"\"" + r._1 + "\":" + fv(f(r))).mkString("{", ",", "}")
+    def fmt(f: ((String, Double, Double)) => Double): String = fmtMap(f, fmt3)
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
     val errJson = errors.map { case (n, m) => s"\"$n\":\"$m\"" }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2)},"value_warm":${fmt3(totalWarm)},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
