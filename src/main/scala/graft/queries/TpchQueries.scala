@@ -15,6 +15,39 @@ import graft.queries.QueryHelpers._
 object TpchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 in full: the pricing-summary report — 4 sums (incl. the
+    // two-factor charge), 3 avgs, count, shipdate bracket pushed to the
+    // scan. (q1_agg remains the round-1 reduced form.)
+    "q_tpch_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+          rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          rnd(avg(col("l_quantity")), 4).as("avg_qty"),
+          rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
+          rnd(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q6: forecast-revenue-change — the pure selective-scan query: three
+    // pushed predicates (timestamp bracket, discount band, quantity cap),
+    // one global sum, no join, no group. The plan should be scan → two
+    // hash-agg stages and nothing else.
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))),
+
     // Q3: shipping-priority revenue — customer×orders×lineitem, date
     // bracket both sides, top-10 by (rounded) revenue
     "q_tpch_q3" -> ((s, dir) => {
@@ -96,6 +129,29 @@ object TpchQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${rndSql("sum(l_quantity)", 2)} AS sum_qty,
+         |  ${rndSql("sum(l_extendedprice)", 2)} AS sum_base_price,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))", 2)} AS sum_charge,
+         |  ${rndSql("avg(l_quantity)", 4)} AS avg_qty,
+         |  ${rndSql("avg(l_extendedprice)", 4)} AS avg_price,
+         |  ${rndSql("avg(l_discount)", 6)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_q6" ->
+      s"""SELECT count(*) AS n_items,
+         |  ${rndSql("sum(l_extendedprice * l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.04
+         |  AND l_quantity < 24""".stripMargin,
+
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
          |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
