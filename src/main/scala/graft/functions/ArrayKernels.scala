@@ -112,6 +112,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_sorted_intersect_count"
 
+  // getLong on anything but array<bigint> would silently read the wrong
+  // byte width — make misuse an ANALYSIS error, like the built-ins.
+  // (Null ELEMENTS are undefined behavior, as in the other kernels here;
+  // the shingle-hash pipelines never produce them.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

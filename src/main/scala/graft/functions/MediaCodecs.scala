@@ -55,9 +55,12 @@ object MediaCodecs {
     }
     def readInt(): Int = {
       if (eof || b(i) < '0' || b(i) > '9') return -1
-      var v = 0
-      while (!eof && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
-      v
+      var v = 0L
+      while (!eof && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+        if (v > Int.MaxValue) return -1 // overflow-proof: reject, don't wrap
+      }
+      v.toInt
     }
     if (!skipWs()) return null
     val w = readInt(); if (w <= 0) return null
@@ -69,7 +72,9 @@ object MediaCodecs {
     val c = b(i)
     if (c != ' ' && c != '\t' && c != '\n' && c != '\r') return null
     i += 1 // exactly ONE whitespace byte separates header from payload
-    if (i + w * h * 3 > b.length) return null
+    // payload bound in LONG arithmetic: a corrupt header declaring huge
+    // dims must return null, not wrap Int and index out of bounds
+    if (i.toLong + w.toLong * h.toLong * 3L > b.length.toLong) return null
     Array(w, h, i)
   }
 
@@ -163,7 +168,9 @@ object MediaCodecs {
     var rate = -1; var bits = -1; var channels = -1
     while (i + 8 <= bytes.length) {
       val sz = le32(bytes, i + 4)
-      if (sz < 0 || i + 8 + sz > bytes.length) return null
+      // LONG bound: a declared chunk size near Int.MaxValue must not wrap
+      // the cursor arithmetic negative
+      if (sz < 0 || i.toLong + 8L + sz.toLong > bytes.length.toLong) return null
       if (tag(bytes, i, "fmt ")) {
         if (sz < 16 || le16(bytes, i + 8) != 1) return null // PCM only
         channels = le16(bytes, i + 10)

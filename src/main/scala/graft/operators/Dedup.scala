@@ -68,8 +68,14 @@ object Dedup {
     *               only — the standard candidate-generation approximation
     * @param tau    minimum (rare-shingle) Jaccard to emit
     */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, dfCap: Int = 100, tau: Double = 0.05): DataFrame = {
-    val ss = shingles(docs, n).cache()
+  /** `eager = false` (plan audit only) skips the caches and the final
+    * localCheckpoint so `.explain` shows the real operator tree — the
+    * production path materializes eagerly, which makes its downstream
+    * plan an opaque RDD scan.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, dfCap: Int = 100, tau: Double = 0.05,
+      eager: Boolean = true): DataFrame = {
+    val ss = if (eager) shingles(docs, n).cache() else shingles(docs, n)
     val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     // Stop-shingle removal as groupBy-df → broadcast anti-join, NOT a
     // count-over-window: the window form sorts and shuffles every
@@ -93,6 +99,7 @@ object Dedup {
     // materialize the (tiny) pair set eagerly so the shingle cache can be
     // released immediately — without this, cached blocks accumulate for
     // the life of the session (Bench runs every query twice)
+    if (!eager) return out
     val res = out.localCheckpoint(true)
     ss.unpersist()
     res
@@ -179,13 +186,14 @@ object Dedup {
     */
   def minhashPairs(
       docs: DataFrame, n: Int = 8, nHash: Int = 12, rowsPerBand: Int = 2,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, eager: Boolean = true): DataFrame = {
     val nBands = nHash / rowsPerBand
+    def cached(df: DataFrame) = if (eager) df.cache() else df
     // native one-pass signature kernel (shuffle-free; see
     // minhashSignatureFast/MinhashKernel). Cached: the band self-join
     // consumes it twice; one row per doc, so the cache is small at any
     // corpus size.
-    val mh = minhashSignatureFast(docs, n, nHash).cache()
+    val mh = cached(minhashSignatureFast(docs, n, nHash))
     // band key = the raw signature rows (numeric join keys — no extra
     // hashing needed)
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
@@ -197,24 +205,20 @@ object Dedup {
     val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id") +: col("b.band").as("band") +:
         keyNames.map(k => col(s"b.$k").as(k)): _*)
-    // Candidate pairs by GROUPING each (band, key) bucket and expanding
-    // doc pairs in place — the bands stream shuffles ONCE (map-side
-    // combined collect per bucket) where a self-join shuffles it twice
-    // and materializes the join build side. sort_array makes doc_a <
-    // doc_b hold structurally; buckets are small (the banding design
-    // invariant), so the in-bucket pair expansion is trivial.
+    // Candidate pairs via bucket self-join. (A groupBy-collect_list +
+    // in-bucket pair expansion was tried — one band shuffle instead of
+    // two — but it materializes a hot bucket's ENTIRE n²/2 pair array in
+    // a single aggregation row before exploding, where the join streams
+    // its output; the join's worst case degrades gracefully, the
+    // collect's OOMs. Measured difference at sf0.1 was noise, so the
+    // streaming shape wins.)
     // cache: cand is consumed three times (candDocs ×2, inter join) and
     // is tiny — without it the whole signature pipeline re-executes per
     // consumer
-    val cand = bands.groupBy(col("band") +: keyNames.map(col): _*)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (a, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
-          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct().cache()
+    val cand = cached(bands.as("x").join(bands.as("y"), "band" +: keyNames)
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct())
     // exact shingle SETS are materialized ONLY for candidate docs — at
     // corpus scale candidates are a sliver, so the expensive verify never
     // touches the non-candidate bulk. (The oracle computes sizes for
@@ -238,10 +242,9 @@ object Dedup {
     // sets are SORTED once per doc so the per-pair intersection is a
     // native sorted-merge count (graft_sorted_intersect_count) — no
     // per-pair hash relation, no materialized intersection array
-    val sets = shingleHashArray(docs.join(broadcast(candDocs), "doc_id"), n)
+    val sets = cached(shingleHashArray(docs.join(broadcast(candDocs), "doc_id"), n)
       .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("shs"))
-      .withColumn("nsh", size(col("shs")).cast("long"))
-      .cache() // consumed by both join sides
+      .withColumn("nsh", size(col("shs")).cast("long"))) // consumed by both join sides
     val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sha"),
         col("nsh").as("na")), "doc_a")
@@ -254,6 +257,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jac"))
     // eagerly materialize the verified pairs (tiny), then release the
     // caches — see jaccardPairs note
+    if (!eager) return out
     val res = out.localCheckpoint(true)
     mh.unpersist()
     cand.unpersist()

@@ -69,22 +69,29 @@ object Multimodal {
     * runs once per row (CollapseProject keeps the stage split; see the
     * Assign.withNearest planning note).
     */
-  def features(media: DataFrame): DataFrame = {
-    val img = media.where(col("kind") === "image")
+  def features(media: DataFrame, eager: Boolean = true): DataFrame = {
+    // cache: the per-kind branches each filter the SAME synthesized
+    // dataset, and the kind filter cannot push below the typed
+    // synthesis map — uncached, every branch would re-encode every
+    // record's container bytes. The digest result is tiny, so it is
+    // materialized eagerly and the cache released (the jaccardPairs
+    // pattern — no cached blocks outlive the call).
+    val m = if (eager) media.cache() else media
+    val img = m.where(col("kind") === "image")
       .withColumn("d", MediaCodecs.ppmDecode(col("content")))
       .select(col("media_id"), col("kind"),
         octet_length(col("content")).as("n_bytes"),
         col("d.w").as("d1"), col("d.h").as("d2"),
         (col("d.w") * col("d.h")).as("n_units"),
         col("d.sum_r").as("s0"), col("d.sum_g").as("s1"), col("d.sum_b").as("s2"))
-    val aud = media.where(col("kind") === "audio")
+    val aud = m.where(col("kind") === "audio")
       .withColumn("d", MediaCodecs.wavDecode(col("content")))
       .select(col("media_id"), col("kind"),
         octet_length(col("content")).as("n_bytes"),
         col("d.sample_rate").as("d1"), col("d.bits").as("d2"),
         col("d.n_samples").as("n_units"),
         col("d.sum_samples").as("s0"), lit(0L).as("s1"), lit(0L).as("s2"))
-    val vid = media.where(col("kind") === "video")
+    val vid = m.where(col("kind") === "video")
       .withColumn("fs", MediaCodecs.ppmFrames(col("content")))
       .select(col("media_id"), col("kind"),
         octet_length(col("content")).as("n_bytes"),
@@ -93,7 +100,11 @@ object Multimodal {
         size(col("fs")).as("n_units"),
         aggregate(col("fs"), lit(0L), (acc, f) => acc + f.getField("rgb_sum")).as("s0"),
         lit(0L).as("s1"), lit(0L).as("s2"))
-    img.unionAll(aud).unionAll(vid)
+    val out = img.unionAll(aud).unionAll(vid)
+    if (!eager) return out
+    val res = out.localCheckpoint(true)
+    m.unpersist()
+    res
   }
 
   /** Frame demux: one row per decoded video frame (real successive-PPM

@@ -61,6 +61,30 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.resizePpmHalf(ppm(1, 4, j => j)) == null)
   }
 
+  test("ppm decode: overflowing declared dimensions return null, never crash") {
+    // w*h*3 wraps Int positive: 1431655766 * 1 * 3 = 2^32 + 2
+    assert(MediaCodecs.decodePpm(
+      "P6\n1431655766 1\n255\n".getBytes ++ Array[Byte](1, 2)) == null)
+    // w*h wraps to 0: 65536 * 65536
+    assert(MediaCodecs.decodePpm(
+      "P6\n65536 65536\n255\n".getBytes ++ Array.fill[Byte](16)(0)) == null)
+    // digits overflow Int entirely
+    assert(MediaCodecs.decodePpm(
+      "P6\n99999999999999999999 1\n255\n".getBytes ++ Array[Byte](1)) == null)
+  }
+
+  test("wav decode: overflowing chunk sizes return null, never crash") {
+    // an unknown chunk declaring size 0x7FFFFFFF: the cursor math must
+    // not wrap negative and index out of bounds
+    val bad = "RIFF".getBytes ++ Array[Byte](30, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](-1, -1, -1, 127) ++ Array.fill[Byte](10)(0)
+    assert(MediaCodecs.decodeWav(bad) == null)
+    // a data chunk declaring more bytes than exist
+    val base = MediaCodecs.encodeWav(8000, Array[Byte](1, 2, 3))
+    base(40) = 100 // data size 100 > 3 actual
+    assert(MediaCodecs.decodeWav(base) == null)
+  }
+
   test("wav decode: parses the canonical header and sums samples") {
     val samples = Array.tabulate(100)(j => (j % 256).toByte)
     val d = MediaCodecs.decodeWav(MediaCodecs.encodeWav(8000, samples))
