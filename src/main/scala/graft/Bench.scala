@@ -28,7 +28,10 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
-        SparkEntry.queries.toSeq.map { case (_, fn) =>
+        SparkEntry.queries.toSeq
+          .filter { case (n, _) => sys.env.get("SPARK_GRAFT_ONLY")
+            .forall(_.split(",").map(_.trim).toSet.apply(n)) }
+          .map { case (_, fn) =>
           pool.submit(new Runnable {
             override def run(): Unit =
               try fn(spark, warmDir).count() catch { case _: Throwable => }
@@ -40,7 +43,11 @@ object Bench {
     // headline) and warm (second run: steady-state compute, the number
     // that scales with data volume)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 benches just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -55,17 +62,17 @@ object Bench {
       val cold = once(); val warm = once()
       (name, cold, warm)
     }
-    // The driver captures only the TAIL of stdout (round-1 BENCH parsed
-    // as null because the full two-map line outgrew the capture); keep
-    // the stdout JSON line compact — 3-decimal cold times only — and put
-    // the full cold+warm+error detail in a sidecar file.
+    // The driver captures only the TAIL of stdout (BENCH_r01 AND r03 both
+    // recorded parsed:null because the full per-query map outgrew the
+    // ~2.5KB capture). Stdout gets the totals plus a ~20-query HEADLINE
+    // subset (one representative per operator family); the complete
+    // 3-decimal cold+warm+error detail lives in bench_detail.json.
     def fmt3(v: Double): String = f"$v%.3f"
-    // per-query values at 2 decimals on stdout (95 queries × 3-decimal
-    // entries outgrew the ~2.5KB tail capture's comfort margin); full
-    // 3-decimal cold+warm detail lives in the sidecar
     def fmt2(v: Double): String = f"$v%.2f"
-    def fmtMap(f: ((String, Double, Double)) => Double, fv: Double => String): String =
-      results.map(r => s"\"" + r._1 + "\":" + fv(f(r))).mkString("{", ",", "}")
+    def fmtMap(f: ((String, Double, Double)) => Double, fv: Double => String,
+               keep: String => Boolean = _ => true): String =
+      results.filter(r => keep(r._1))
+        .map(r => s"\"" + r._1 + "\":" + fv(f(r))).mkString("{", ",", "}")
     def fmt(f: ((String, Double, Double)) => Double): String = fmtMap(f, fmt3)
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
@@ -73,7 +80,16 @@ object Bench {
     val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2)},"value_warm":${fmt3(totalWarm)},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val headline = Set(
+      "q1_agg", "q_tpch_q1", "q_tpch_q5", "q_tpch_q18", "q_join_agg",
+      "q_window_suite", "q_sessionize", "kmeans_fit", "kmeans_step",
+      "kmeans_mllib", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_simhash_hamming", "sim_near_pairs_lsh",
+      "sim_ann_ivf", "sim_ivf_pq_bt", "text_tokens", "text_quality",
+      "mm_features", "pipeline_e2e")
+    val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2, headline)},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},"detail":"bench_detail.json","sf":"$sfDir"}"""
+    require(line.length < 2000, s"bench stdout line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }

@@ -86,6 +86,31 @@ object Assign {
     struct(cid.as("cid"), mind.as("d2"))
   }
 
+  /** STAGED n-dim argmin: adds `outCol` (the nearest cid) to `df` via
+    * named per-centroid distance columns — the same IEEE operations,
+    * `least`, and first-match tie-break as [[nearestND]], so the result
+    * is bit-identical, but each `distSqFast(vec, literalArray)` subtree
+    * appears ONCE in the plan instead of ~K² times. At nlist=8 × 64-dim
+    * literals the inlined form costs ~1.3 s analysis/codegen per
+    * planning (build-playbook measurement); this form plans in ~0.2 s.
+    * CollapseProject keeps the stages split because every `_nd*` alias
+    * is referenced twice (in `least` and in its CASE arm).
+    */
+  def withNearestND(df: DataFrame, vecCol: Column, cs: Seq[CentroidND],
+      outCol: String): DataFrame = {
+    val sorted = cs.sortBy(_.cid)
+    val withDd = df.select(col("*") +: sorted.map(c =>
+      graft.functions.ArrayKernels.distSqFast(vecCol, array(c.vec.map(lit(_)): _*))
+        .as(s"_nd${c.cid}")): _*)
+    val withMin = withDd.withColumn("_ndmin",
+      least(sorted.map(c => col(s"_nd${c.cid}")): _*))
+    val cid = sorted.foldRight(lit(-1)) { (c, rest) =>
+      when(col(s"_nd${c.cid}") === col("_ndmin"), lit(c.cid)).otherwise(rest)
+    }
+    withMin.withColumn(outCol, cid)
+      .drop(sorted.map(c => s"_nd${c.cid}") :+ "_ndmin": _*)
+  }
+
   /** Expression-form assignment: adds `cluster_id` and `d2` to a 2-D point
     * DataFrame with columns (x, y). No shuffle.
     *

@@ -108,8 +108,7 @@ object Similarity {
     * touches |corpus|/nlist candidates.
     */
   def ivfTopK(embDf: DataFrame, coarse: Seq[CentroidND], nQueries: Int, k: Int): DataFrame = {
-    val celled = withNorm(embDf)
-      .withColumn("cell", Assign.nearestND(col("v"), coarse).getField("cid"))
+    val celled = Assign.withNearestND(withNorm(embDf), col("v"), coarse, "cell")
     val q = celled.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
@@ -144,8 +143,7 @@ object Similarity {
       embDf: DataFrame, coarse: Seq[CentroidND], nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
     val sorted = coarse.sortBy(_.cid)
-    val celled = withNorm(embDf)
-      .withColumn("cell", Assign.nearestND(col("v"), sorted).getField("cid"))
+    val celled = Assign.withNearestND(withNorm(embDf), col("v"), sorted, "cell")
     // per-query distance to every coarse cell, staged as named columns
     val qDd = withNorm(embDf).where(col("vec_id") < nQueries)
       .select(Seq(col("vec_id"), col("v"), col("nrm")) ++ sorted.map(c =>
@@ -196,6 +194,32 @@ object Similarity {
     res
   }
 
+  /** STAGED per-subspace PQ encoding: adds `outPrefix0..outPrefix{M-1}`
+    * code columns (argmin codebook entry per subspace slice of `vCol`).
+    * Same staged-named-columns discipline as [[Assign.withNearestND]]:
+    * each subspace distance is computed once as a named column, so the
+    * plan carries M×K distance subtrees instead of ~2·M×K — identical
+    * IEEE ops, `least`, and lowest-cid tie-break as the inlined form.
+    */
+  private def withPqCodes(df0: DataFrame, vCol: String,
+      books: Seq[Seq[CentroidND]], subDim: Int, outPrefix: String): DataFrame = {
+    var coded = df0
+    books.zipWithIndex.foreach { case (codes, s) =>
+      val sub = slice(col(vCol), s * subDim + 1, subDim)
+      val sc = codes.sortBy(_.cid)
+      coded = coded.select(col("*") +: sc.map(c =>
+          ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*))
+            .as(s"_pd${c.cid}")): _*)
+        .withColumn("_pmin", least(sc.map(c => col(s"_pd${c.cid}")): _*))
+      val code = sc.foldRight(lit(-1): Column) { (c, rest) =>
+        when(col(s"_pd${c.cid}") === col("_pmin"), lit(c.cid)).otherwise(rest)
+      }
+      coded = coded.withColumn(s"$outPrefix$s", code)
+        .drop(sc.map(c => s"_pd${c.cid}") :+ "_pmin": _*)
+    }
+    coded
+  }
+
   /** Product-quantization top-k via asymmetric distance computation
     * (ADC) — the compressed-corpus ANN path: each corpus vector is
     * encoded as M small code ids (here 4 × 3 bits); each query
@@ -216,17 +240,8 @@ object Similarity {
     val n = withNorm(embDf)
 
     // corpus side: M code columns (argmin per subspace, staged)
-    var coded = n.select(col("vec_id"), col("v"))
-    books.zipWithIndex.foreach { case (codes, s) =>
-      val sub = slice(col("v"), s * subDim + 1, subDim)
-      val dds = codes.sortBy(_.cid).map(c =>
-        ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*)))
-      coded = coded.withColumn(s"_qd$s", least(dds: _*))
-      val cell = codes.sortBy(_.cid).zip(dds).foldRight(lit(-1): Column) {
-        case ((c, d), rest) => when(d === col(s"_qd$s"), lit(c.cid)).otherwise(rest)
-      }
-      coded = coded.withColumn(s"cell$s", cell).drop(s"_qd$s")
-    }
+    val coded = withPqCodes(n.select(col("vec_id"), col("v")), "v",
+      books, subDim, "cell")
     val corpus = coded.select(col("vec_id") +:
       (0 until m).map(s => col(s"cell$s")): _*)
 
@@ -268,18 +283,10 @@ object Similarity {
     val n = withNorm(embDf)
 
     // corpus: IVF cell + M PQ codes
-    var coded = n.select(col("vec_id"), col("v"))
-      .withColumn("cell", Assign.nearestND(col("v"), sortedCoarse).getField("cid"))
-    books.zipWithIndex.foreach { case (codes, s) =>
-      val sub = slice(col("v"), s * subDim + 1, subDim)
-      val dds = codes.sortBy(_.cid).map(c =>
-        ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*)))
-      coded = coded.withColumn(s"_qd$s", least(dds: _*))
-      val code = codes.sortBy(_.cid).zip(dds).foldRight(lit(-1): Column) {
-        case ((c, d), rest) => when(d === col(s"_qd$s"), lit(c.cid)).otherwise(rest)
-      }
-      coded = coded.withColumn(s"code$s", code).drop(s"_qd$s")
-    }
+    val coded = withPqCodes(
+      Assign.withNearestND(
+        n.select(col("vec_id"), col("v")), col("v"), sortedCoarse, "cell"),
+      "v", books, subDim, "code")
     val corpus = coded.select(col("vec_id") +: col("cell") +:
       (0 until m).map(s => col(s"code$s")): _*)
 
@@ -422,20 +429,12 @@ object Similarity {
     val n = withNorm(embDf)
 
     // corpus: cell, residual, codes over residual slices
-    var coded = n.select(col("vec_id"), col("v"))
-      .withColumn("cell", Assign.nearestND(col("v"), sortedCoarse).getField("cid"))
-      .withColumn("r", zip_with(col("v"),
-        centroidOf(col("cell"), sortedCoarse), (a, b) => a - b))
-    books.zipWithIndex.foreach { case (codes, s) =>
-      val sub = slice(col("r"), s * subDim + 1, subDim)
-      val dds = codes.sortBy(_.cid).map(c =>
-        ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*)))
-      coded = coded.withColumn(s"_qd$s", least(dds: _*))
-      val code = codes.sortBy(_.cid).zip(dds).foldRight(lit(-1): Column) {
-        case ((c, d), rest) => when(d === col(s"_qd$s"), lit(c.cid)).otherwise(rest)
-      }
-      coded = coded.withColumn(s"code$s", code).drop(s"_qd$s")
-    }
+    val coded = withPqCodes(
+      Assign.withNearestND(
+          n.select(col("vec_id"), col("v")), col("v"), sortedCoarse, "cell")
+        .withColumn("r", zip_with(col("v"),
+          centroidOf(col("cell"), sortedCoarse), (a, b) => a - b)),
+      "r", books, subDim, "code")
     val corpus = coded.select(col("vec_id") +: col("cell") +:
       (0 until m).map(s => col(s"code$s")): _*)
 
