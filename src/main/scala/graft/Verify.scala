@@ -24,7 +24,11 @@ object Verify {
     // sf0.01) — roughly halves the correctness-gate wall clock.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
-      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // dev-loop filter (driver never sets it): dump only these queries
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      val tasks = SparkEntry.queries.toSeq
+        .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
             try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

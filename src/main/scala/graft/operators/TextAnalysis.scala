@@ -101,6 +101,59 @@ object TextAnalysis {
         sum(col("nws")).as("ws_tokens"),
         sum(col("nbpe")).as("bpe_tokens"))
 
+  /** C4-style text normalization: lowercase, strip URLs, collapse
+    * whitespace runs, trim. Per-row narrow work; output carries the
+    * normalized length and an md5 digest so the oracle compares the
+    * full transform without shipping the text twice.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "https?://\\S+", ""), "\\s+", " "))
+    docs.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), length(col("norm")).as("n_chars_norm"),
+        md5(col("norm")).as("norm_md5"))
+  }
+
+  /** Gopher-style repetition signal: fraction of duplicate word
+    * 3-grams within the document. Entirely per-row (array built with
+    * transform/sequence, dup count = size − size(array_distinct)):
+    * no explode, no shuffle — the shape that scans 100 TB as a map.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    // guard size>=3: Spark sequence(1, 0) counts DOWN where DuckDB
+    // generate_series is empty
+    docs.select(col("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), transform(
+        sequence(lit(1), size(col("ts")) - 2),
+        i => concat(
+          element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1), lit(" "),
+          element_at(col("ts"), i + 2))).as("tg"))
+      .select(col("doc_id"),
+        size(col("tg")).as("n_ngrams"),
+        (size(col("tg")) - size(array_distinct(col("tg")))).as("n_dup"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_ngrams"))
+  }
+
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII scrub: count and redact email addresses and phone-number
+    * shapes (the pass every public-corpus pipeline runs before
+    * training). Redacted text is digested to md5 for the oracle.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+      md5(red).as("red_md5"))
+  }
+
   /** Winnowing document fingerprint (rolling k-gram hashes, window
     * minimum): k=8 char shingles hashed with md5, min per sliding window
     * of w=4 positions, distinct mins = the fingerprint set.

@@ -98,6 +98,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- domain-mixing sampler: per-source target keep-rates applied
+    // via a content-hash uniform — the training-mix reweighting pass
+    // (downweight crawl, keep books) with zero rand() nondeterminism.
+    // Narrow per-row filter + one aggregate; rates here cycle 0.25..1.0
+    // by source index as a stand-in for a configured mix table.
+    "q_domain_mix" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val rate = (pmod(substring(col("source"), 4, 10).cast("long"), lit(4L))
+        .cast("double") + lit(1.0)) * lit(0.25)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rate", rate)
+        .withColumn("kept", (u < col("rate")).cast("int"))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // ---- fixed-width histogram of order totals (10 × 60k buckets,
     // clamped): the token-count / length-distribution shape every corpus
     // audit runs. Bucketing is identical-IEEE floor division.
@@ -214,6 +233,16 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
+
+    "q_domain_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / CAST(4294967296.0 AS DOUBLE) AS u,
+        |    (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * CAST(0.25 AS DOUBLE) AS rate
+        |  FROM documents)
+        |SELECT source, rate, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d GROUP BY source, rate ORDER BY source""".stripMargin,
     "q_split" ->
       s"""SELECT doc_id,
          |  ${hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,

@@ -120,6 +120,22 @@ object SimilarityQueries {
         .groupBy(col("lang"), col("label"))
         .agg(count(lit(1)).as("n"), rnd(avg(col("nrm")), 5).as("avg_norm"))
         .orderBy("lang", "label")
+    }),
+
+    // embedding-cosine near-duplicate DEDUP: LSH-bucketed candidate
+    // pairs (cos >= tau), then the keep-lowest-id survivor rule — any
+    // document whose embedding near-dups a smaller doc_id is dropped.
+    // The drop set is tiny, so the final filter is a broadcast
+    // anti-join; at 100 TB the only shuffle is the LSH bucket join.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = Similarity.emb(s, dir)
+      val drops = Similarity.nearPairsLsh(e, planes, tau = 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+      val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      docs.join(e.select(col("vec_id")), docs("doc_id") === col("vec_id"))
+        .join(broadcast(drops), Seq("vec_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     }))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
@@ -467,6 +483,19 @@ object SimilarityQueries {
          |JOIN en ON d.doc_id = en.vec_id
          |JOIN embeddings e2 ON e2.vec_id = en.vec_id
          |GROUP BY d.lang, e2.label ORDER BY lang, label""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM en),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+         |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT id_b FROM p
+         |      WHERE ${cosN("va", "vb", "na", "nb")} >= 0.4)
+         |SELECT doc.doc_id, doc.lang
+         |FROM documents doc JOIN en ON doc.doc_id = en.vec_id
+         |WHERE en.vec_id NOT IN (SELECT id_b FROM d)
+         |ORDER BY doc_id""".stripMargin,
 
     "sim_near_pairs_lsh" ->
       s"""WITH $embCte,

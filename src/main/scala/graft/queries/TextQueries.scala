@@ -32,6 +32,15 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprint(docs(s, dir)).orderBy("doc_id")),
 
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(docs(s, dir)).orderBy("doc_id")),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir)).orderBy("doc_id")),
+
+    "text_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(docs(s, dir)).orderBy("doc_id")),
+
     // corpus-wide top-50 word bigrams — the n-gram frequency table every
     // corpus audit builds. Explode is narrow; one count shuffle keyed by
     // bigram; top-k via TakeOrderedAndProject (count desc, bigram ties).
@@ -75,6 +84,40 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
+
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      'https?://\S+', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS INT) AS n_chars_norm,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tg AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) AS tg
+        |  FROM toks WHERE len(ts) >= 3)
+        |SELECT doc_id, CAST(len(tg) AS INT) AS n_ngrams,
+        |  CAST(len(tg) - len(list_distinct(tg)) AS INT) AS n_dup,
+        |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_ratio
+        |FROM tg ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""WITH r AS (SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(text,
+         |      '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS red
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phoneRe}')) AS INT) AS n_phones,
+         |  md5(red) AS red_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->
       """WITH toks AS (

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Semantics pins for the round-4 text ops on SYNTHETIC inputs — the
+  * fixture corpus contains no URLs/PII, so the oracle rows only prove
+  * cross-engine digest equality; these tests prove the transforms
+  * actually normalize/redact/count what they claim to.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsOf(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("normalize strips URLs, collapses whitespace, lowercases, trims") {
+    val d = docsOf(
+      1L -> "  Visit https://example.com/a?b=c NOW\t\tplease  ",
+      2L -> "plain text")
+    val norm = d.select(col("doc_id"), trim(regexp_replace(
+      regexp_replace(lower(col("text")), "https?://\\S+", ""), "\\s+", " "))
+      .as("norm")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "visit now please")
+    assert(norm(2L) == "plain text")
+    // the shipped op emits the md5 of exactly that normalization
+    val got = TextAnalysis.normalize(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val md5Of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(1L) == md5Of("visit now please"))
+  }
+
+  test("repetition: dup 3-gram fraction; short docs excluded") {
+    val d = docsOf(
+      1L -> "a b c a b c a b c", // 7 trigrams, 3 distinct -> 4 dups
+      2L -> "all words differ here now",
+      3L -> "too short")
+    val got = TextAnalysis.repetition(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 7, 4), (2L, 3, 0)))
+  }
+
+  test("pii redaction finds and replaces emails and phone shapes") {
+    val d = docsOf(
+      1L -> "mail me at a.user+x@example.org or call +1 (555) 123-4567 ok",
+      2L -> "no pii here")
+    val out = TextAnalysis.piiRedact(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 1, 1), (2L, 0, 0)))
+    val red = d.select(regexp_replace(regexp_replace(col("text"),
+      TextAnalysis.emailRe, "<EMAIL>"), TextAnalysis.phoneRe, "<PHONE>"))
+      .as[String].collect().toSet
+    assert(red.contains("mail me at <EMAIL> or call <PHONE> ok"))
+  }
+
+  test("domain mix keeps an approximately rate-proportional subset") {
+    val rows = graft.queries.PipelineQueries.queries("q_domain_mix")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rate, total, kept) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(kept <= total)
+      // loose binomial check: small strata, just pin the direction
+      if (rate == 1.0) assert(kept == total)
+    }
+  }
+
+  test("dedup_embedding survivors = all docs minus near-dup higher ids") {
+    val all = graft.Tables.documents(spark, sf).count()
+    val survivors = graft.queries.SimilarityQueries.queries("dedup_embedding")(spark, sf)
+    val n = survivors.count()
+    assert(n <= all && n > 0)
+    // survivor set contains no id that appears as id_b in an LSH pair
+    val planes = graft.operators.Similarity.hyperplanes(8, 64, 13L)
+    val e = graft.operators.Similarity.emb(spark, sf)
+    val dropped = graft.operators.Similarity.nearPairsLsh(e, planes, 0.4)
+      .select(col("id_b")).distinct().as[Long].collect().toSet
+    val kept = survivors.select(col("doc_id")).as[Long].collect().toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.size + dropped.size == all)
+  }
+}
