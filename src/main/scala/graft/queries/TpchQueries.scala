@@ -106,6 +106,80 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // Q4 (adapted): order-priority checking — count orders in a quarter
+    // having at least one LATE lineitem. The fixture lineitem carries no
+    // commit/receipt dates, so "late" is l_shipdate > o_orderdate + 60
+    // days (documented divergence); the shape is the one that matters:
+    // correlated EXISTS realized as a left-semi join, grouped counts.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q14: promo-revenue share — fact×dim join where the aggregate is a
+    // conditional-sum ratio; part is the broadcast side
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(rnd(
+          lit(100.0) * sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("promo_revenue"))
+    }),
+
+    // Q19: discounted revenue under a DISJUNCTIVE join predicate (three
+    // brand/size/quantity bands OR-ed together) — exercises Catalyst's
+    // common-conjunct extraction: the equi-key join happens first and
+    // the OR-of-ANDs stays as a post-join filter
+    "q_tpch_q19" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val bands =
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 25) &&
+          l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#5" && p("p_size").between(1, 35) &&
+          l("l_quantity").between(20, 30))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && bands)
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+
+    // Q22 (adapted): global-sales-opportunity — customers above the
+    // (rounded) average positive balance with NO urgent orders; scalar
+    // subquery + left-anti join + grouped totals. ("No orders at all"
+    // is vacuous on these fixtures: every custkey is referenced.)
+    "q_tpch_q22" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.where(col("c_acctbal") > 0.0)
+        .agg((floor(avg(col("c_acctbal")) * lit(100.0) + lit(0.5)) / lit(100.0))
+          .as("ab"))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("ab"))
+        .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), rnd(sum(col("c_acctbal")), 2)
+          .as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // Q5: local-supplier volume per nation in ASIA — 6-table join where
     // the customer and supplier must share a nation
     "q_tpch_q5" -> ((s, dir) => {
@@ -186,6 +260,47 @@ object TpchQueries {
         |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
         |GROUP BY 1, 2, 3, 4
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT ${rndSql(
+             "100.0 * sum(CASE WHEN p_type = 'PROMO' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / " +
+               "sum(l_extendedprice * (1.0 - l_discount))", 4)} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT count(*) AS n_items,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q22" ->
+      s"""WITH ab AS (SELECT CAST(floor(avg(c_acctbal) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS ab
+         |            FROM customer WHERE c_acctbal > 0.0),
+         |u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |SELECT c_nationkey, count(*) AS numcust,
+         |  ${rndSql("sum(c_acctbal)", 2)} AS totacctbal
+         |FROM customer, ab
+         |WHERE c_acctbal > ab
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM u)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_tpch_q5" ->
       s"""SELECT n_name, count(*) AS n_items,
