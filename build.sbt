@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through raw (no [info] prefix) — the
+// bench driver parses the final stdout line as bare JSON, and sbt's
+// default logger wrapping broke that for four straight rounds.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+// and don't print "[success] Total time: ..." after the JSON line —
+// a last-line parse must land on the bench output itself
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -181,12 +181,19 @@ object ArrayKernels {
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 
   /** Optional SQL registration: graft_dot / graft_dist_sq become callable
-    * from spark.sql text.
+    * from spark.sql text. Idempotent per session — re-registering an
+    * existing temp function emits a SimpleFunctionRegistry WARN per call,
+    * which pollutes the bench stdout when a SQL-text query runs per
+    * invocation, so skip when already present.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dist_sq", exprs => SquaredDistance(exprs(0), exprs(1)), "built-in")
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_dist_sq")))
+      reg.createOrReplaceTempFunction(
+        "graft_dist_sq", exprs => SquaredDistance(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -99,16 +99,22 @@ object Assign {
   def withNearestND(df: DataFrame, vecCol: Column, cs: Seq[CentroidND],
       outCol: String): DataFrame = {
     val sorted = cs.sortBy(_.cid)
+    // temp names derived from outCol so two staged argmins can stack on
+    // one DataFrame (and a caller column named _nd0 can't collide)
+    def dName(cid: Int) = s"_${outCol}_d$cid"
+    val minName = s"_${outCol}_min"
+    require(!df.columns.exists(c => c == minName || sorted.exists(s => dName(s.cid) == c)),
+      s"withNearestND temp column collision with input schema for outCol=$outCol")
     val withDd = df.select(col("*") +: sorted.map(c =>
       graft.functions.ArrayKernels.distSqFast(vecCol, array(c.vec.map(lit(_)): _*))
-        .as(s"_nd${c.cid}")): _*)
-    val withMin = withDd.withColumn("_ndmin",
-      least(sorted.map(c => col(s"_nd${c.cid}")): _*))
+        .as(dName(c.cid))): _*)
+    val withMin = withDd.withColumn(minName,
+      least(sorted.map(c => col(dName(c.cid))): _*))
     val cid = sorted.foldRight(lit(-1)) { (c, rest) =>
-      when(col(s"_nd${c.cid}") === col("_ndmin"), lit(c.cid)).otherwise(rest)
+      when(col(dName(c.cid)) === col(minName), lit(c.cid)).otherwise(rest)
     }
     withMin.withColumn(outCol, cid)
-      .drop(sorted.map(c => s"_nd${c.cid}") :+ "_ndmin": _*)
+      .drop(sorted.map(c => dName(c.cid)) :+ minName: _*)
   }
 
   /** Expression-form assignment: adds `cluster_id` and `d2` to a 2-D point

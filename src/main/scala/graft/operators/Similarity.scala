@@ -207,15 +207,22 @@ object Similarity {
     books.zipWithIndex.foreach { case (codes, s) =>
       val sub = slice(col(vCol), s * subDim + 1, subDim)
       val sc = codes.sortBy(_.cid)
+      // temp names derived from outPrefix+subspace so they can't collide
+      // with caller columns or a second staged coding pass
+      def dName(cid: Int) = s"_${outPrefix}${s}_d$cid"
+      val minName = s"_${outPrefix}${s}_min"
+      require(!coded.columns.exists(c =>
+          c == minName || sc.exists(k => dName(k.cid) == c)),
+        s"withPqCodes temp column collision for prefix=$outPrefix$s")
       coded = coded.select(col("*") +: sc.map(c =>
           ArrayKernels.distSqFast(sub, array(c.vec.map(lit(_)): _*))
-            .as(s"_pd${c.cid}")): _*)
-        .withColumn("_pmin", least(sc.map(c => col(s"_pd${c.cid}")): _*))
+            .as(dName(c.cid))): _*)
+        .withColumn(minName, least(sc.map(c => col(dName(c.cid))): _*))
       val code = sc.foldRight(lit(-1): Column) { (c, rest) =>
-        when(col(s"_pd${c.cid}") === col("_pmin"), lit(c.cid)).otherwise(rest)
+        when(col(dName(c.cid)) === col(minName), lit(c.cid)).otherwise(rest)
       }
       coded = coded.withColumn(s"$outPrefix$s", code)
-        .drop(sc.map(c => s"_pd${c.cid}") :+ "_pmin": _*)
+        .drop(sc.map(c => dName(c.cid)) :+ minName: _*)
     }
     coded
   }

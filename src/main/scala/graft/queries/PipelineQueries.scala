@@ -106,7 +106,10 @@ object PipelineQueries {
     "q_domain_mix" -> ((s, dir) => {
       val u = conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))),
         1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
-      val rate = (pmod(substring(col("source"), 4, 10).cast("long"), lit(4L))
+      // unbounded substring (2-arg SQL form) so Spark and the DuckDB
+      // oracle's substr(source, 4) agree for any srcN suffix length;
+      // fixture sources are src0..src19 (numeric suffix) by convention
+      val rate = (pmod(expr("substring(source, 4)").cast("long"), lit(4L))
         .cast("double") + lit(1.0)) * lit(0.25)
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"))

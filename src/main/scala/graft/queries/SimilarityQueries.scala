@@ -125,15 +125,18 @@ object SimilarityQueries {
     // embedding-cosine near-duplicate DEDUP: LSH-bucketed candidate
     // pairs (cos >= tau), then the keep-lowest-id survivor rule — any
     // document whose embedding near-dups a smaller doc_id is dropped.
-    // The drop set is tiny, so the final filter is a broadcast
-    // anti-join; at 100 TB the only shuffle is the LSH bucket join.
+    // No broadcast hint on the drop set: on a crawl corpus 30-50% of
+    // documents are near-dups, so drops is O(corpus) and a forced
+    // broadcast would OOM the driver at scale. AQE picks broadcast when
+    // the runtime cardinality is actually small, shuffle anti-join
+    // (scale-safe) otherwise.
     "dedup_embedding" -> ((s, dir) => {
       val e = Similarity.emb(s, dir)
       val drops = Similarity.nearPairsLsh(e, planes, tau = 0.4)
         .select(col("id_b").as("vec_id")).distinct()
       val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"))
       docs.join(e.select(col("vec_id")), docs("doc_id") === col("vec_id"))
-        .join(broadcast(drops), Seq("vec_id"), "left_anti")
+        .join(drops, Seq("vec_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }))

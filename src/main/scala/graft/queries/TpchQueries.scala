@@ -180,6 +180,114 @@ object TpchQueries {
         .orderBy("c_nationkey")
     }),
 
+    // Q2 (adapted): minimum-cost supplier — the fixture has no partsupp,
+    // so supply cost is the observed min unit price per (part, supplier)
+    // from lineitem (documented divergence; the SHAPE is what matters:
+    // a correlated min-subquery per part, realized scale-first as a
+    // min-per-key aggregate + equality join instead of a per-row
+    // subquery). Unit price division is identical IEEE on both engines,
+    // min is order-independent, so the equality join is exact.
+    "q_tpch_q2" -> ((s, dir) => {
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val rs = cost.join(sup, cost("l_suppkey") === sup("s_suppkey"))
+      val minCost = rs.groupBy(col("l_partkey").as("mpk"))
+        .agg(min(col("cost")).as("min_cost"))
+      val p = Tables.part(s, dir)
+        .where(col("p_size").between(1, 25) && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      rs.join(minCost, rs("l_partkey") === minCost("mpk") &&
+          rs("cost") === minCost("min_cost"))
+        .join(broadcast(p), rs("l_partkey") === p("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), rnd(col("cost"), 4).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q7: volume shipping between two nations — the dual-role nation
+    // join (nation table joined twice under different keys), a
+    // symmetric pair predicate, and a year-grouped revenue rollup
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1996-12-31").cast("timestamp"))
+      Tables.supplier(s, dir)
+        .join(l, col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q13: customer order-count distribution — the LEFT-join-with-
+    // residual-predicate + double aggregation shape (customers with zero
+    // qualifying orders must survive as c_count = 0)
+    "q_tpch_q13" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q21 (adapted): suppliers who kept orders waiting — the fixture has
+    // no commit/receipt dates, so "late" is l_shipdate > o_orderdate +
+    // 60 days (same documented adaptation as Q4). The EXISTS another
+    // supplier / NOT EXISTS another LATE supplier pair is realized
+    // scale-first as ONE per-order aggregate (distinct suppliers,
+    // distinct late suppliers) joined back to the late rows — two
+    // shuffles total instead of two self-joins of the fact table.
+    "q_tpch_q21" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lo = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = lo.groupBy(col("l_orderkey").as("agg_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      lo.where(col("late"))
+        .join(perOrder, col("l_orderkey") === col("agg_ok"))
+        .where(col("nsupp") > 1 && col("nlate") === 1)
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // Q5: local-supplier volume per nation in ASIA — 6-table join where
     // the customer and supplier must share a nation
     "q_tpch_q5" -> ((s, dir) => {
@@ -301,6 +409,68 @@ object TpchQueries {
          |WHERE c_acctbal > ab
          |  AND c_custkey NOT IN (SELECT o_custkey FROM u)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_tpch_q2" ->
+      s"""WITH cost AS (SELECT l_partkey, l_suppkey,
+         |    min(l_extendedprice / l_quantity) AS cost
+         |  FROM lineitem GROUP BY 1, 2),
+         |rs AS (SELECT c.l_partkey AS pk, c.cost, s_acctbal, s_name, n_name
+         |  FROM cost c
+         |  JOIN supplier ON c.l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |mc AS (SELECT pk, min(cost) AS min_cost FROM rs GROUP BY pk)
+         |SELECT s_acctbal, s_name, n_name, p_partkey,
+         |  ${rndSql("rs.cost", 4)} AS cost
+         |FROM rs
+         |JOIN mc ON rs.pk = mc.pk AND rs.cost = mc.min_cost
+         |JOIN part ON rs.pk = p_partkey
+         |WHERE p_size BETWEEN 1 AND 25 AND p_type = 'LARGE'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate <= TIMESTAMP '1996-12-31'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q_tpch_q5" ->
       s"""SELECT n_name, count(*) AS n_items,
