@@ -20,7 +20,7 @@ object SparkEntry {
     KMeansQueries.queries ++ RelationalQueries.queries ++
       AnalyticQueries.queries ++ PipelineQueries.queries ++
       TemporalQueries.queries ++ TpchQueries.queries ++
-      SqlTextQueries.queries ++
+      SqlTextQueries.queries ++ StreamingQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries
 
@@ -32,7 +32,7 @@ object SparkEntry {
     KMeansQueries.oracleSql ++ RelationalQueries.oracleSql ++
       AnalyticQueries.oracleSql ++ PipelineQueries.oracleSql ++
       TemporalQueries.oracleSql ++ TpchQueries.oracleSql ++
-      SqlTextQueries.oracleSql ++
+      SqlTextQueries.oracleSql ++ StreamingQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

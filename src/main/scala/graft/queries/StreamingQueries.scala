@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.queries.QueryHelpers._
+import graft.streaming.EventStream
+
+/** Streaming operators under the HARD oracle gate (SURVEY §2.7): each
+  * query runs a real Structured Streaming job — file source → watermarked
+  * stateful transform → parquet file sink, Trigger.AvailableNow — then
+  * returns the sink contents for the driver's DuckDB compare.
+  *
+  * Append mode only emits state the watermark has passed, so a plain run
+  * would hold back the trailing windows/sessions and the output would
+  * depend on watermark-advance internals. Instead the staged source gets
+  * one far-future `_mark` event (30 days past max ts): the final
+  * watermark then provably passes every REAL window end / session
+  * timeout, the sink holds exactly the complete batch answer, and the
+  * marker's own rows are dropped on read (negative user_id / `_mark`
+  * type). This is also the production pattern for draining a bounded
+  * backfill through a streaming pipeline.
+  *
+  * Scale note: the streaming plans are identical to the batch twins'
+  * (same window agg, same state logic) and shard by their grouping keys;
+  * state is watermark-bounded, so a 1000-executor run holds only open
+  * windows/sessions per key — the file sink is append-only parquet.
+  */
+object StreamingQueries {
+
+  /** Copy the events fixture into a fresh dir + the far-future marker. */
+  private def stageEvents(s: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val maxNs = graft.Tables.events(s, dir)
+      .agg(max(col("ts_ns"))).head().getLong(0)
+    import s.implicits._
+    Seq((-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "_mark", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    tmp.toString
+  }
+
+  /** Drain a streaming DataFrame into a fresh parquet sink dir. */
+  private def runToParquet(df: DataFrame): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp")
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    out.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // watermarked tumbling-window agg through the file sink — the
+    // canonical streaming query, oracle = the batch q_events_window SQL
+    "stream_window_sink" -> ((s, dir) => {
+      val sink = runToParquet(EventStream.windowedAgg(
+        EventStream.readEvents(s, stageEvents(s, dir))))
+      s.read.parquet(sink)
+        .where(col("event_type") =!= "_mark")
+        .select(col("hour_epoch"), col("event_type"), col("n"),
+          rnd(col("sum_value"), 4).as("sum_value"))
+        .orderBy("hour_epoch", "event_type")
+    }),
+
+    // event-time sessionization (flatMapGroupsWithState +
+    // EventTimeTimeout, 120-min gap) through the file sink — sessions
+    // closed by in-batch gaps emit immediately, trailing ones by the
+    // marker-advanced watermark; oracle = the batch lag/running-sum
+    // sessionizer on millisecond timestamps
+    "stream_sessionize_sink" -> ((s, dir) => {
+      val sink = runToParquet(EventStream.sessionize(
+        EventStream.readEvents(s, stageEvents(s, dir)), gapMinutes = 120).toDF())
+      s.read.parquet(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+        .orderBy("user_id", "start_ms")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // identical to q_events_window: the marker makes the streamed output
+    // complete, so the oracle is the plain batch aggregation
+    "stream_window_sink" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         |  event_type, count(*) AS n, ${rndSql("sum(value)", 4)} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // batch sessionizer on ms granularity (streaming state keeps
+    // java.sql.Timestamp.getTime = epoch_us // 1000; 120 min = 7200000 ms)
+    "stream_sessionize_sink" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_ms, event_id,
+        |    CASE WHEN ts_ms - lag(ts_ms, 1) OVER w > 7200000 THEN 1
+        |         WHEN lag(ts_ms, 1) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin)
+}
