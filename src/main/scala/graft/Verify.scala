@@ -24,11 +24,16 @@ object Verify {
     // sf0.01) — roughly halves the correctness-gate wall clock.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
-      // dev-loop filter (driver never sets it): dump only these queries
+      // dev-loop filters (driver never sets them): dump only these /
+      // all-but-these queries — SKIP exists for derived-scale runs where
+      // the declared brute-force baselines are intentionally excluded
       val only = sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      val skip = sys.env.get("SPARK_GRAFT_SKIP")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
       val tasks = SparkEntry.queries.toSeq
-        .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+        .filter(q => (only.isEmpty || only(q._1)) && !skip(q._1))
+        .map { case (name, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
             try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -97,12 +97,19 @@ object Assign {
     * is referenced twice (in `least` and in its CASE arm).
     */
   def withNearestND(df: DataFrame, vecCol: Column, cs: Seq[CentroidND],
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    withNearestNDFull(df, vecCol, cs, outCol, d2Col = None)
+
+  /** Like [[withNearestND]] but optionally also keeps the winning squared
+    * distance as `d2Col` (the SSE input for fit-style queries).
+    */
+  def withNearestNDFull(df: DataFrame, vecCol: Column, cs: Seq[CentroidND],
+      outCol: String, d2Col: Option[String]): DataFrame = {
     val sorted = cs.sortBy(_.cid)
     // temp names derived from outCol so two staged argmins can stack on
     // one DataFrame (and a caller column named _nd0 can't collide)
     def dName(cid: Int) = s"_${outCol}_d$cid"
-    val minName = s"_${outCol}_min"
+    val minName = d2Col.getOrElse(s"_${outCol}_min")
     require(!df.columns.exists(c => c == minName || sorted.exists(s => dName(s.cid) == c)),
       s"withNearestND temp column collision with input schema for outCol=$outCol")
     val withDd = df.select(col("*") +: sorted.map(c =>
@@ -114,7 +121,7 @@ object Assign {
       when(col(dName(c.cid)) === col(minName), lit(c.cid)).otherwise(rest)
     }
     withMin.withColumn(outCol, cid)
-      .drop(sorted.map(c => dName(c.cid)) :+ minName: _*)
+      .drop(sorted.map(c => dName(c.cid)) ++ (if (d2Col.isEmpty) Seq(minName) else Nil): _*)
   }
 
   /** Expression-form assignment: adds `cluster_id` and `d2` to a 2-D point

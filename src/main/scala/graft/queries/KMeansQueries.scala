@@ -139,6 +139,92 @@ object KMeansQueries {
        |FROM a${iters + 1} GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  // ---- unrolled ND fit (64-dim embeddings, K=4, 3 iterations) ----
+
+  private val NdK = 4
+  private val NdDim = 64
+  private val NdIters = 3
+
+  private def ndInit: Seq[CentroidND] =
+    Centroids.randomInitND(NdK, NdDim, seed = 42L, -0.5, 0.5)
+
+  private def ndPoints(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecFunctions.toDoubleArray
+    Tables.embeddings(s, dir).select(toDoubleArray(col("embedding")).as("v"))
+  }
+
+  /** ND twin of [[unrolledCentroids]]: per-iteration group means of all
+    * 64 dims rounded at 4dp (floor form) become the next iteration's
+    * plan literals. Empty clusters drop out of the collected set exactly
+    * like the 2-D form.
+    */
+  private def unrolledCentroidsND(s: SparkSession, dir: String): Seq[CentroidND] = {
+    val pts = ndPoints(s, dir)
+    var cs = ndInit
+    for (_ <- 1 to NdIters) {
+      val aggs = (0 until NdDim).map(i => rnd(avg(col("v")(i)), 4).as(s"c$i"))
+      cs = Assign.withNearestND(pts, col("v"), cs, "cid")
+        .groupBy(col("cid")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => CentroidND(r.getInt(0),
+          Array.tabulate(NdDim)(i => r.getDouble(i + 1))))
+        .toSeq.sortBy(_.cid)
+    }
+    cs
+  }
+
+  /** SQL twin: same CROSS-JOIN-pivot trick as [[unrolledOracleSql]], with
+    * the per-centroid distance written as the ascending left-associative
+    * 64-term sum the SquaredDistance kernel evaluates.
+    */
+  private def unrolledOracleSqlND: String = {
+    val sorted = ndInit
+    val cids = sorted.map(_.cid)
+    val leastArgs = cids.map(k => s"dd$k").mkString(", ")
+    val caseArms = cids.map(k => s"WHEN dd$k = dmin THEN $k").mkString(" ")
+    def distTerms(term: Int => String): String =
+      (0 until NdDim).map { j =>
+        val c = term(j)
+        s"(v[${j + 1}] - $c)*(v[${j + 1}] - $c)"
+      }.mkString(" + ")
+    def dCte(i: Int, src: String, c: (Int, Int) => String): String = {
+      val dcols = cids.map(k => s"${distTerms(j => c(k, j))} AS dd$k")
+        .mkString(",\n        ")
+      s"d$i AS (SELECT v,\n        $dcols\n      FROM $src)"
+    }
+    def nCte(i: Int) = s"n$i AS (SELECT *, least($leastArgs) AS dmin FROM d$i)"
+    def aCte(i: Int) =
+      s"a$i AS (SELECT v, dmin, CAST(CASE $caseArms ELSE -1 END AS INT) AS cluster_id FROM n$i)"
+    def gCte(i: Int) = {
+      val means = (0 until NdDim)
+        .map(j => s"${rndSql(s"avg(v[${j + 1}])", 4)} AS c$j").mkString(", ")
+      s"g$i AS (SELECT cluster_id, $means FROM a$i GROUP BY cluster_id)"
+    }
+    def wCte(i: Int) = {
+      val cols = cids.flatMap(k => (0 until NdDim).map(j =>
+        s"max(CASE WHEN cluster_id = $k THEN c$j END) AS cx${k}_$j"))
+        .mkString(",\n        ")
+      s"w$i AS (SELECT\n        $cols\n      FROM g$i)"
+    }
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "p AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)")
+    for (i <- 1 to NdIters + 1) {
+      if (i == 1)
+        ctes += dCte(1, "p",
+          (k, j) => Centroids.sqlDouble(sorted.find(_.cid == k).get.vec(j)))
+      else
+        ctes += dCte(i, s"p CROSS JOIN w${i - 1}", (k, j) => s"cx${k}_$j")
+      ctes += nCte(i); ctes += aCte(i)
+      if (i <= NdIters) { ctes += gCte(i); ctes += wCte(i) }
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT cluster_id, count(*) AS cnt,
+       |       ${rndSql("avg(v[1])", 4)} AS new_c0,
+       |       ${rndSql("avg(v[2])", 4)} AS new_c1,
+       |       ${rndSql("sum(dmin) / 1e3", 2)} AS sse_e3
+       |FROM a${NdIters + 1} GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1 — scan + projection; Catalyst prunes the parquet scan to 4 cols
     "kmeans_scan_points" -> ((s, dir) =>
@@ -245,6 +331,22 @@ object KMeansQueries {
         .orderBy("cluster_id")
     }),
 
+    // §3.1 extended to the ND path: 3 unrolled Lloyd iterations on the
+    // 64-dim embeddings from seeded literals (K=4), then the step stats
+    // of the resulting model — the hash-checked twin of the
+    // free-convergence kmeans_fit_nd.
+    "kmeans_fit_nd_unrolled" -> ((s, dir) => {
+      val cs = unrolledCentroidsND(s, dir)
+      Assign.withNearestNDFull(ndPoints(s, dir), col("v"), cs,
+          "cluster_id", d2Col = Some("dmin"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cnt"),
+          rnd(avg(col("v")(0)), 4).as("new_c0"),
+          rnd(avg(col("v")(1)), 4).as("new_c1"),
+          rnd(sum(col("dmin")) / lit(1e3), 2).as("sse_e3"))
+        .orderBy("cluster_id")
+    }),
+
     // Full iterative fit — not SQL-expressible (driver loop above
     // Catalyst, SURVEY §7.5); rows-only check here, cross-checked against
     // MLlib in ScalaTest.
@@ -320,6 +422,8 @@ object KMeansQueries {
          |FROM c LEFT JOIN g ON g.cluster_id = c.cid ORDER BY cluster_id""".stripMargin,
 
     "kmeans_fit_unrolled" -> unrolledOracleSql(Centroids.k2d, iters = 2),
+
+    "kmeans_fit_nd_unrolled" -> unrolledOracleSqlND,
 
     "kmeans_repair_rerandomize" -> {
       val r = new java.util.Random(RerandSeed)

@@ -28,12 +28,21 @@ import graft.streaming.EventStream
   */
 object StreamingQueries {
 
-  /** Copy the events fixture into a fresh dir + the far-future marker. */
+  /** Copy the events fixture into a fresh dir + the far-future marker.
+    * The fixture may be a single parquet file or a directory of part
+    * files (derived scale factors) — stage whichever shape exists.
+    */
   private def stageEvents(s: SparkSession, dir: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f, tmp.resolve(f.getFileName.toString))
+      }
+    } else java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
     val maxNs = graft.Tables.events(s, dir)
       .agg(max(col("ts_ns"))).head().getLong(0)
     import s.implicits._

@@ -8,7 +8,7 @@ matching SQL from oracle_sql.json in DuckDB against the same fixture
 tables, and compares schema + row values exactly (column order normalized
 by name, like the driver).
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -17,10 +17,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # derived scale dirs (tools/MakeScale) store tables as parquet
+        # DIRECTORIES named <t>.parquet — glob the part files
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    # derived events keep ts as BIGINT nanos (the shape Spark reads under
+    # nanosAsLong); the oracle SQL expects TIMESTAMP like the driver
+    # fixtures (TIMESTAMP(NANOS) → µs), so normalize the view to match
+    ts_type = {r[0]: r[1] for r in con.execute("DESCRIBE events").fetchall()}
+    if ts_type.get("ts") == "BIGINT":
+        epath = f"{sf_dir}/events.parquet"
+        esrc = f"'{epath}/*.parquet'" if os.path.isdir(epath) else f"'{epath}'"
+        con.execute("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM {esrc}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
