@@ -288,6 +288,183 @@ object TpchQueries {
         .limit(100)
     }),
 
+    // Q8: national market share — 7-table join with the nation table in
+    // two roles, a region filter on the CUSTOMER side, and a
+    // conditional-share ratio per order year. Ratio of two same-group
+    // sums → 6dp rounding absorbs accumulation-order noise.
+    "q_tpch_q8" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(rnd(sum(when(col("supp_nation") === "NATION_5", col("volume"))
+            .otherwise(lit(0.0))) / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Q9 (adapted): product-type profit — the fixture has no partsupp,
+    // so supply cost is p_retailprice * l_quantity * 0.1 (documented
+    // divergence; the shape — 6-table join, LIKE filter, signed profit
+    // aggregated by supplier nation × year — is what matters)
+    "q_tpch_q9" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val n = Tables.nation(s, dir)
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("amount",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.1))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(rnd(sum(col("amount")), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11 (adapted): important parts — "inventory value" is the shipped
+    // value sum(l_extendedprice * l_quantity) of NATION_7 suppliers per
+    // part (no partsupp); parts whose value exceeds 0.1% of the total,
+    // i.e. the HAVING-over-scalar-subquery shape
+    "q_tpch_q11" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value"))
+      val total = vals.agg(sum(col("value")).as("tot"))
+      vals.crossJoin(broadcast(total))
+        .where(col("value") > col("tot") * lit(0.001))
+        .select(col("l_partkey"), rnd(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // Q12 (adapted): late-shipment priority distribution — no
+    // l_shipmode/receiptdate in the fixture, so the "mode" is
+    // l_returnflag and "late" is the Q4 definition (shipdate >
+    // orderdate + 60 days); the shape is the two conditional counts
+    "q_tpch_q12" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q15: top supplier by quarterly revenue — the revenue-view + max
+    // scalar-subquery shape. Revenue is rounded at 2dp on BOTH engines
+    // BEFORE the max/equality so accumulation order can't flip the tie.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q16 (adapted): supplier-part relationship counts — the observed
+    // (part, supplier) pairs from lineitem stand in for partsupp;
+    // "complaint" suppliers are those with negative balance. Exercises
+    // distinct-count after a distinct pair projection + anti filter.
+    "q_tpch_q16" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir).where(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey").as("bad_key"))
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").between(1, 8))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Q17: small-quantity revenue — correlated per-part average realized
+    // as an aggregate + self-join. l_quantity is integral, so the
+    // per-part avg (exact sum / count) and the 0.2× threshold are
+    // bit-identical cross-engine; only the final price sum needs
+    // rounding.
+    "q_tpch_q17" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).where(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val avgQ = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("ap_key"))
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("qlim"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(avgQ), l("l_partkey") === avgQ("ap_key"))
+        .where(col("l_quantity") < col("qlim"))
+        .agg(rnd(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    }),
+
+    // Q20 (adapted): a part's dominant supplier — suppliers that are the
+    // TOP shipper (by quantity, exact integral sums so ties are
+    // deterministic cross-engine) of at least one '%bolt%' part, then
+    // restricted to NATION_9; the nested correlated-subquery semi-join
+    // shape of the original, scale-free at any SF
+    "q_tpch_q20" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"))
+      val shipped = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val totals = shipped.groupBy(col("l_partkey").as("tp_key"))
+        .agg(max(col("sq")).as("mx"))
+      val big = shipped.join(totals, col("l_partkey") === col("tp_key"))
+        .where(col("sq") === col("mx"))
+        .select(col("l_suppkey").as("big_key")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(big, col("s_suppkey") === col("big_key"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
     // Q5: local-supplier volume per nation in ASIA — 6-table join where
     // the customer and supplier must share a nation
     "q_tpch_q5" -> ((s, dir) => {
@@ -471,6 +648,120 @@ object TpchQueries {
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${rndSql(
+             "sum(CASE WHEN n2.n_name = 'NATION_5' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) / " +
+               "sum(l_extendedprice * (1.0 - l_discount))", 6)} AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate <= TIMESTAMP '1996-12-31'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${rndSql(
+             "sum(l_extendedprice * (1.0 - l_discount) - " +
+               "p_retailprice * l_quantity * 0.1)", 2)} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      s"""WITH vals AS (
+         |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, ${rndSql("value", 2)} AS value
+         |FROM vals
+         |WHERE value > (SELECT sum(value) FROM vals) * 0.001
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size BETWEEN 1 AND 8
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""WITH avgq AS (
+         |  SELECT l_partkey AS ap_key, avg(l_quantity) * 0.2 AS qlim
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'
+         |  GROUP BY l_partkey)
+         |SELECT ${rndSql("sum(l_extendedprice) / 7.0", 2)} AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN avgq ON l_partkey = ap_key
+         |WHERE p_brand = 'Brand#23' AND l_quantity < qlim""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |  GROUP BY l_partkey, l_suppkey),
+        |totals AS (SELECT l_partkey AS tp_key, max(sq) AS mx
+        |  FROM shipped GROUP BY l_partkey),
+        |big AS (SELECT DISTINCT l_suppkey FROM shipped
+        |  JOIN totals ON l_partkey = tp_key WHERE sq = mx)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM big)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch_q5" ->
       s"""SELECT n_name, count(*) AS n_items,
