@@ -24,15 +24,19 @@ object Bench {
     // session would have amortized anyway). Round-2 profiling showed the
     // top cold numbers were exactly this JIT cost (minhash 14.5 s cold
     // vs 3.5 s warm at sf0.1).
-    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 benches just those queries
+    // dev-loop filters: SPARK_GRAFT_ONLY=q1,q2 benches just those
+    // queries; SPARK_GRAFT_SKIP excludes (derived-scale runs drop the
+    // declared brute-force baselines)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
         SparkEntry.queries.toSeq
-          .filter { case (n, _) => only.isEmpty || only(n) }
+          .filter { case (n, _) => (only.isEmpty || only(n)) && !skip(n) }
           .map { case (_, fn) =>
           pool.submit(new Runnable {
             override def run(): Unit =
@@ -46,7 +50,8 @@ object Bench {
     // that scales with data volume)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+      .filter(q => (only.isEmpty || only(q._1)) && !skip(q._1))
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -80,12 +85,13 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     val headline = Set(
-      "q1_agg", "q_tpch_q1", "q_tpch_q5", "q_tpch_q18", "q_join_agg",
+      "q1_agg", "q_tpch_q1", "q_tpch_q5", "q_tpch_q18", "q_tpch_q9",
+      "q_tpch_q21", "q_join_agg",
       "q_window_suite", "q_sessionize", "kmeans_fit", "kmeans_step",
       "kmeans_mllib", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_simhash_hamming", "sim_near_pairs_lsh",
       "sim_ann_ivf", "sim_ivf_pq_bt", "text_tokens", "text_quality",
-      "mm_features", "pipeline_e2e")
+      "mm_features", "pipeline_e2e", "stream_window_sink")
     val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2, headline)},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},"detail":"bench_detail.json","sf":"$sfDir"}"""
     // If the headline subset ever outgrows the driver's ~2.5KB stdout
     // capture, fall back to a totals-only line rather than throwing away

