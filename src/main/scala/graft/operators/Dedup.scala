@@ -101,7 +101,7 @@ object Dedup {
     // the life of the session (Bench runs every query twice)
     if (!eager) return out
     val res = out.localCheckpoint(true)
-    ss.unpersist()
+    ss.unpersist(blocking = true)
     res
   }
 
@@ -259,9 +259,9 @@ object Dedup {
     // caches — see jaccardPairs note
     if (!eager) return out
     val res = out.localCheckpoint(true)
-    mh.unpersist()
-    cand.unpersist()
-    sets.unpersist()
+    mh.unpersist(blocking = true)
+    cand.unpersist(blocking = true)
+    sets.unpersist(blocking = true)
     res
   }
 
@@ -360,7 +360,41 @@ object Dedup {
       .where(col("ham") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("ham"))
     val res = out.localCheckpoint(true)
-    fp.unpersist()
+    fp.unpersist(blocking = true)
+    res
+  }
+
+  /** Connected components over a near-dup pair set via FIXED-iteration
+    * hash-min label propagation: every member starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels. `iters` rounds resolve any component of
+    * diameter ≤ iters; the iteration count is FIXED (not
+    * run-to-convergence) so the result is deterministic and the oracle
+    * can replay the identical rounds as unrolled CTEs. Near-dup
+    * components are dense (near-cliques from LSH buckets), so small
+    * fixed iteration counts are exact in practice.
+    *
+    * Scale shape: each round is one equi-join on the edge list + one
+    * min-aggregate — O(|E|) shuffled per round, the textbook
+    * distributed CC. (At extreme diameters large-star/small-star
+    * halves round counts; not needed for dedup graphs.) Returns
+    * (d, lbl): member doc → component label (= min doc id within
+    * iters hops).
+    */
+  def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = e.select(col("u").as("d")).distinct()
+      .withColumn("lbl", col("d"))
+    for (_ <- 1 to iters) {
+      val viaNbr = e.join(labels, e("v") === labels("d"))
+        .select(e("u").as("d"), col("lbl"))
+      labels = labels.unionAll(viaNbr)
+        .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
+    }
+    val res = labels.localCheckpoint(true)
+    e.unpersist(blocking = true)
     res
   }
 }

@@ -176,4 +176,38 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), min(col("wh")).as("fp_min"))
   }
+
+  /** Top-k characteristic terms per probe doc by tf·idf-style weight.
+    *
+    * The idf factor is the BM25-ish odds ratio (N − df + 0.5)/(df + 0.5)
+    * rather than a logarithm: ln/log are not guaranteed bit-identical
+    * across engines (library last-ulp differences), while this form is
+    * pure rational arithmetic over exact integer counts — identical
+    * IEEE on both engines, so ranking ties can't flip.
+    *
+    * Scale shape: term frequencies explode only the PROBE docs; document
+    * frequencies aggregate the corpus once keyed by term (map-side
+    * combined after the per-doc distinct); the join carries |probe
+    * terms| rows. At 100 TB the df table is the only corpus-wide pass.
+    */
+  def tfidfTopK(docs: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
+    val tf = toks(docs.where(col("doc_id") < nProbe))
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = toks(docs)
+      .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        (col("nd").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
 }

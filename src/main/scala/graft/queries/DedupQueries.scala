@@ -49,6 +49,20 @@ object DedupQueries {
       Dedup.simhashPairs(docs(s, dir), maxHam = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // near-dup CLUSTERING: connected components over the verified
+    // simhash-Hamming pairs via 6 fixed hash-min label-propagation
+    // rounds — pairs → clusters → one survivor per cluster is the full
+    // production dedup flow (keep cluster_id = min member). Output is
+    // the per-cluster profile.
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(docs(s, dir), maxHam = 3)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(pairs, iters = 6)
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("csize"), max(col("d")).as("max_d"))
+        .orderBy("cluster_id")
+    }),
+
     // edit-distance fuzzy-neighbor profile: a 2% hash-sampled probe set,
     // blocked on (lang, length-bucket), levenshtein over 32-char
     // prefixes; per probe doc emit its candidate count, closest distance
@@ -151,7 +165,39 @@ object DedupQueries {
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Unrolled hash-min label propagation over the verified
+    * simhash-Hamming pairs — the SQL twin of
+    * [[graft.operators.Dedup.connectedComponents]] with the identical
+    * fixed round count.
+    */
+  private def clusterSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT d, min(lbl) AS lbl FROM (
+         |  SELECT d, lbl FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT e.u AS d, l.lbl FROM e JOIN l${i - 1} l ON l.d = e.v
+         |) GROUP BY d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashCtes,
+       |blocks AS (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS k
+       |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
+       |                y.doc_id AS doc_b, y.fp AS fp_b
+       |         FROM blocks x JOIN blocks y
+       |           ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+       |p AS (SELECT doc_a, doc_b FROM cand
+       |      WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
+       |l0 AS (SELECT DISTINCT u AS d, u AS lbl FROM e),
+       |$rounds
+       |SELECT lbl AS cluster_id, count(*) AS csize, max(d) AS max_d
+       |FROM l$iters GROUP BY lbl ORDER BY cluster_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_cluster" -> clusterSql(6),
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(lower(text)) AS h
         |FROM documents GROUP BY md5(lower(text)) ORDER BY keep_id""".stripMargin,

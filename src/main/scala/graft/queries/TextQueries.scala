@@ -41,6 +41,15 @@ object TextQueries {
     "text_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(docs(s, dir)).orderBy("doc_id")),
 
+    // top-3 characteristic terms per probe doc (tf × rational-idf) —
+    // the keyword-extraction pass of a corpus audit; score is exact
+    // rational arithmetic so the ranking is engine-independent
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), nProbe = 20, k = 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          QueryHelpers.rnd(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rk")),
+
     // corpus-wide top-50 word bigrams — the n-gram frequency table every
     // corpus audit builds. Explode is narrow; one count shuffle keyed by
     // bigram; top-k via TakeOrderedAndProject (count desc, bigram ties).
@@ -84,6 +93,27 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
+
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> t <> '') AS ts
+         |  FROM documents),
+         |tf AS (SELECT doc_id, unnest(ts) AS term FROM toks WHERE doc_id < 20),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM (
+         |  SELECT doc_id, unnest(list_distinct(ts)) AS term FROM toks) u
+         |  GROUP BY term),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5) AS score
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, term, tf, df, ${QueryHelpers.rndSql("score", 4)} AS score
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,

@@ -83,4 +83,35 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.intersect(dropped).isEmpty)
     assert(kept.size + dropped.size == all)
   }
+
+  test("connectedComponents labels chains and keeps components separate") {
+    // path 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 9) // members only — no singleton inflation
+  }
+
+  test("tfidf ranks a term unique to the probe doc above corpus-wide terms") {
+    val d = docsOf(
+      0L -> "zebra common common common",
+      1L -> "common words only here",
+      2L -> "common words only here",
+      3L -> "common words only here")
+    val top = graft.operators.TextAnalysis.tfidfTopK(d, nProbe = 1, k = 2)
+      .orderBy("rk").collect()
+    // zebra: df=1 beats common: df=4 even at tf=3
+    assert(top(0).getAs[String]("term") == "zebra")
+    assert(top(1).getAs[String]("term") == "common")
+    val sZebra = top(0).getAs[Double]("score")
+    val sCommon = top(1).getAs[Double]("score")
+    assert(sZebra > sCommon)
+    // rational idf, not log: score = tf * (N - df + 0.5) / (df + 0.5)
+    assert(math.abs(sZebra - 1.0 * (4 - 1 + 0.5) / 1.5) < 1e-12)
+    assert(math.abs(sCommon - 3.0 * (4 - 4 + 0.5) / 4.5) < 1e-12)
+  }
 }
