@@ -120,6 +120,26 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- training-sequence PACKING: assign docs to fixed-token-budget
+    // sequences by running token count, packed independently per source
+    // (the per-source partition is what scales — each source's cumsum is
+    // its own window partition, no global sort). seq_id = floor(tokens
+    // before this doc / budget); exact integer arithmetic end-to-end.
+    "pipeline_pack" -> ((s, dir) => {
+      val budget = 256L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            .cast("long").as("nt"))
+        .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"cum_before DIV $budget"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+        .orderBy("source", "seq_id")
+    }),
+
     // ---- fixed-width histogram of order totals (10 × 60k buckets,
     // clamped): the token-count / length-distribution shape every corpus
     // audit runs. Bucketing is identical-IEEE floor division.
@@ -236,6 +256,19 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
+
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, nt,
+        |    CAST(COALESCE(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT source, CAST(cum_before // 256 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
 
     "q_domain_mix" ->
       """WITH d AS (SELECT doc_id, source,

@@ -77,6 +77,32 @@ object StreamingQueries {
         .orderBy("hour_epoch", "event_type")
     }),
 
+    // watermark-bounded streaming exact-dedup through the file sink —
+    // the source is staged TWICE (every event arrives duplicated, the
+    // realistic at-least-once ingest shape) and dropDuplicates emits
+    // each (event_id, ts) once; oracle = the plain events table.
+    // Dedup emits rows as they FIRST arrive (no watermark holdback), so
+    // no marker is needed; state is watermark-bounded per the 2h horizon.
+    "stream_dedup_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      def copyTo(suffix: String): Unit =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val it = java.nio.file.Files.list(src).iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.copy(f,
+                tmp.resolve(s"$suffix-${f.getFileName.toString}"))
+          }
+        } else java.nio.file.Files.copy(src, tmp.resolve(s"$suffix.parquet"))
+      copyTo("a"); copyTo("b")
+      val sink = runToParquet(EventStream.dedupStream(
+          EventStream.readEvents(s, tmp.toString))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")))
+      s.read.parquet(sink).orderBy("event_id")
+    }),
+
     // event-time sessionization (flatMapGroupsWithState +
     // EventTimeTimeout, 120-min gap) through the file sink — sessions
     // closed by in-batch gaps emit immediately, trailing ones by the
@@ -98,6 +124,11 @@ object StreamingQueries {
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          |  event_type, count(*) AS n, ${rndSql("sum(value)", 4)} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // the duplicated stream collapses back to the events table exactly
+    "stream_dedup_sink" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // batch sessionizer on ms granularity (streaming state keeps
     // java.sql.Timestamp.getTime = epoch_us // 1000; 120 min = 7200000 ms)
