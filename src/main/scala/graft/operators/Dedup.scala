@@ -390,11 +390,16 @@ object Dedup {
     for (_ <- 1 to iters) {
       val viaNbr = e.join(labels, e("v") === labels("d"))
         .select(e("u").as("d"), col("lbl"))
+      // eager per-round checkpoint: the label table is tiny (one row per
+      // member), but without lineage truncation every round's plan
+      // re-nests the previous rounds' joins and PLANNING grows
+      // superlinearly (measured 10.3 s for 6 rounds at sf0.1 vs ~3 s
+      // flat) — the iterative-algorithm twin of the staged-argmin lesson
       labels = labels.unionAll(viaNbr)
         .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
     }
-    val res = labels.localCheckpoint(true)
     e.unpersist(blocking = true)
-    res
+    labels
   }
 }
