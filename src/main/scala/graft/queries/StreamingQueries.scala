@@ -103,6 +103,20 @@ object StreamingQueries {
       s.read.parquet(sink).orderBy("event_id")
     }),
 
+    // stream-STREAM interval join through the file sink: clicks join
+    // purchases by the same user within the preceding hour, both sides
+    // watermarked (the two-sided event-time bound is what lets the state
+    // store evict — the unbounded form would grow forever). Inner joins
+    // emit on match, so the sink holds the complete batch answer with no
+    // marker; oracle = the batch interval join.
+    "stream_join_sink" -> ((s, dir) => {
+      val sink = runToParquet(EventStream.clickPurchaseJoin(
+        EventStream.readEvents(s, stageEvents(s, dir))))
+      s.read.parquet(sink)
+        .select(col("c_event"), col("p_event"), col("user_id"))
+        .orderBy("c_event", "p_event")
+    }),
+
     // event-time sessionization (flatMapGroupsWithState +
     // EventTimeTimeout, 120-min gap) through the file sink — sessions
     // closed by in-batch gaps emit immediately, trailing ones by the
@@ -129,6 +143,17 @@ object StreamingQueries {
     "stream_dedup_sink" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the batch interval join (the marker is neither click nor purchase)
+    "stream_join_sink" ->
+      """WITH c AS (SELECT event_id AS c_event, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c_event, p_event, user_id
+        |FROM c JOIN p ON user_id = p_user
+        |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
+        |ORDER BY c_event, p_event""".stripMargin,
 
     // batch sessionizer on ms granularity (streaming state keeps
     // java.sql.Timestamp.getTime = epoch_us // 1000; 120 min = 7200000 ms)

@@ -61,6 +61,24 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ORC source round-trips lineitem content and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc-rt").toString
+    val li = Tables.lineitem(spark, sf)
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.columns.toSeq == li.columns.toSeq)
+    // content digest: counts + exact integral sum + double sum at 2dp
+    def digest(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)), sum(col("l_quantity")),
+      floor(sum(col("l_extendedprice")) / 100.0)).head()
+    assert(digest(back) == digest(li))
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.where(col("l_quantity") < 5.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
+
   test("range-partitioned layout: per-file min/max ranges are disjoint (enables file skipping)") {
     val dir = java.nio.file.Files.createTempDirectory("clustered").toString
     Tables.lineitem(spark, sf)
