@@ -364,6 +364,30 @@ object Dedup {
     res
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * pretraining pipeline runs: for each corpus doc, the fraction of its
+    * distinct 8-char shingle hashes that appear in the benchmark set
+    * (here: docs with id < benchIds stand in for the held-out eval
+    * suite). Scale shape: the benchmark shingle set is SMALL and
+    * broadcast; the corpus side is one narrow shingle pass + a map-side
+    * counted join — no corpus-side shuffle beyond the per-doc count.
+    * Returns (doc_id, nsh, inter) for contaminated docs only
+    * (inter > 0); ratio computation is left to the caller so rounding
+    * stays at the query layer.
+    */
+  def contamination(docs: DataFrame, benchIds: Long, n: Int = 8): DataFrame = {
+    val sets = shingleHashArray(docs, n)
+      .select(col("doc_id"), array_distinct(col("hs")).as("shs"))
+    val bench = sets.where(col("doc_id") < benchIds)
+      .select(explode(col("shs")).as("h")).distinct()
+    val corpus = sets.where(col("doc_id") >= benchIds)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("nsh"),
+        explode(col("shs")).as("h"))
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("nsh"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   /** Connected components over a near-dup pair set via FIXED-iteration
     * hash-min label propagation: every member starts labeled with its
     * own id; each round every node takes the min of its own and its

@@ -63,6 +63,15 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // benchmark decontamination: per-doc overlap of distinct shingle
+    // hashes with the benchmark set (docs 0..9 as the eval-suite
+    // stand-in); only contaminated docs (inter > 0) are reported
+    "dedup_contamination" -> ((s, dir) =>
+      Dedup.contamination(docs(s, dir), benchIds = 10L)
+        .withColumn("ratio",
+          rnd(col("inter").cast("double") / col("nsh"), 6))
+        .orderBy("doc_id")),
+
     // edit-distance fuzzy-neighbor profile: a 2% hash-sampled probe set,
     // blocked on (lang, length-bucket), levenshtein over 32-char
     // prefixes; per probe doc emit its candidate count, closest distance
@@ -197,6 +206,24 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_cluster" -> clusterSql(6),
+
+    "dedup_contamination" -> {
+      import graft.operators.Dedup.{MinhashP => P}
+      s"""WITH ${ssetsCte(8)},
+         |hset AS (SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm
+         |  FROM ssets),
+         |bench AS (SELECT DISTINCT hm FROM hset WHERE doc_id < 10),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM hset
+         |  WHERE doc_id >= 10 GROUP BY doc_id),
+         |it AS (SELECT h.doc_id, count(*) AS inter
+         |  FROM hset h JOIN bench b ON h.hm = b.hm
+         |  WHERE h.doc_id >= 10 GROUP BY h.doc_id)
+         |SELECT i.doc_id, s.nsh, i.inter,
+         |  ${rndSql("CAST(i.inter AS DOUBLE) / s.nsh", 6)} AS ratio
+         |FROM it i JOIN sizes s ON s.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(lower(text)) AS h

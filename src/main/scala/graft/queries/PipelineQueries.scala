@@ -120,6 +120,26 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- per-ROW weighted (importance) sampling: keep probability
+    // proportional to capped document length, decided by a content-hash
+    // uniform — the quality-weighted subsampling pass. Both the uniform
+    // (32-bit hash / 2^32) and the weight (min(n_chars,2000)/2000) are
+    // exact rationals, so the keep decision is bit-identical
+    // cross-engine with zero rand().
+    "q_weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("ws"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val w = least(col("n_chars").cast("double"), lit(2000.0)) / lit(2000.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", w)
+        .withColumn("kept", (u < col("w")).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+          rnd(avg(col("w")), 6).as("avg_w"))
+        .orderBy("source")
+    }),
+
     // ---- training-sequence PACKING: assign docs to fixed-token-budget
     // sequences by running token count, packed independently per source
     // (the per-source partition is what scales — each source's cumsum is
@@ -256,6 +276,17 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
+
+    "q_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |    CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      / CAST(4294967296.0 AS DOUBLE) AS u,
+         |    least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0 AS w
+         |  FROM documents)
+         |SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${rndSql("avg(w)", 6)} AS avg_w
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id, source,
