@@ -368,24 +368,38 @@ object Dedup {
     * pretraining pipeline runs: for each corpus doc, the fraction of its
     * distinct 8-char shingle hashes that appear in the benchmark set
     * (here: docs with id < benchIds stand in for the held-out eval
-    * suite). Scale shape: the benchmark shingle set is SMALL and
-    * broadcast; the corpus side is one narrow shingle pass + a map-side
-    * counted join — no corpus-side shuffle beyond the per-doc count.
-    * Returns (doc_id, nsh, inter) for contaminated docs only
+    * suite). Scale shape: the benchmark shingle set is SMALL by
+    * definition (the held-out eval suite, not the corpus), so it is
+    * reduced to ONE sorted long array and broadcast; the corpus side is
+    * then a single narrow map — sorted-merge intersect per doc via the
+    * codegen'd [[graft.functions.SortedIntersectCount]] kernel. Zero
+    * corpus-side explode, zero shuffle beyond the source scan (the
+    * earlier explode→join→groupBy form re-shuffled one row per corpus
+    * shingle — ~50× the doc count — and recomputed the shingle pass for
+    * the bench branch; this form computes shingles once, cached across
+    * the two branches). A bench set beyond single-array broadcast budget
+    * would stage as a sorted broadcast TABLE instead — same merge, same
+    * semantics. Returns (doc_id, nsh, inter) for contaminated docs only
     * (inter > 0); ratio computation is left to the caller so rounding
     * stays at the query layer.
     */
   def contamination(docs: DataFrame, benchIds: Long, n: Int = 8): DataFrame = {
+    import graft.functions.ArrayKernels
     val sets = shingleHashArray(docs, n)
       .select(col("doc_id"), array_distinct(col("hs")).as("shs"))
-    val bench = sets.where(col("doc_id") < benchIds)
-      .select(explode(col("shs")).as("h")).distinct()
-    val corpus = sets.where(col("doc_id") >= benchIds)
+      .cache()
+    val benchArr = sets.where(col("doc_id") < benchIds)
+      .agg(sort_array(array_distinct(flatten(collect_list(col("shs")))))
+        .as("bench"))
+    val out = sets.where(col("doc_id") >= benchIds)
+      .crossJoin(broadcast(benchArr))
       .select(col("doc_id"), size(col("shs")).cast("long").as("nsh"),
-        explode(col("shs")).as("h"))
-    corpus.join(broadcast(bench), "h")
-      .groupBy(col("doc_id"), col("nsh"))
-      .agg(count(lit(1)).as("inter"))
+        ArrayKernels.sortedIntersectCount(sort_array(col("shs")), col("bench"))
+          .as("inter"))
+      .where(col("inter") > 0)
+    val res = out.localCheckpoint(true)
+    sets.unpersist(blocking = true)
+    res
   }
 
   /** Connected components over a near-dup pair set via FIXED-iteration
