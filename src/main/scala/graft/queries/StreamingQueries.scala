@@ -28,12 +28,45 @@ import graft.streaming.EventStream
   */
 object StreamingQueries {
 
+  /** Temp-dir registry: staging dirs (full fixture copies — the bulky
+    * part) are deleted EAGERLY as soon as the streaming query
+    * terminates; sink dirs must outlive the query fn (the returned
+    * DataFrame reads them lazily when the caller executes it), so they
+    * are deleted by a JVM shutdown hook. Without this a bench run
+    * leaked one fixture copy + sink + checkpoint per invocation —
+    * multiple GB of /tmp at derived sf1.0, and exactly the residue a
+    * long-lived cluster job cannot afford to accumulate.
+    */
+  private val deferredDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = deferredDirs.iterator()
+      while (it.hasNext) deleteNow(it.next())
+    }))
+    true
+  }
+
+  private def deleteNow(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  private def tempDir(prefix: String, deferred: Boolean): java.nio.file.Path = {
+    require(hookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    if (deferred) deferredDirs.add(p)
+    p
+  }
+
   /** Copy the events fixture into a fresh dir + the far-future marker.
     * The fixture may be a single parquet file or a directory of part
     * files (derived scale factors) — stage whichever shape exists.
     */
   private def stageEvents(s: SparkSession, dir: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val tmp = tempDir("graft_stream_src", deferred = false)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
       val it = java.nio.file.Files.list(src).iterator()
@@ -52,15 +85,58 @@ object StreamingQueries {
     tmp.toString
   }
 
-  /** Drain a streaming DataFrame into a fresh parquet sink dir. */
-  private def runToParquet(df: DataFrame): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
-    val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp")
-    val q = df.writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", out.toString)
-      .option("checkpointLocation", cp.toString)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+  /** Drain a streaming DataFrame into a fresh parquet sink dir.
+    *
+    * `statePartitions` caps the state-store shard count for the run: a
+    * stateful streaming query opens/commits one store per shuffle
+    * partition per stateful operator PER MICRO-BATCH (a stream-stream
+    * join is 4 stores per partition), so store-commit overhead — not
+    * data volume — dominates small batches. Each call here starts a
+    * fresh checkpoint, so the setting is safe to vary per query; a
+    * production job sizes it once to its key cardinality and keeps it
+    * for the checkpoint's life (the value is pinned in the offset log).
+    * Measured on stream_join_sink at sf0.1 (3 repeats each): 32
+    * partitions 2.55 s cold / 2.17 s warm, 8 partitions 3.12 / 2.70 —
+    * at this scale the scan/join parallelism outweighs store-commit
+    * savings, so the default inherits the session setting (0 = inherit).
+    *
+    * `expectOneDataBatch` pins the single-micro-batch assumption some
+    * oracles rely on (stream_dedup_sink: a second data batch would mean
+    * rows arriving behind an already-advanced watermark could be
+    * silently dropped as late). The pin reads the query's OWN progress
+    * stream, so a source-batching regression (maxFilesPerTrigger,
+    * multi-part staging) fails loudly instead of flipping the oracle.
+    *
+    * The checkpoint dir and the staged source are deleted eagerly once
+    * the query terminates (the sink's `_spark_metadata` lives inside
+    * the sink dir, so reading back never touches the checkpoint).
+    */
+  private def runToParquet(df: DataFrame, statePartitions: Int = 0,
+      stagedSrc: Option[String] = None,
+      expectOneDataBatch: Boolean = false): String = {
+    val out = tempDir("graft_stream_out", deferred = true)
+    val cp = tempDir("graft_stream_cp", deferred = false)
+    val sess = df.sparkSession
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      sess.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (expectOneDataBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 1,
+          s"expected exactly one data micro-batch, got $dataBatches — " +
+            "the single-batch staging contract this query's oracle relies on is broken")
+      }
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteNow(cp)
+      stagedSrc.foreach(p => deleteNow(java.nio.file.Paths.get(p)))
+    }
     out.toString
   }
 
@@ -68,8 +144,9 @@ object StreamingQueries {
     // watermarked tumbling-window agg through the file sink — the
     // canonical streaming query, oracle = the batch q_events_window SQL
     "stream_window_sink" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.windowedAgg(
-        EventStream.readEvents(s, stageEvents(s, dir))))
+        EventStream.readEvents(s, staged)), stagedSrc = Some(staged))
       s.read.parquet(sink)
         .where(col("event_type") =!= "_mark")
         .select(col("hour_epoch"), col("event_type"), col("n"),
@@ -84,7 +161,7 @@ object StreamingQueries {
     // Dedup emits rows as they FIRST arrive (no watermark holdback), so
     // no marker is needed; state is watermark-bounded per the 2h horizon.
     "stream_dedup_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+      val tmp = tempDir("graft_stream_dup", deferred = false)
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       def copyTo(suffix: String): Unit =
         if (java.nio.file.Files.isDirectory(src)) {
@@ -99,7 +176,8 @@ object StreamingQueries {
       copyTo("a"); copyTo("b")
       val sink = runToParquet(EventStream.dedupStream(
           EventStream.readEvents(s, tmp.toString))
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value")))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        stagedSrc = Some(tmp.toString), expectOneDataBatch = true)
       s.read.parquet(sink).orderBy("event_id")
     }),
 
@@ -110,8 +188,9 @@ object StreamingQueries {
     // emit on match, so the sink holds the complete batch answer with no
     // marker; oracle = the batch interval join.
     "stream_join_sink" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.clickPurchaseJoin(
-        EventStream.readEvents(s, stageEvents(s, dir))))
+        EventStream.readEvents(s, staged)), stagedSrc = Some(staged))
       s.read.parquet(sink)
         .select(col("c_event"), col("p_event"), col("user_id"))
         .orderBy("c_event", "p_event")
@@ -123,8 +202,10 @@ object StreamingQueries {
     // marker-advanced watermark; oracle = the batch lag/running-sum
     // sessionizer on millisecond timestamps
     "stream_sessionize_sink" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.sessionize(
-        EventStream.readEvents(s, stageEvents(s, dir)), gapMinutes = 120).toDF())
+        EventStream.readEvents(s, staged), gapMinutes = 120).toDF(),
+        stagedSrc = Some(staged))
       s.read.parquet(sink)
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
