@@ -30,6 +30,37 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Partition pruning, STATIC: a date-bracketed scan over the
+    // hive-partitioned events layout. The literal bracket lands in the
+    // scan's PartitionFilters — only 3 of 30 date directories are
+    // listed/opened; at 100 TB this is the difference between reading
+    // 10% of a table and all of it. Oracle: same predicate over the
+    // flat events table (layout must never change answers).
+    "q_part_prune_static" -> ((s, dir) =>
+      graft.sources.StagedLayouts.eventsByDate(s, dir)
+        .where(col("event_date").between(
+          lit(java.sql.Date.valueOf("2024-01-10")),
+          lit(java.sql.Date.valueOf("2024-01-12"))))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_date", "event_type")),
+
+    // Partition pruning, DYNAMIC (DPP): the fact predicate is only
+    // knowable from the dim side (calendar dim filtered to Sundays), so
+    // static pruning can't apply; the planner inserts a dynamic-pruning
+    // subquery on the fact scan that reuses the dim broadcast — the fact
+    // side still reads only the 4 matching date directories. This is the
+    // canonical star-schema access path at warehouse scale.
+    "q_part_prune_dpp" -> ((s, dir) => {
+      val dim = graft.sources.StagedLayouts.dateDim(s, dir)
+        .where(col("isodow") === 7)
+      graft.sources.StagedLayouts.eventsByDate(s, dir)
+        .join(broadcast(dim), col("event_date") === col("d"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_date")
+    }),
+
     // Joins — orders ⋈ customer ⋈ nation, dims broadcast (customer/nation
     // are small at every SF; Catalyst auto-broadcasts, hinted explicitly)
     "q_join_agg" -> ((s, dir) => {
@@ -195,6 +226,24 @@ object RelationalQueries {
         .orderBy("hour_epoch", "event_type")))
 
   val oracleSql: Map[String, String] = Map(
+    // layout never changes answers: the oracle runs the same predicates
+    // over the FLAT events table (DuckDB has no hive layout here)
+    "q_part_prune_static" ->
+      s"""SELECT CAST(ts AS DATE) AS event_date, event_type,
+         |  count(*) AS n, ${rndSql("sum(value)", 4)} AS sum_value
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+         |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
+
+    // isodow (1=Mon..7=Sun) == Spark weekday()+1
+    "q_part_prune_dpp" ->
+      s"""WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+         |             WHERE isodow(CAST(ts AS DATE)) = 7)
+         |SELECT CAST(e.ts AS DATE) AS event_date, count(*) AS n,
+         |  ${rndSql("sum(e.value)", 4)} AS sum_value
+         |FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+         |GROUP BY 1 ORDER BY event_date""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,

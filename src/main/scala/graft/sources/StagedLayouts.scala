@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-partitioned table layouts staged from the flat fixtures.
+  *
+  * The reference's only storage contract is directory-per-partition
+  * (readme.txt:16-24 — mapper outputs land in per-partition files;
+  * mapper.py:53-74 routes rows to them); its honest 100-TB
+  * generalization is the hive `col=value/` directory layout plus
+  * partition pruning, which is THE most common access path on a large
+  * warehouse: a date-bracketed scan must read only the matching
+  * directories, never the whole table.
+  *
+  * The driver fixtures are single flat parquet files, so the layout is
+  * staged here once per (scale dir): events rewritten as
+  * `event_date=YYYY-MM-DD/` directories (30 dates at every sf), plus a
+  * tiny calendar dim keyed by those dates. Staging is cached per scale
+  * dir for the JVM's life and removed by a shutdown hook — the same
+  * hygiene contract as the streaming sinks. At production scale the
+  * table would be WRITTEN partitioned in the first place and this
+  * staging step disappears; the queries and plans are unchanged.
+  */
+object StagedLayouts {
+
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = staged.values().iterator()
+      while (it.hasNext) {
+        val p = java.nio.file.Paths.get(it.next())
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    }))
+    true
+  }
+
+  private def stageDir(s: SparkSession, sfDir: String): String = {
+    require(hookInstalled)
+    staged.computeIfAbsent(sfDir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+      val ev = graft.Tables.events(s, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+      // one shuffle keyed by the partition column → exactly one file per
+      // date directory (without it every input task writes a sliver into
+      // every directory — the classic small-files bug partitioned writes
+      // hit at scale)
+      ev.repartition(col("event_date"))
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(s"$tmp/events_by_date")
+      // calendar dim: one row per present date + ISO weekday attribute.
+      // Written as a real parquet table (not an in-memory relation) so
+      // the DPP planner sees the production shape: dim scan → filter →
+      // broadcast → dynamic-pruning subquery on the fact scan.
+      ev.select(col("event_date").as("d")).distinct()
+        .withColumn("isodow", (weekday(col("d")) + lit(1)).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/date_dim")
+      tmp
+    })
+  }
+
+  /** events with hive layout `event_date=.../` — the partition column
+    * comes back from directory names, so date predicates prune at the
+    * DIRECTORY level (PartitionFilters), before any file is opened.
+    */
+  def eventsByDate(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"${stageDir(s, sfDir)}/events_by_date")
+
+  /** Calendar dimension (d DATE, isodow 1=Mon..7=Sun) over the dates
+    * present in events.
+    */
+  def dateDim(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"${stageDir(s, sfDir)}/date_dim")
+}
