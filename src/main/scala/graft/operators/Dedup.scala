@@ -426,18 +426,70 @@ object Dedup {
     var labels = e.select(col("u").as("d")).distinct()
       .withColumn("lbl", col("d"))
     for (_ <- 1 to iters) {
-      val viaNbr = e.join(labels, e("v") === labels("d"))
-        .select(e("u").as("d"), col("lbl"))
-      // eager per-round checkpoint: the label table is tiny (one row per
-      // member), but without lineage truncation every round's plan
-      // re-nests the previous rounds' joins and PLANNING grows
-      // superlinearly (measured 10.3 s for 6 rounds at sf0.1 vs ~3 s
-      // flat) — the iterative-algorithm twin of the staged-argmin lesson
-      labels = labels.unionAll(viaNbr)
-        .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      labels = ccRound(e, labels)
     }
     e.unpersist(blocking = true)
+    labels
+  }
+
+  /** One hash-min round: every member takes the min of its own and its
+    * neighbors' labels. Eager per-round checkpoint: the label table is
+    * tiny (one row per member), but without lineage truncation every
+    * round's plan re-nests the previous rounds' joins and PLANNING
+    * grows superlinearly (measured 10.3 s for 6 rounds at sf0.1 vs
+    * ~3 s flat) — the iterative-algorithm twin of the staged-argmin
+    * lesson.
+    */
+  private def ccRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNbr = e.join(labels, e("v") === labels("d"))
+      .select(e("u").as("d"), col("lbl"))
+    labels.unionAll(viaNbr)
+      .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint(true)
+  }
+
+  /** Run-to-fixpoint variant of [[connectedComponents]]: iterates until
+    * a round changes no label, so components of ANY diameter resolve
+    * (the fixed-iteration form silently splits a chain of diameter >
+    * iters — an invisible under-merge, because the unrolled-CTE oracle
+    * replays the same truncated rounds and stays green).
+    *
+    * Convergence detection is O(members) and driver-cheap: hash-min
+    * labels are monotone non-increasing, so the label-sum strictly
+    * decreases until fixpoint and two equal consecutive sums ⟺ zero
+    * changed labels — one decimal aggregate per round (no join, no
+    * second pass over the edges, overflow-proof at any member count).
+    * Throws if `maxIters` rounds pass without converging rather than
+    * returning a silently under-merged labeling; hash-min needs at most
+    * diameter(G) rounds, so `maxIters` bounds the diameter we accept,
+    * not the component count. Near-dup graphs are near-cliques
+    * (diameter ≤ ~3) — the fixed-6 production form stays the default
+    * and this is the audit mode that proves the choice safe.
+    */
+  def connectedComponentsConverged(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = e.select(col("u").as("d")).distinct()
+      .withColumn("lbl", col("d"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      labels = ccRound(e, labels)
+      val curSum = labelSum(labels)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+    }
+    e.unpersist(blocking = true)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsConverged: no fixpoint after $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters")
     labels
   }
 }

@@ -96,6 +96,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size == 9) // members only — no singleton inflation
   }
 
+  test("fixed-6 CC splits a diameter-9 chain; converged mode resolves it") {
+    // path 1-2-...-10: diameter 9 > 6 rounds of hash-min propagation
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val fixed = graft.operators.Dedup.connectedComponents(pairs, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after 6 rounds node 10 only sees min-label within 6 hops (= 4):
+    // the silent under-merge the fixpoint mode exists to catch
+    assert(fixed(10L) == 4L)
+    assert(fixed.values.toSet.size > 1)
+    val conv = graft.operators.Dedup.connectedComponentsConverged(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(conv(_) == 1L))
+    assert(conv.size == 10)
+    // a bound below the diameter must fail loudly, never under-merge
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponentsConverged(pairs, maxIters = 3)
+    }
+  }
+
   test("tfidf ranks a term unique to the probe doc above corpus-wide terms") {
     val d = docsOf(
       0L -> "zebra common common common",
