@@ -95,10 +95,8 @@ object StreamingQueries {
     * fresh checkpoint, so the setting is safe to vary per query; a
     * production job sizes it once to its key cardinality and keeps it
     * for the checkpoint's life (the value is pinned in the offset log).
-    * Measured on stream_join_sink at sf0.1 (3 repeats each): 32
-    * partitions 2.55 s cold / 2.17 s warm, 8 partitions 3.12 / 2.70 —
-    * at this scale the scan/join parallelism outweighs store-commit
-    * savings, so the default inherits the session setting (0 = inherit).
+    * 0 = inherit the session setting; the registered queries pass
+    * [[defaultStateParts]] (see its measurement history).
     *
     * `expectOneDataBatch` pins the single-micro-batch assumption some
     * oracles rely on (stream_dedup_sink: a second data batch would mean
@@ -111,6 +109,23 @@ object StreamingQueries {
     * the query terminates (the sink's `_spark_metadata` lives inside
     * the sink dir, so reading back never touches the checkpoint).
     */
+  /** Default state-store shard count for the staged bench/verify runs:
+    * sized to the STATE these queries actually hold (≤ a few thousand
+    * open windows/sessions/join rows per batch at the test SFs), not to
+    * the core count — a stateful operator pays open+commit on every
+    * store per micro-batch (4 stores/partition for a stream-stream
+    * join), so over-sharding tiny state turns pure overhead. Measured
+    * on stream_join_sink at sf0.1, 3 repeats, two VM generations: fast
+    * VM 32→2.55 s / 8→3.12 s cold; slow-I/O VM 32→13.7 s / 8→4.8 s
+    * cold — the fast VM loses 0.6 s, the slow one gains 9 s, so 8 is
+    * the robust default. A production job instead sizes this once to
+    * key cardinality (the value pins in the checkpoint's offset log).
+    * Env override SPARK_GRAFT_STREAM_PARTS re-measures either choice;
+    * 0 inherits the session setting.
+    */
+  private def defaultStateParts: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
+
   private def runToParquet(df: DataFrame, statePartitions: Int = 0,
       stagedSrc: Option[String] = None,
       expectOneDataBatch: Boolean = false): String = {
@@ -146,7 +161,8 @@ object StreamingQueries {
     "stream_window_sink" -> ((s, dir) => {
       val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.windowedAgg(
-        EventStream.readEvents(s, staged)), stagedSrc = Some(staged))
+        EventStream.readEvents(s, staged)),
+        statePartitions = defaultStateParts, stagedSrc = Some(staged))
       s.read.parquet(sink)
         .where(col("event_type") =!= "_mark")
         .select(col("hour_epoch"), col("event_type"), col("n"),
@@ -177,6 +193,7 @@ object StreamingQueries {
       val sink = runToParquet(EventStream.dedupStream(
           EventStream.readEvents(s, tmp.toString))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        statePartitions = defaultStateParts,
         stagedSrc = Some(tmp.toString), expectOneDataBatch = true)
       s.read.parquet(sink).orderBy("event_id")
     }),
@@ -190,7 +207,8 @@ object StreamingQueries {
     "stream_join_sink" -> ((s, dir) => {
       val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.clickPurchaseJoin(
-        EventStream.readEvents(s, staged)), stagedSrc = Some(staged))
+        EventStream.readEvents(s, staged)),
+        statePartitions = defaultStateParts, stagedSrc = Some(staged))
       s.read.parquet(sink)
         .select(col("c_event"), col("p_event"), col("user_id"))
         .orderBy("c_event", "p_event")
@@ -205,7 +223,7 @@ object StreamingQueries {
       val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.sessionize(
         EventStream.readEvents(s, staged), gapMinutes = 120).toDF(),
-        stagedSrc = Some(staged))
+        statePartitions = defaultStateParts, stagedSrc = Some(staged))
       s.read.parquet(sink)
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
