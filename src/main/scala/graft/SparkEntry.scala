@@ -22,7 +22,8 @@ object SparkEntry {
       TemporalQueries.queries ++ TpchQueries.queries ++
       SqlTextQueries.queries ++ StreamingQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (iterative fits, MLlib) get the
@@ -34,5 +35,6 @@ object SparkEntry {
       TemporalQueries.oracleSql ++ TpchQueries.oracleSql ++
       SqlTextQueries.oracleSql ++ StreamingQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      WarehouseQueries.oracleSql
 }

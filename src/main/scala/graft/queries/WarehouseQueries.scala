@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.QueryHelpers._
+
+/** Warehouse-maintenance operators a production pipeline needs around
+  * the analytics core: CDC upsert (MERGE INTO semantics), slowly-
+  * changing-dimension type-2 history, and ordered-funnel analysis.
+  * The reference engine's lifecycle (write → read → overwrite,
+  * readme.txt:16-24) has no in-place mutation either — MERGE re-emits
+  * the full target, which is exactly the Spark-native realization
+  * (copy-on-write table format semantics without a table format).
+  *
+  * Scale notes per query inline; all three are single-shuffle shapes.
+  */
+object WarehouseQueries {
+
+  /** events projected to integer-micro timestamps (the cross-engine
+    * unit — DuckDB narrows nanos to micros).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+      col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- MERGE INTO (CDC upsert): the change batch is the latest order
+    // per customer (update c_acctbal := o_totalprice), plus synthetic
+    // new-key rows (insert). Realized as a FULL OUTER join re-emitting
+    // the whole target — copy-on-write semantics. FULL OUTER preserves
+    // both sides so it can never broadcast: the plan is a co-partitioned
+    // sort-merge join, one shuffle per side on the key (at 100 TB the
+    // target should be bucketed by key on disk, making its exchange
+    // free and the rewrite a narrow pass). Spark rewrites the
+    // top-1-per-key window to WindowGroupLimit, so the change batch
+    // never materializes a full per-customer sort.
+    "q_merge_upsert" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("o_custkey").as("custkey"),
+          col("o_totalprice").as("new_bal"))
+      val src = latest.unionAll(
+        latest.where(col("custkey") % 13 === 0)
+          .select((col("custkey") + lit(3000000L)).as("custkey"),
+            col("new_bal")))
+      val tgt = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_name"),
+          col("c_acctbal"))
+      tgt.join(src, Seq("custkey"), "full_outer")
+        .select(
+          col("custkey"),
+          coalesce(col("c_name"),
+            concat(lit("NEW#"), col("custkey").cast("string"))).as("name"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+          when(col("c_name").isNull, lit("insert"))
+            .when(col("new_bal").isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy("custkey")
+    }),
+
+    // ---- SCD type-2: rebuild a validity-interval history of each
+    // user's event_type from the raw event log. One shuffle by user_id;
+    // the three window passes share the partitioning (single Exchange in
+    // the plan). (ts_us, event_id) is a unique order key, so change
+    // detection is deterministic.
+    "q_scd2" -> ((s, dir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_from", col("ts_us"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byTs))
+        .withColumn("version", row_number().over(byTs))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // ---- Strict-sequence funnel view → click → purchase: each stage's
+    // entry time is the user's first qualifying event AFTER the previous
+    // stage. Three window passes over ONE hash partition by user_id
+    // (exchange reuse), then a single global rollup row.
+    "q_funnel" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val staged = ev(s, dir)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+            col("ts_us"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+            col("ts_us"))).over(byUser))
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+      staged.agg(
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH latest AS (
+        |  SELECT o_custkey AS custkey, o_totalprice AS new_bal
+        |  FROM (SELECT o_custkey, o_totalprice,
+        |          row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |        FROM orders) t
+        |  WHERE rk = 1
+        |), src AS (
+        |  SELECT custkey, new_bal FROM latest
+        |  UNION ALL
+        |  SELECT custkey + 3000000, new_bal FROM latest WHERE custkey % 13 = 0
+        |), tgt AS (
+        |  SELECT c_custkey AS custkey, c_name, c_acctbal FROM customer
+        |)
+        |SELECT coalesce(t.custkey, s.custkey) AS custkey,
+        |  coalesce(t.c_name,
+        |    'NEW#' || CAST(coalesce(t.custkey, s.custkey) AS VARCHAR)) AS name,
+        |  coalesce(s.new_bal, t.c_acctbal) AS acctbal,
+        |  CASE WHEN t.c_name IS NULL THEN 'insert'
+        |       WHEN s.new_bal IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events
+        |), lagged AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e
+        |), changes AS (
+        |  SELECT user_id, event_id, ts_us AS valid_from, event_type
+        |  FROM lagged
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  event_type, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM e
+        |), s2 AS (
+        |  SELECT user_id, ts_us, event_type, t1,
+        |    min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM s2
+        |), per_user AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |  FROM s3 GROUP BY user_id
+        |)
+        |SELECT count(t1) AS n_view, count(t2) AS n_view_click,
+        |  count(t3) AS n_full_funnel
+        |FROM per_user""".stripMargin)
+}

@@ -14,8 +14,18 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    # bounded memory + disk spill: the heavy per-row list-CTE twins
+    # (PQ family) otherwise exhaust the allocator, and a DuckDB OOM
+    # poisons the connection — every later query fails spuriously
+    con.execute("SET memory_limit='100GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    # the PQ-family oracles are thousands-of-expressions-wide CTE chains;
+    # DuckDB's per-thread pipeline buffers make their memory scale with
+    # thread count, so allow capping (default nproc OOMs at 32 threads)
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         # derived scale dirs (tools/MakeScale) store tables as parquet
         # DIRECTORIES named <t>.parquet — glob the part files
@@ -31,6 +41,10 @@ def main(sf_dir, out_dir):
         esrc = f"'{epath}/*.parquet'" if os.path.isdir(epath) else f"'{epath}'"
         con.execute("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
                     f"(make_timestamp(ts // 1000) AS ts) FROM {esrc}")
+    return con
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     n_pass = n_fail = 0
@@ -47,8 +61,15 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
             exp = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1
+            # a failed (esp. OOM'd) query can poison the allocator —
+            # rebuild the connection so later queries judge cleanly
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
             continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
