@@ -61,6 +61,26 @@ object StreamingQueries {
     p
   }
 
+  /** Copy the events fixture (single file or part-file dir) into `tmp`
+    * once per prefix — N prefixes model at-least-once re-delivery of the
+    * whole feed.
+    */
+  private def stageCopies(tmp: java.nio.file.Path, dir: String,
+      prefixes: Seq[String]): Unit = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    prefixes.foreach { pre =>
+      if (java.nio.file.Files.isDirectory(src)) {
+        val it = java.nio.file.Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f,
+              tmp.resolve(s"$pre-${f.getFileName.toString}"))
+        }
+      } else java.nio.file.Files.copy(src, tmp.resolve(s"$pre.parquet"))
+    }
+  }
+
   /** Copy the events fixture into a fresh dir + the far-future marker.
     * The fixture may be a single parquet file or a directory of part
     * files (derived scale factors) — stage whichever shape exists.
@@ -178,18 +198,7 @@ object StreamingQueries {
     // no marker is needed; state is watermark-bounded per the 2h horizon.
     "stream_dedup_sink" -> ((s, dir) => {
       val tmp = tempDir("graft_stream_dup", deferred = false)
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      def copyTo(suffix: String): Unit =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val it = java.nio.file.Files.list(src).iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getFileName.toString.endsWith(".parquet"))
-              java.nio.file.Files.copy(f,
-                tmp.resolve(s"$suffix-${f.getFileName.toString}"))
-          }
-        } else java.nio.file.Files.copy(src, tmp.resolve(s"$suffix.parquet"))
-      copyTo("a"); copyTo("b")
+      stageCopies(tmp, dir, Seq("a", "b"))
       val sink = runToParquet(EventStream.dedupStream(
           EventStream.readEvents(s, tmp.toString))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
@@ -212,6 +221,36 @@ object StreamingQueries {
       s.read.parquet(sink)
         .select(col("c_event"), col("p_event"), col("user_id"))
         .orderBy("c_event", "p_event")
+    }),
+
+    // foreachBatch keyed upsert into a versioned parquet serving table —
+    // the fifth streaming shape (streaming MERGE INTO, copy-on-write).
+    // The source is staged TWICE and maxFilesPerTrigger=1 forces the
+    // upsert to run across ≥2 micro-batches (asserted), so the oracle
+    // row proves the cross-batch merge, not a single batch job; the
+    // per-key max(struct) merge is associative, so ANY batch split
+    // yields the same final table — that invariance is what the oracle
+    // checks. Oracle = batch latest-event-per-user (top-1 window).
+    "stream_upsert_sink" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream_upsrc", deferred = false)
+      stageCopies(tmp, dir, Seq("a", "b"))
+      val serveRoot = tempDir("graft_stream_serve", deferred = true)
+      val cp = tempDir("graft_stream_upcp", deferred = false)
+      try {
+        val (finalDir, batches) = EventStream.upsertServing(
+          s, tmp.toString, serveRoot.toString, cp.toString,
+          maxFilesPerTrigger = 1)
+        require(batches >= 2,
+          s"expected >=2 data micro-batches (incremental upsert), got $batches")
+        s.read.parquet(finalDir)
+          .select(col("user_id"), col("ts_us").as("last_ts_us"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+      } finally {
+        deleteNow(cp)
+        deleteNow(tmp)
+      }
     }),
 
     // event-time sessionization (flatMapGroupsWithState +
@@ -253,6 +292,22 @@ object StreamingQueries {
         |FROM c JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
+
+    // latest event per user — the duplicated, batch-split stream upserts
+    // down to exactly the batch top-1-per-key answer
+    "stream_upsert_sink" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, ts_us, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rk
+        |  FROM e
+        |)
+        |SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // batch sessionizer on ms granularity (streaming state keeps
     // java.sql.Timestamp.getTime = epoch_us // 1000; 120 min = 7200000 ms)

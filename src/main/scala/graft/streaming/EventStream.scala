@@ -167,6 +167,78 @@ object EventStream {
     spark.table(name)
   }
 
+  /** foreachBatch keyed upsert into a versioned parquet "serving table"
+    * — streaming MERGE INTO with copy-on-write versions, the most common
+    * production streaming sink (a continuously-maintained
+    * latest-state-per-key table behind a dashboard or feature store).
+    * The reference's whole lifecycle is already overwrite-per-iteration
+    * (`master.py:90-95` rewrites centroids.txt each pass); this is that
+    * contract generalized to keyed state at table scale.
+    *
+    * Per micro-batch: reduce the batch to its latest row per key
+    * (map-side-combined `max(struct(ts, id, …))` — associative, so ANY
+    * batch split yields the same final table), full-outer-merge with the
+    * current version by the same max, write version N+1, atomically
+    * flip the current pointer, then vacuum version N. At 100 TB the
+    * merge is a co-partitioned join on the key (bucket the serving
+    * table to make its exchange free) and each version is a metadata
+    * swap — exactly the copy-on-write table-format pattern (no
+    * in-place mutation anywhere).
+    *
+    * Returns (final version dir, number of non-empty micro-batches) —
+    * callers assert batches ≥ 2 to prove the upsert really ran
+    * incrementally rather than as one batch job.
+    */
+  def upsertServing(spark: SparkSession, srcDir: String, servingRoot: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 0): (String, Int) = {
+    import org.apache.spark.sql.Row
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    def asStruct(df: DataFrame): DataFrame =
+      df.select(col("user_id"), struct(col("ts_us"), col("event_id"),
+        col("event_type"), col("value")).as("m"))
+    val reader = spark.readStream.schema(rawSchema)
+    val events = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(srcDir)
+    val q = events.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val delta = asStruct(batch.select(col("user_id"),
+            expr("ts DIV 1000").as("ts_us"), col("event_id"),
+            col("event_type"), col("value")))
+          .groupBy(col("user_id")).agg(max(col("m")).as("m"))
+        val merged = Option(current.get()) match {
+          case Some(dir) =>
+            asStruct(spark.read.parquet(dir)).unionByName(delta)
+              .groupBy(col("user_id")).agg(max(col("m")).as("m"))
+          case None => delta
+        }
+        val out = s"$servingRoot/v${version.incrementAndGet()}"
+        merged.select(col("user_id"), col("m.ts_us").as("ts_us"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"))
+          .write.mode("overwrite").parquet(out)
+        val prev = current.getAndSet(out)
+        if (prev != null) deleteTree(prev) // vacuum the superseded version
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (current.get(), q.recentProgress.count(_.numInputRows > 0))
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   /** Streaming incremental k-means on the 1-D event value: per
     * micro-batch, assign with the literal-centroid expression, aggregate
     * (count, sum) per cluster, and fold into running centroids — the
