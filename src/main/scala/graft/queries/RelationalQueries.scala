@@ -61,6 +61,46 @@ object RelationalQueries {
         .orderBy("event_date")
     }),
 
+    // Co-located fact-fact join over BUCKETED tables: both sides staged
+    // bucketed 8-way on the join key (sorted, one file per bucket), so
+    // the sort-merge join runs with NO exchange on either side — the
+    // layout, not the planner, paid for the join's shuffle. This is the
+    // 100-TB fact-fact join answer (a broadcast can't apply: both sides
+    // are big; an unbucketed SMJ shuffles both). The `merge` hint keeps
+    // the plan on SMJ so the elision is observable in PLANS.md; the
+    // oracle is the identical join on the FLAT tables — layout must
+    // never change answers.
+    "q_bucket_join" -> ((s, dir) => {
+      val (liName, ordName) = graft.sources.StagedLayouts
+        .bucketedLineitemOrders(s, dir)
+      s.table(liName).hint("merge")
+        .join(s.table(ordName), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+          rnd(sum(col("l_extendedprice")) / lit(1e6), 4).as("rev_m"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Z-order (Morton) clustering key: the multi-dimensional layout key
+    // behind OPTIMIZE ZORDER — interleaved bits make a range predicate
+    // on EITHER dimension prune files (ScaleSpec proves the skipping on
+    // a 16-file layout; this row pins the kernel's arithmetic
+    // bit-identically against the oracle). Pure codegen'd shift/and/or,
+    // no UDF; grouped here to keep the output compact while still
+    // covering the full key space.
+    "q_zorder_key" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      val z = ZOrder.zvalue2(col("user_id") % 1024, col("event_id") % 1024,
+        bits = 10)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), z.as("zkey"))
+        .groupBy((col("zkey") % 64).as("zbucket"))
+        .agg(count(lit(1)).as("n"), sum(col("zkey")).as("sum_z"),
+          min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+        .orderBy("zbucket")
+    }),
+
     // Joins — orders ⋈ customer ⋈ nation, dims broadcast (customer/nation
     // are small at every SF; Catalyst auto-broadcasts, hinted explicitly)
     "q_join_agg" -> ((s, dir) => {
@@ -243,6 +283,26 @@ object RelationalQueries {
          |  ${rndSql("sum(e.value)", 4)} AS sum_value
          |FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
          |GROUP BY 1 ORDER BY event_date""".stripMargin,
+
+    // the bucketed layout must be invisible to the answer
+    "q_bucket_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${rndSql("sum(l_quantity)", 2)} AS sum_qty,
+         |  ${rndSql("sum(l_extendedprice) / 1e6", 4)} AS rev_m
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // identical interleave arithmetic generated from the same loop;
+    // DuckDB sum(BIGINT) is HUGEINT → cast back
+    "q_zorder_key" -> {
+      val z = graft.functions.ZOrder.zvalueSql(
+        "user_id % 1024", "event_id % 1024", bits = 10)
+      s"""WITH z AS (SELECT event_id, user_id, $z AS zkey FROM events)
+         |SELECT zkey % 64 AS zbucket, count(*) AS n,
+         |  CAST(sum(zkey) AS BIGINT) AS sum_z,
+         |  min(zkey) AS min_z, max(zkey) AS max_z
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -78,4 +78,50 @@ object StagedLayouts {
     */
   def dateDim(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"${stageDir(s, sfDir)}/date_dim")
+
+  // ---- bucketed fact tables (co-located join layout) -----------------
+
+  private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Stage lineitem and orders as BUCKETED tables (8 buckets on the join
+    * key, sorted within buckets) in the session catalog, data in a
+    * registered temp dir. Bucketing is THE co-located-join layout at
+    * warehouse scale: both sides pre-hashed into the same bucket scheme
+    * means a fact-fact join needs NO exchange — the dominant cost of a
+    * 100-TB fact-fact join paid once at write time instead of per
+    * query. (The in-partition SMJ Sort remains: Spark ignores sortBy
+    * metadata on read unless the legacy
+    * `bucketedTableScan.outputOrdering` flag is on, because a bucket
+    * that ever compacts to >1 file can't guarantee global order — the
+    * sort is exchange-free and spills at worst locally, so the default
+    * is the right production trade.) The `repartition(8, key)` before
+    * the write aligns task hashing with bucket hashing (both Murmur3),
+    * so each bucket gets exactly ONE file rather than a sliver per task
+    * — the same small-files discipline as the hive layout above.
+    *
+    * Returns (lineitem table name, orders table name).
+    */
+  def bucketedLineitemOrders(s: SparkSession, sfDir: String): (String, String) = {
+    require(hookInstalled)
+    bucketed.computeIfAbsent(sfDir, _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val liName = s"graft_li_bkt_$tag"
+      val ordName = s"graft_ord_bkt_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      staged.put(s"bucketed:$sfDir", tmp)
+      graft.Tables.lineitem(s, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/$liName")
+        .mode("overwrite").saveAsTable(liName)
+      graft.Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/$ordName")
+        .mode("overwrite").saveAsTable(ordName)
+      (liName, ordName)
+    })
+  }
 }

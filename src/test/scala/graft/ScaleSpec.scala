@@ -171,4 +171,84 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("z-order layout prunes on the non-leading dimension; 1-D sort cannot") {
+    import graft.functions.ZOrder
+    // two independent 10-bit dims hash-spread over [0, 1024) so both
+    // cover the full space at any fixture scale
+    val base = Tables.lineitem(spark, sf)
+      .select(pmod(hash(col("l_partkey")), lit(1024)).cast("long").as("x"),
+        pmod(hash(col("l_suppkey")), lit(1024)).cast("long").as("y"))
+      .withColumn("zkey", ZOrder.zvalue2(col("x"), col("y"), bits = 10))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    base.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(zDir)
+    base.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    // per-file y min/max = exactly the stats parquet row-group/file
+    // skipping consults; count files a y-band predicate must open
+    def overlapping(dir: String, lo: Long, hi: Long): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f).agg(min(col("y")), max(col("y"))).head()
+        r.getLong(1) >= lo && r.getLong(0) <= hi
+      }
+      (hit, files.length)
+    }
+    val (zHit, zTotal) = overlapping(zDir, 100, 199)   // ~10% of y-space
+    val (linHit, linTotal) = overlapping(linDir, 100, 199)
+    // x-sorted layout: y is uniform within every x-range file → no file
+    // can be skipped; z-order: y's high bits participate in the sort key,
+    // so most files cover a narrow y-band and skip
+    assert(linHit == linTotal,
+      s"expected the 1-D layout to open every file, got $linHit/$linTotal")
+    assert(zHit <= zTotal / 2,
+      s"z-order should skip >=half the files for a 10% y-band, got $zHit/$zTotal")
+    // and the key itself never changes answers: count via both layouts
+    assert(spark.read.parquet(zDir).where(col("y").between(100, 199)).count() ==
+      base.where(col("y").between(100, 199)).count())
+  }
+
+  test("runtime bloom filter prunes the shuffle-join fact side semantically invisibly") {
+    val s2 = spark
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> s2.conf.getOption(k)).toMap
+    // local fixtures are far below the 10GB application-side default
+    // threshold that gates the rule at production scale — lower it so
+    // the rule fires here the way it would on a 100-TB fact scan
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    try {
+      val fact = Tables.lineitem(s2, sf)
+        .select(col("l_suppkey"), col("l_quantity"))
+      val dim = Tables.supplier(s2, sf)
+        .where(col("s_nationkey") === 3).select(col("s_suppkey"))
+      val joined = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("bloom"),
+        s"runtime bloom filter did not inject:\n$opt")
+      // the filter is a might-contain pre-pass on the fact scan: rows
+      // that cannot match are dropped BEFORE the shuffle — at scale this
+      // cuts the exchange volume to ~the matching fraction
+      val expect = fact.join(dim.hint("broadcast"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    } finally saved.foreach { case (k, v) =>
+      v match {
+        case Some(x) => s2.conf.set(k, x)
+        case None => s2.conf.unset(k)
+      }
+    }
+  }
 }
