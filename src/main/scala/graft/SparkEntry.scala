@@ -23,7 +23,7 @@ object SparkEntry {
       SqlTextQueries.queries ++ StreamingQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      WarehouseQueries.queries
+      WarehouseQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (iterative fits, MLlib) get the
@@ -36,5 +36,5 @@ object SparkEntry {
       SqlTextQueries.oracleSql ++ StreamingQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      WarehouseQueries.oracleSql
+      WarehouseQueries.oracleSql ++ GraphQueries.oracleSql
 }

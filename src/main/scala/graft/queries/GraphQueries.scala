@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relations derived from the fixtures. Together
+  * with [[graft.operators.Dedup.connectedComponents]] (label
+  * propagation) this covers the iterate-join-aggregate family the
+  * reference's driver loop (`master.py:352-366`) instantiates.
+  */
+object GraphQueries {
+
+  /** Bipartite supply graph: supplier s -> part (100000 + p) and back,
+    * one edge per DISTINCT (supplier, part) pair in lineitem. Both
+    * directions means every node has outdeg >= 1 (no dangling mass).
+    */
+  private def supplyEdges(s: SparkSession, dir: String): DataFrame = {
+    // union BEFORE distinct: one dedup shuffle over both directions,
+    // instead of a duplicated distinct subtree under the union
+    val li = Tables.lineitem(s, dir)
+    li.select(col("l_suppkey").as("src"),
+        (lit(100000L) + col("l_partkey")).as("dst"))
+      .union(li.select((lit(100000L) + col("l_partkey")).as("src"),
+        col("l_suppkey").as("dst")))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3 fixed-point PageRank iterations over the supply graph; exact
+    // integer arithmetic makes the result engine- and
+    // parallelism-independent (see PageRank scaladoc), so the oracle
+    // replays the identical iterations as CTEs with no float slack.
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.run(supplyEdges(s, dir), iters = 3,
+        broadcastRanks = true)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)))
+
+  val oracleSql: Map[String, String] = {
+    // one CTE pair (contribs, ranks) per iteration — the same unrolled-
+    // replay pattern as kmeans_fit_unrolled; `//` is DuckDB integer
+    // division ≡ Spark DIV on BIGINT
+    val iterate = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst, sum(r.rank // e.outdeg) AS sc
+         |  FROM ewd e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "graph_pagerank" ->
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+           |  FROM lineitem
+           |), edges AS (
+           |  SELECT sup AS src, prt AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT prt AS src, sup AS dst FROM pairs
+           |), deg AS (
+           |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+           |), ewd AS (
+           |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src
+           |), nodes AS (
+           |  SELECT DISTINCT src AS node FROM edges
+           |  UNION
+           |  SELECT DISTINCT dst AS node FROM edges
+           |), r0 AS (
+           |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+           |),
+           |$iterate
+           |SELECT node, rank FROM r3
+           |ORDER BY rank DESC, node LIMIT 100""".stripMargin)
+  }
+}
