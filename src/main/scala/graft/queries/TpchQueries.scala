@@ -18,22 +18,39 @@ object TpchQueries {
     // Q1 in full: the pricing-summary report — 4 sums (incl. the
     // two-factor charge), 3 avgs, count, shipdate bracket pushed to the
     // scan. (q1_agg remains the round-1 reduced form.)
-    "q_tpch_q1" -> ((s, dir) =>
+    // The two product sums run in EXACT integer-cents space: money
+    // columns are DECIMAL in the TPC-H spec, and a float product sum
+    // rounded to 2dp can land ON the rounding boundary at volume (one
+    // derived-sf1.0 row measured .345 — the two engines' summation
+    // orders then disagree in the last digit). Cents × percent ×
+    // percent is exact in BIGINT (≤ ~2e11/row, sums to ~1.2e18 at 6M
+    // rows — within Long; a 100-TB run would widen to DECIMAL(38)),
+    // integer sums are order-free, and the final half-up rounding is a
+    // single exact integer op on both engines.
+    "q_tpch_q1" -> ((s, dir) => {
+      val epc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dpc = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val tpc = floor(col("l_tax") * 100 + lit(0.5)).cast("long")
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           rnd(sum(col("l_quantity")), 2).as("sum_qty"),
           rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          sum(epc * (lit(100L) - dpc)).as("sdc"),
+          sum(epc * (lit(100L) - dpc) * (lit(100L) + tpc)).as("scc"),
           rnd(avg(col("l_quantity")), 4).as("avg_qty"),
           rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
           rnd(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"),
+          (expr("(sdc + 50) DIV 100") / 100.0).as("sum_disc_price"),
+          (expr("(scc + 5000) DIV 10000") / 100.0).as("sum_charge"),
+          col("avg_qty"), col("avg_price"), col("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // Q6: forecast-revenue-change — the pure selective-scan query: three
     // pushed predicates (timestamp bracket, discount band, quantity cap),
@@ -491,12 +508,19 @@ object TpchQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // exact integer-cents product sums (see the query comment): // is
+    // DuckDB integer division ≡ Spark DIV
     "q_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${rndSql("sum(l_quantity)", 2)} AS sum_qty,
          |  ${rndSql("sum(l_extendedprice)", 2)} AS sum_base_price,
-         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
-         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))", 2)} AS sum_charge,
+         |  (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         |   + 50) // 100 / 100.0 AS sum_disc_price,
+         |  (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         |       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+         |       * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+         |   + 5000) // 10000 / 100.0 AS sum_charge,
          |  ${rndSql("avg(l_quantity)", 4)} AS avg_qty,
          |  ${rndSql("avg(l_extendedprice)", 4)} AS avg_price,
          |  ${rndSql("avg(l_discount)", 6)} AS avg_disc,
