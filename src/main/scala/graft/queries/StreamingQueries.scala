@@ -223,6 +223,32 @@ object StreamingQueries {
         .orderBy("c_event", "p_event")
     }),
 
+    // stream-STATIC enrichment through the file sink — the sixth
+    // streaming shape and the most common production one: every event
+    // picks up its user's dimension row, the static side broadcast per
+    // micro-batch. Stateless (no watermark, no state store, no marker):
+    // append mode emits every joined row as it arrives, so the sink is
+    // the complete batch answer by construction; oracle = the plain
+    // batch left join. At 100 TB the dim refreshes by swapping the
+    // broadcast per batch — the streaming twin of q_join_agg's
+    // broadcast star join.
+    "stream_enrich_sink" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream_enr", deferred = false)
+      stageCopies(tmp, dir, Seq("a"))
+      val dim = graft.Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_acctbal"),
+          col("c_nationkey"))
+      val sink = runToParquet(EventStream.enriched(
+          EventStream.readEvents(s, tmp.toString)
+            .select(col("event_id"), col("user_id"), col("event_type")),
+          dim),
+        stagedSrc = Some(tmp.toString))
+      s.read.parquet(sink)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_acctbal"), col("c_nationkey"))
+        .orderBy("event_id")
+    }),
+
     // foreachBatch keyed upsert into a versioned parquet serving table —
     // the fifth streaming shape (streaming MERGE INTO, copy-on-write).
     // The source is staged TWICE and maxFilesPerTrigger=1 forces the
@@ -292,6 +318,12 @@ object StreamingQueries {
         |FROM c JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
+
+    // the stateless broadcast join emits exactly the batch left join
+    "stream_enrich_sink" ->
+      """SELECT event_id, e.user_id, event_type, c_acctbal, c_nationkey
+        |FROM events e LEFT JOIN customer ON e.user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
 
     // latest event per user — the duplicated, batch-split stream upserts
     // down to exactly the batch top-1-per-key answer
