@@ -27,6 +27,45 @@ class StreamingHygieneSpec extends SparkSpec {
     assert(got.count() === want)
   }
 
+  test("restart from checkpoint resumes exactly-once into the file sink") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    // batch A = the events fixture; batch B = the same rows with shifted
+    // ids, landed in the source dir only AFTER the first run terminates —
+    // so run 2 proves the checkpoint: it must process B and ONLY B
+    val src = Files.createTempDirectory("recov_src")
+    val out = Files.createTempDirectory("recov_out").toString
+    val cp = Files.createTempDirectory("recov_cp").toString
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    ev.select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    def runOnce(): org.apache.spark.sql.streaming.StreamingQueryProgress = {
+      val q = EventStream.readEvents(spark, src.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.filter(_.numInputRows > 0).last
+    }
+    assert(runOnce().numInputRows == n)
+    // crash-and-recover: new files arrive while the query is down
+    ev.select((col("event_id") + lit(10000000L)).as("event_id"),
+        col("ts_ns").as("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val p2 = runOnce()
+    // only the NEW file is processed — batch A is not replayed
+    assert(p2.numInputRows == n, s"restart reprocessed: ${p2.numInputRows}")
+    val sink = spark.read.parquet(out)
+    assert(sink.count() == 2 * n)
+    assert(sink.select("event_id").distinct().count() == 2 * n,
+      "duplicate event_ids in the sink after restart")
+  }
+
   test("staging and checkpoint dirs are removed eagerly, sinks deferred to shutdown") {
     val before = Map(
       "graft_stream_src" -> tmpDirs("graft_stream_src"),
