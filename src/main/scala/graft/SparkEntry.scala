@@ -23,7 +23,8 @@ object SparkEntry {
       SqlTextQueries.queries ++ StreamingQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      WarehouseQueries.queries ++ GraphQueries.queries
+      WarehouseQueries.queries ++ GraphQueries.queries ++
+      QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (iterative fits, MLlib) get the
@@ -36,5 +37,6 @@ object SparkEntry {
       SqlTextQueries.oracleSql ++ StreamingQueries.oracleSql ++
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      WarehouseQueries.oracleSql ++ GraphQueries.oracleSql
+      WarehouseQueries.oracleSql ++ GraphQueries.oracleSql ++
+      QualityQueries.oracleSql
 }

@@ -339,7 +339,61 @@ object AnalyticQueries {
         .withColumn("duration_s", expr("(end_us - start_us) DIV 1000000"))
         .drop("end_us")
         .orderBy("user_id", "session_id")
-    }))
+    }),
+
+    // Max-concurrency sweep-line over session intervals: +1 at each
+    // session start, −1 just past its inclusive end, running sum ordered
+    // by (ts, delta) — ends apply before coincident starts, so
+    // back-to-back sessions never phantom-overlap. The global running
+    // sum is a single-partition window by nature; at 100 TB the sweep
+    // shards by day with per-shard carry-in offsets (one tiny second
+    // pass) — the deltas themselves are two narrow projections of the
+    // session table. Peak value and its earliest timestamp are
+    // order-invariant within tied (ts, delta) groups, so the answer is
+    // deterministic.
+    "q_concurrency" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > lit(SessionGapUs), 1)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
+      val deltas = sess.select(col("s").as("ts"), lit(1).as("delta"))
+        .unionAll(sess.select((col("e") + lit(1L)).as("ts"), lit(-1).as("delta")))
+      val sweep = Window.orderBy(col("ts"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("cur", sum(col("delta")).over(sweep))
+        .groupBy(col("cur")).agg(min(col("ts")).as("first_ts_us"))
+        .orderBy(col("cur").desc).limit(1)
+        .select(col("cur").as("max_concurrent"), col("first_ts_us"))
+    }),
+
+    // EWMA (alpha = 0.25) of each user's value series — the classic
+    // feature-engineering op with a SEQUENTIAL dependency no window
+    // frame expresses. Realized as an ordered array fold (higher-order
+    // aggregate): collect_list → array_sort by (ts, id) → left fold
+    // seeded with the first value. Both engines fold the identical
+    // value sequence with the identical IEEE ops in the identical
+    // order, so the result is bit-exact with NO rounding. Scale: one
+    // hash shuffle by user; per-user state is that user's events only
+    // (array fold, no cross-user sort).
+    "q_ewma" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          expr("""aggregate(
+                    slice(array_sort(collect_list(struct(ts_us, event_id, value))),
+                          2, greatest(size(collect_list(value)) - 1, 0)),
+                    array_sort(collect_list(struct(ts_us, event_id, value)))[0].value,
+                    (acc, x) -> acc * 0.75D + x.value * 0.25D)""").as("ewma"))
+        .orderBy("user_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q_window_suite" ->
@@ -542,5 +596,45 @@ object AnalyticQueries {
          |  min(ts_us) AS start_us,
          |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
          |FROM sessions GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin)
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_concurrency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts_us, event_id,
+         |    CASE WHEN ts_us - lag(ts_us, 1) OVER w > ${SessionGapUs} THEN 1
+         |         WHEN lag(ts_us, 1) OVER w IS NULL THEN 1
+         |         ELSE 0 END AS new_s
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), sess AS (
+         |  SELECT user_id,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_id,
+         |    ts_us
+         |  FROM flagged
+         |), iv AS (
+         |  SELECT min(ts_us) AS s, max(ts_us) AS e
+         |  FROM sess GROUP BY user_id, session_id
+         |), deltas AS (
+         |  SELECT s AS ts, 1 AS delta FROM iv
+         |  UNION ALL
+         |  SELECT e + 1 AS ts, -1 AS delta FROM iv
+         |), r AS (
+         |  SELECT CAST(sum(delta) OVER (ORDER BY ts, delta
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur, ts
+         |  FROM deltas
+         |)
+         |SELECT cur AS max_concurrent, min(ts) AS first_ts_us
+         |FROM r GROUP BY cur ORDER BY cur DESC LIMIT 1""".stripMargin,
+
+    // list() with ORDER BY = Spark's array_sort(collect_list(struct));
+    // list_reduce folds left seeded with the first element, exactly the
+    // Spark slice-fold — identical op order, bit-exact doubles
+    "q_ewma" ->
+      """SELECT user_id, count(*) AS n,
+        |  list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+        |    (acc, v) -> acc * 0.75 + v * 0.25) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
