@@ -146,6 +146,8 @@ object StreamingQueries {
   private def defaultStateParts: Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
 
+  private val totalsRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def runToParquet(df: DataFrame, statePartitions: Int = 0,
       stagedSrc: Option[String] = None,
       expectOneDataBatch: Boolean = false): String = {
@@ -221,6 +223,34 @@ object StreamingQueries {
       s.read.parquet(sink)
         .select(col("c_event"), col("p_event"), col("user_id"))
         .orderBy("c_event", "p_event")
+    }),
+
+    // mapGroupsWithState running totals under the oracle gate — the
+    // last stateful-API surface (update-mode custom keyed state; the
+    // others: stateless window agg, dropDuplicates, stream-stream join,
+    // flatMapGroupsWithState sessionize, stream-static join,
+    // foreachBatch upsert). Update mode cannot write the append-only
+    // file sink, so the run drains to a memory sink (declared — the
+    // state logic, not the sink, is what this row pins); the final
+    // update per key is selected by max(struct(n, …)) since n is
+    // strictly increasing per key across updates. The per-key float
+    // total accumulates in arrival order, so it carries the standard
+    // rounding contract (rnd 4) like every order-varying sum.
+    "stream_totals_sink" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream_tot", deferred = false)
+      stageCopies(tmp, dir, Seq("a"))
+      try {
+        val name = s"graft_totals_${totalsRuns.incrementAndGet()}"
+        val sink = EventStream.runToMemory(s,
+          EventStream.runningTotals(
+            EventStream.readEvents(s, tmp.toString)).toDF(),
+          name, OutputMode.Update())
+        sink.groupBy(col("event_type"))
+          .agg(max(struct(col("n"), col("total"))).as("m"))
+          .select(col("event_type"), col("m.n").as("n"),
+            rnd(col("m.total"), 4).as("total"))
+          .orderBy("event_type")
+      } finally deleteNow(tmp)
     }),
 
     // stream-STATIC enrichment through the file sink — the sixth
@@ -318,6 +348,12 @@ object StreamingQueries {
         |FROM c JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
+
+    // the final state per event_type equals the batch aggregate
+    "stream_totals_sink" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  ${rndSql("sum(value)", 4)} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the stateless broadcast join emits exactly the batch left join
     "stream_enrich_sink" ->
