@@ -347,10 +347,9 @@ object AnalyticQueries {
     // back-to-back sessions never phantom-overlap. The global running
     // sum is a single-partition window by nature; at 100 TB the sweep
     // shards by day with per-shard carry-in offsets (one tiny second
-    // pass) — the deltas themselves are two narrow projections of the
-    // session table. Peak value and its earliest timestamp are
-    // order-invariant within tied (ts, delta) groups, so the answer is
-    // deterministic.
+    // pass) — the deltas explode from one pass over the session table.
+    // Peak value and its earliest timestamp are order-invariant within
+    // tied (ts, delta) groups, so the answer is deterministic.
     "q_concurrency" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -363,8 +362,13 @@ object AnalyticQueries {
         .withColumn("session_id", sum(col("new_s")).over(run))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
-      val deltas = sess.select(col("s").as("ts"), lit(1).as("delta"))
-        .unionAll(sess.select((col("e") + lit(1L)).as("ts"), lit(-1).as("delta")))
+      // both deltas explode from ONE pass over the session table — a
+      // union of two projections would recompute the whole sessionize
+      // pipeline per branch (no subtree reuse in the plan)
+      val deltas = sess.select(explode(array(
+          struct(col("s").as("ts"), lit(1).as("delta")),
+          struct((col("e") + lit(1L)).as("ts"), lit(-1).as("delta")))).as("d"))
+        .select(col("d.ts").as("ts"), col("d.delta").as("delta"))
       val sweep = Window.orderBy(col("ts"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       deltas.withColumn("cur", sum(col("delta")).over(sweep))
@@ -388,10 +392,11 @@ object AnalyticQueries {
           col("event_id"), col("value"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          expr("""aggregate(
-                    slice(array_sort(collect_list(struct(ts_us, event_id, value))),
-                          2, greatest(size(collect_list(value)) - 1, 0)),
-                    array_sort(collect_list(struct(ts_us, event_id, value)))[0].value,
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("value")))).as("vs"))
+        .select(col("user_id"), col("n"),
+          expr("""aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
+                    vs[0].value,
                     (acc, x) -> acc * 0.75D + x.value * 0.25D)""").as("ewma"))
         .orderBy("user_id")))
 
