@@ -105,6 +105,39 @@ object Dedup {
     res
   }
 
+  /** Asymmetric shingle CONTAINMENT — the doc-in-doc / quote-detection
+    * pass Jaccard cannot express: C(A→B) = |A∩B| / |A| is high when a
+    * small doc is swallowed by a large one even though their Jaccard is
+    * tiny (the size-skewed case MinHash-LSH is blind to by design, since
+    * minhash collision probability estimates Jaccard, not containment).
+    * Same inverted-index candidate shape as [[jaccardPairs]] — df-capped
+    * rare shingles, so shuffle volume is Σ df² over rare shingles only —
+    * but DIRECTED: each candidate pair is scored both ways and emitted
+    * where the containment of the smaller side clears `tau`. Containment
+    * is computed over the rare-shingle sets (declared semantics, same as
+    * the Jaccard query's rare-set Jaccard).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, dfCap: Int = 50,
+      tau: Double = 0.4, eager: Boolean = true): DataFrame = {
+    val ss = if (eager) shingles(docs, n).cache() else shingles(docs, n)
+    val stop = ss.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select(col("sh"))
+    val rare = ss.join(broadcast(stop), Seq("sh"), "left_anti")
+    val rsz = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+    val a = rare.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = rare.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(rsz.select(col("doc_id").as("doc_a"), col("nr").as("na")), "doc_a")
+      .withColumn("cont", col("inter").cast("double") / col("na"))
+      .where(col("cont") >= tau)
+    if (!eager) return out
+    val res = out.localCheckpoint(true)
+    ss.unpersist(blocking = true)
+    res
+  }
+
   /** Universal-hash modulus (Mersenne prime 2^31−1) and per-function
     * (a, b) coefficients, seeded — shared with the oracle SQL.
     */

@@ -101,6 +101,35 @@ object TextAnalysis {
         sum(col("nws")).as("ws_tokens"),
         sum(col("nbpe")).as("bpe_tokens"))
 
+  /** Character-level Shannon entropy per doc — the compressibility /
+    * gibberish signal corpus filters pair with the stopword ratio (low
+    * entropy = repeated boilerplate, high = random noise). Entirely
+    * NARROW: chars never leave the row — the char array, its sorted
+    * distinct alphabet, and the Σ p·ln p fold are per-row higher-order
+    * functions, zero shuffle at any corpus size (vs the obvious
+    * explode-groupBy, which shuffles one row per CHARACTER of the
+    * corpus). Per-row cost is O(|alphabet|·len); the fold runs over the
+    * SORTED alphabet so both engines accumulate the float sum in the
+    * identical order.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("t"))),
+          i => col("t").substr(i, lit(1))).as("cs"))
+      .select(col("doc_id"), size(col("cs")).cast("long").as("n"),
+        col("cs"), array_sort(array_distinct(col("cs"))).as("alphabet"))
+      .select(col("doc_id"), col("n"),
+        size(col("alphabet")).cast("long").as("n_distinct"),
+        (-aggregate(col("alphabet"), lit(0.0),
+          (acc, c) => {
+            val prob = size(filter(col("cs"), x => x === c)).cast("double") /
+              col("n").cast("double")
+            acc + prob * log(prob)
+          })).as("entropy"))
+  }
+
   /** C4-style text normalization: lowercase, strip URLs, collapse
     * whitespace runs, trim. Per-row narrow work; output carries the
     * normalized length and an md5 digest so the oracle compares the

@@ -34,6 +34,19 @@ object AnalyticQueries {
   private val SessionGapUs = 1800L * 1000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact heavy hitters via two-phase Misra-Gries (per-partition
+    // k-counter summaries → candidate superset → exact recount of
+    // candidate rows only; see HeavyHitters scaladoc for why this beats
+    // a full-domain groupBy at 100 TB). The naive HAVING form is the
+    // oracle — the sketch path is exact by construction, so they must
+    // agree row-for-row.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters
+        .frequentKeys(s, Tables.events(s, dir), "user_id", k = 150)
+        .select(col("user_id"), col("freq"), col("n_total"),
+          rnd(col("freq").cast("double") / col("n_total"), 6).as("share"))
+        .orderBy("user_id")),
+
     // ---- window-function suite: ranking + offset + frame-default
     // first_value, one shuffle on the partition key; the ORDER key
     // (o_totalprice DESC, o_orderkey) is unique so every function is
@@ -401,6 +414,17 @@ object AnalyticQueries {
         .orderBy("user_id")))
 
   val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      s"""WITH n AS (SELECT count(*) AS n_total FROM events
+         |           WHERE user_id IS NOT NULL)
+         |SELECT user_id, count(*) AS freq, n.n_total,
+         |  ${rndSql("CAST(count(*) AS DOUBLE) / n.n_total", 6)} AS share
+         |FROM events, n
+         |WHERE user_id IS NOT NULL
+         |GROUP BY user_id, n.n_total
+         |HAVING count(*) * 150 > n.n_total
+         |ORDER BY user_id""".stripMargin,
+
     "q_window_suite" ->
       s"""SELECT o_orderpriority, o_orderkey, o_totalprice,
          |  CAST(row_number() OVER w AS INT) AS rn,

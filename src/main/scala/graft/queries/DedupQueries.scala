@@ -72,6 +72,16 @@ object DedupQueries {
           rnd(col("inter").cast("double") / col("nsh"), 6))
         .orderBy("doc_id")),
 
+    // asymmetric containment |A∩B|/|A| over df-capped rare 5-gram
+    // shingles — flags doc-in-doc swallowing that Jaccard/MinHash miss
+    // by construction (see Dedup.containmentPairs). Directed output:
+    // doc_a is the (mostly-)contained side.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 5, dfCap = 50, tau = 0.4)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("inter"),
+          rnd(col("cont"), 6).as("containment"))
+        .orderBy("doc_a", "doc_b")),
+
     // edit-distance fuzzy-neighbor profile: a 2% hash-sampled probe set,
     // blocked on (lang, length-bucket), levenshtein over 32-char
     // prefixes; per probe doc emit its candidate count, closest distance
@@ -239,6 +249,21 @@ object DedupQueries {
          |       FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id),
          |$jaccardTail WHERE jac >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH ${ssetsCte(5)},
+         |freq AS (SELECT sh, count(*) AS df FROM ssets GROUP BY sh),
+         |rare AS (SELECT s.doc_id, s.sh FROM ssets s JOIN freq f ON f.sh = s.sh
+         |         WHERE f.df <= 50),
+         |rsz AS (SELECT doc_id, count(*) AS nr FROM rare GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |       GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, inter, r.nr AS na,
+         |        CAST(inter AS DOUBLE) / r.nr AS cont
+         |      FROM it JOIN rsz r ON r.doc_id = doc_a)
+         |SELECT doc_a, doc_b, na, inter, ${rndSql("cont", 6)} AS containment
+         |FROM c WHERE cont >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_simhash" -> simhashSql,

@@ -26,6 +26,21 @@ object GraphQueries {
       .distinct()
   }
 
+  /** Co-occurrence (market-basket) graph: edge (p1, p2) iff both parts
+    * appear in the same order. DISTINCT (order, part) first, so the
+    * per-order pair expansion is bounded by basket size, never line
+    * count.
+    */
+  private def basketEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    op.alias("a").join(op.alias("b"), col("a.ok") === col("b.ok"))
+      .where(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 fixed-point PageRank iterations over the supply graph; exact
     // integer arithmetic makes the result engine- and
@@ -35,7 +50,15 @@ object GraphQueries {
       graft.operators.PageRank.run(supplyEdges(s, dir), iters = 3,
         broadcastRanks = true)
         .orderBy(col("rank").desc, col("node"))
-        .limit(100)))
+        .limit(100)),
+
+    // Per-node triangle participation over the part co-occurrence graph
+    // via degree-ordered orientation (see Triangles scaladoc for the
+    // O(E^1.5) wedge bound); the oracle replays the orientation-
+    // invariant triangle set with the simple id-ordered enumeration.
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Triangles.countPerNode(basketEdges(s, dir))
+        .orderBy("node")))
 
   val oracleSql: Map[String, String] = {
     // one CTE pair (contribs, ranks) per iteration — the same unrolled-
@@ -54,6 +77,25 @@ object GraphQueries {
          |)""".stripMargin
     }.mkString(",\n")
     Map(
+      "graph_triangles" ->
+        """WITH op AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+          |), e AS (
+          |  SELECT DISTINCT a.p AS u, b.p AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+          |), tri AS (
+          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1
+          |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+          |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+          |), nodes AS (
+          |  SELECT a AS node FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri
+          |)
+          |SELECT node, count(*) AS n_tri FROM nodes
+          |GROUP BY node ORDER BY node""".stripMargin,
+
       "graph_pagerank" ->
         s"""WITH pairs AS (
            |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt

@@ -41,6 +41,15 @@ object TextQueries {
     "text_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(docs(s, dir)).orderBy("doc_id")),
 
+    // char-level Shannon entropy (narrow per-row HOF fold over the
+    // sorted alphabet — identical accumulation order on both engines;
+    // 6-dp rounding absorbs ulp drift)
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          QueryHelpers.rnd(col("entropy"), 6).as("entropy"))
+        .orderBy("doc_id")),
+
     // top-3 characteristic terms per probe doc (tf × rational-idf) —
     // the keyword-extraction pass of a corpus audit; score is exact
     // rational arithmetic so the ranking is engine-independent
@@ -136,6 +145,27 @@ object TextQueries {
         |  CAST(len(tg) - len(list_distinct(tg)) AS INT) AS n_dup,
         |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_ratio
         |FROM tg ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH cs AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, length(lower(text))),
+         |      i -> substr(lower(text), CAST(i AS INT), 1)) AS cs,
+         |    CAST(length(lower(text)) AS BIGINT) AS n
+         |  FROM documents WHERE length(lower(text)) > 0
+         |), d AS (
+         |  SELECT doc_id, n, cs, list_sort(list_distinct(cs)) AS alphabet
+         |  FROM cs
+         |), h AS (
+         |  SELECT doc_id, n, CAST(len(alphabet) AS BIGINT) AS n_distinct,
+         |    -list_sum(list_transform(alphabet,
+         |      c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+         |           * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)))
+         |      AS entropy
+         |  FROM d
+         |)
+         |SELECT doc_id, n, n_distinct, ${QueryHelpers.rndSql("entropy", 6)} AS entropy
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "text_pii_redact" ->
       s"""WITH r AS (SELECT doc_id, text,

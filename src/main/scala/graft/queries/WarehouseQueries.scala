@@ -87,6 +87,60 @@ object WarehouseQueries {
         .orderBy("user_id", "version")
     }),
 
+    // ---- Cohort retention matrix: users grouped by first-activity day,
+    // tracked by distinct-active count N days later. Day index = days
+    // since the Unix epoch — pure date arithmetic, identical on both
+    // engines, no locale-dependent date_trunc. Scale shape: the raw log
+    // collapses to distinct (user, day) FIRST (map-side-combined groupBy
+    // — at 100 TB this is the only pass over the log), then a
+    // user-partitioned window pins each user's cohort day, then the
+    // matrix aggregate runs on users×days rows, negligible at any scale.
+    // Ratios are exact integer divisions rounded at the query layer.
+    "q_retention_cohort" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(timestamp_micros(ts_us)), " +
+            "DATE '1970-01-01') AS BIGINT)").as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_ev"))
+      val byUser = Window.partitionBy(col("user_id"))
+      val cohorted = uw
+        .withColumn("cohort_day", min(col("day")).over(byUser))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"), sum(col("n_ev")).as("n_events"))
+      val byCohort = Window.partitionBy(col("cohort_day"))
+      cohorted
+        .withColumn("cohort_size",
+          max(when(col("day_offset") === 0, col("n_active"))).over(byCohort))
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("n_events"), col("cohort_size"),
+          rnd(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // ---- Event-transition (Markov) matrix: per-user next-event via one
+    // lead() window, then a 25-row aggregate. (ts_us, event_id) is a
+    // unique deterministic order key (same contract as q_scd2). One
+    // shuffle by user_id for the window; the groupBy input is the full
+    // log but map-side combine reduces it to |types|² partials per
+    // partition, so the second shuffle carries ~nothing at any scale.
+    "q_transition_matrix" -> ((s, dir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = ev(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(byTs))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val bySrc = Window.partitionBy(col("event_type"))
+      trans
+        .withColumn("row_total", sum(col("n")).over(bySrc))
+        .select(col("event_type"), col("next_type"), col("n"),
+          rnd(col("n").cast("double") / col("row_total"), 6).as("p"))
+        .orderBy("event_type", "next_type")
+    }),
+
     // ---- Strict-sequence funnel view → click → purchase: each stage's
     // entry time is the user's first qualifying event AFTER the previous
     // stage. Three window passes over ONE hash partition by user_id
@@ -112,6 +166,49 @@ object WarehouseQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_retention_cohort" ->
+      s"""WITH uw AS (
+         |  SELECT user_id,
+         |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |    count(*) AS n_ev
+         |  FROM events GROUP BY 1, 2
+         |), cohorted AS (
+         |  SELECT min(day) OVER (PARTITION BY user_id) AS cohort_day,
+         |    day, user_id, n_ev
+         |  FROM uw
+         |), m AS (
+         |  SELECT cohort_day, day - cohort_day AS day_offset,
+         |    count(*) AS n_active, sum(n_ev) AS n_events
+         |  FROM cohorted GROUP BY 1, 2
+         |)
+         |SELECT cohort_day, day_offset, n_active,
+         |  CAST(n_events AS BIGINT) AS n_events, cohort_size,
+         |  ${rndSql("CAST(n_active AS DOUBLE) / cohort_size", 6)} AS retention
+         |FROM (
+         |  SELECT *, max(CASE WHEN day_offset = 0 THEN n_active END)
+         |    OVER (PARTITION BY cohort_day) AS cohort_size
+         |  FROM m
+         |)
+         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_transition_matrix" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         |  FROM events
+         |), nxt AS (
+         |  SELECT event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS next_type
+         |  FROM e
+         |), trans AS (
+         |  SELECT event_type, next_type, count(*) AS n
+         |  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT event_type, next_type, n,
+         |  ${rndSql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)", 6)} AS p
+         |FROM trans
+         |ORDER BY event_type, next_type""".stripMargin,
+
     "q_merge_upsert" ->
       """WITH latest AS (
         |  SELECT o_custkey AS custkey, o_totalprice AS new_bal

@@ -100,4 +100,27 @@ class AnalyticSpec extends SparkSpec {
     val want = lo + (hi - lo) * (idx - idx.toInt)
     assert(math.abs(got - want) < 1e-3, s"got $got want $want")
   }
+
+  test("heavy hitters: two-phase Misra-Gries equals the naive groupBy on skewed data") {
+    import spark.implicits._
+    // Zipf-ish synthetic stream: key 1 dominates, long uniform tail —
+    // the regime where the MG candidate pass must not lose a true
+    // heavy hitter even though each partition sees a different mix
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(20000)(rnd.nextInt(100) match {
+      case r if r < 40 => 1L                    // 40%
+      case r if r < 55 => 2L                    // 15%
+      case r if r < 60 => 3L                    // 5%
+      case _           => 100L + rnd.nextInt(5000) // tail
+    })
+    val df = xs.toDF("k").repartition(8)
+    val k = 20 // threshold = n/20 = 1000
+    val got = graft.operators.HeavyHitters.frequentKeys(spark, df, "k", k)
+      .select("k", "freq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = xs.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 * k > xs.length).toMap
+    assert(got == want, s"got ${got.keySet} want ${want.keySet}")
+    assert(got.contains(1L) && got.contains(2L))
+  }
 }

@@ -38,4 +38,29 @@ class GraphSpec extends SparkSpec {
     val total = rank.values.sum
     assert(total > nodes.length * 900000L && total <= nodes.length * 1000000L)
   }
+
+  test("degree-ordered triangle count equals known enumeration") {
+    // graph with known triangles: K4 on {1,2,3,4} plus a pendant edge
+    // (5,1) and an isolated edge (6,7) — K4 has C(4,3)=4 triangles,
+    // each K4 node sits in exactly C(3,2)=3 of them; 5, 6, 7 in none
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (6L, 7L)).toDF("u", "v")
+    val got = graft.operators.Triangles.countPerNode(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts on the fixture graph: total divisible by 3") {
+    val e = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = e.alias("a").join(e.alias("b"), col("a.ok") === col("b.ok"))
+      .where(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val counts = graft.operators.Triangles.countPerNode(edges)
+    val total = counts.agg(sum(col("n_tri"))).head().getLong(0)
+    assert(total > 0 && total % 3 == 0,
+      s"node-participation total $total must be 3 x triangle count")
+  }
 }

@@ -115,6 +115,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: closed-form values and permutation invariance") {
+    val d = docsOf(
+      1L -> "aabb",           // 2 equiprobable symbols → ln 2
+      2L -> "abcd",           // 4 equiprobable symbols → ln 4
+      3L -> "aaaa",           // single symbol → 0
+      4L -> "bbaa")           // permutation of doc 1 → same entropy
+    val got = graft.operators.TextAnalysis.charEntropy(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 4 && got(1L)._2 == 2)
+    assert(math.abs(got(1L)._3 - math.log(2)) < 1e-12)
+    assert(math.abs(got(2L)._3 - math.log(4)) < 1e-12)
+    assert(math.abs(got(3L)._3 - 0.0) < 1e-12)
+    assert(got(4L)._3 == got(1L)._3, "entropy must be order-invariant")
+  }
+
   test("tfidf ranks a term unique to the probe doc above corpus-wide terms") {
     val d = docsOf(
       0L -> "zebra common common common",
