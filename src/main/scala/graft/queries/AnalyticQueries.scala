@@ -47,6 +47,23 @@ object AnalyticQueries {
           rnd(col("freq").cast("double") / col("n_total"), 6).as("share"))
         .orderBy("user_id")),
 
+    // ---- exact mode per group with a DETERMINISTIC tie-break (the
+    // built-in mode() is tie-arbitrary in both engines, so it can never
+    // sit under a hash gate): count per (group, value), then
+    // max(struct(count, value)) — highest count, ties to the highest
+    // value. Two map-side-combined aggregates, no window sort; the
+    // second groupBy input is |groups|·|distinct values| partials.
+    "q_mode" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"),
+          sum(col("cnt")).as("n_rows"))
+        .select(col("l_returnflag"), col("m.l_quantity").as("mode_qty"),
+          col("m.cnt").as("n_mode"), col("n_rows"))
+        .orderBy("l_returnflag")),
+
     // ---- window-function suite: ranking + offset + frame-default
     // first_value, one shuffle on the partition key; the ORDER key
     // (o_totalprice DESC, o_orderkey) is unique so every function is
@@ -424,6 +441,21 @@ object AnalyticQueries {
          |GROUP BY user_id, n.n_total
          |HAVING count(*) * 150 > n.n_total
          |ORDER BY user_id""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_quantity DESC) AS rk,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n_rows
+        |  FROM c
+        |)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_mode,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_window_suite" ->
       s"""SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.QueryHelpers._
 
 /** Data-quality expectation suite — the audit pass every production
   * warehouse runs before publishing a table (null rates, key
@@ -57,6 +58,37 @@ object QualityQueries {
       evChecks.unionAll(liOrphans).unionAll(ordOrphans)
         .unionAll(liRange).unionAll(ordDomain)
         .orderBy("check_name")
+    }),
+
+    // ---- robust outlier detection per event_type: median / MAD
+    // (median absolute deviation) with the standard modified z-score
+    // cut |v − med| > 3.5·1.4826·MAD. Exact interpolated percentiles
+    // under the gate; med and MAD are rounded to 6 dp BEFORE the
+    // comparison so the cut threshold is bit-identical cross-engine
+    // (declared semantics: centers are published at 6 dp, the
+    // comparison uses the published centers). Three passes over the
+    // log here for exactness — the 100-TB form swaps the exact
+    // percentiles for approx_percentile partials (one pass) and keeps
+    // the same cut; the oracle pins the exact variant.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        .where(col("value").isNotNull)
+      val med = ev.groupBy(col("event_type"))
+        .agg(rnd(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"),
+          rnd(expr("percentile(adev, 0.5)"), 6).as("mad"),
+          count(lit(1)).as("n"))
+      dev.select(col("event_type"), col("adev"))
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          min(col("n")).as("n"),
+          sum(when(col("adev") > lit(3.5 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -88,5 +120,29 @@ object QualityQueries {
         |  SELECT 'orders_bad_status',
         |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
         |  FROM orders
-        |) ORDER BY check_name""".stripMargin)
+        |) ORDER BY check_name""".stripMargin,
+
+    "q_anomaly_mad" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+         |), med AS (
+         |  SELECT event_type,
+         |    ${rndSql("quantile_cont(value, 0.5)", 6)} AS med
+         |  FROM ev GROUP BY event_type
+         |), dev AS (
+         |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+         |  FROM ev e JOIN med m ON e.event_type = m.event_type
+         |), mad AS (
+         |  SELECT event_type, min(med) AS med,
+         |    ${rndSql("quantile_cont(adev, 0.5)", 6)} AS mad,
+         |    count(*) AS n
+         |  FROM dev GROUP BY event_type
+         |)
+         |SELECT d.event_type, min(m.med) AS med, min(m.mad) AS mad,
+         |  CAST(min(m.n) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad m ON d.event_type = m.event_type
+         |GROUP BY d.event_type
+         |ORDER BY d.event_type""".stripMargin)
 }

@@ -42,7 +42,16 @@ object PlanAudit {
     // join FK checks), sweep-line concurrency (two projections of the
     // session table + one global running sum), EWMA ordered-array fold
     // (single hash aggregate, no window, no per-user sort exchange)
-    "q_dq_checks", "q_concurrency", "q_ewma")
+    "q_dq_checks", "q_concurrency", "q_ewma",
+    // round 7 continuation: two-phase heavy hitters (candidate
+    // broadcast semi-join + recount), behavioral windows (one user_id
+    // exchange each), narrow per-row entropy fold (zero shuffle)
+    "q_heavy_hitters", "q_retention_cohort", "q_transition_matrix",
+    "text_entropy",
+    // round 7 continuation: deterministic mode via max(struct) — two
+    // map-side-combined aggregates, no window sort; MAD outliers — two
+    // exact-percentile passes + broadcast of the K-row center tables
+    "q_mode", "q_anomaly_mad")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
@@ -60,6 +69,23 @@ object PlanAudit {
     "mm_features (pre-checkpoint pipeline)" -> ((s, dir) =>
       graft.operators.Multimodal.features(
         graft.operators.Multimodal.synthesizeMedia(s, dir).toDF(), eager = false)),
+    // oriented-edge + adjacency-intersection iterator: two equi-joins
+    // against the (materialized-in-production) adjacency, narrow
+    // intersections, one attribution aggregate — no wedge blow-up
+    "graph_triangles (pre-checkpoint pipeline)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val op = graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.alias("a").join(op.alias("b"), col("a.ok") === col("b.ok"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.Triangles.countPerNode(e, eager = false)
+    }),
+    "dedup_containment (pre-checkpoint pipeline)" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+        graft.Tables.documents(s, dir), n = 5, dfCap = 50, tau = 0.4,
+        eager = false)),
     // one join + one aggregate per iteration, no driver data motion
     "graph_pagerank (pre-checkpoint pipeline)" -> ((s, dir) => {
       val pairs = graft.Tables.lineitem(s, dir)

@@ -101,6 +101,20 @@ class AnalyticSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-3, s"got $got want $want")
   }
 
+  test("q_mode: returns the true per-group maximum-frequency value") {
+    val got = q("q_mode").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0)).map { case (f, rows) =>
+        val byQty = rows.groupBy(_.getDouble(1)).view.mapValues(_.length.toLong)
+        // deterministic tie-break: highest count, then highest value
+        val (qty, cnt) = byQty.maxBy { case (v, c) => (c, v) }
+        f -> (qty, cnt)
+      }
+    assert(got == want)
+  }
+
   test("heavy hitters: two-phase Misra-Gries equals the naive groupBy on skewed data") {
     import spark.implicits._
     // Zipf-ish synthetic stream: key 1 dominates, long uniform tail —
