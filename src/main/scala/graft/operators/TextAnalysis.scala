@@ -219,6 +219,50 @@ object TextAnalysis {
     * combined after the per-doc distinct); the join carries |probe
     * terms| rows. At 100 TB the df table is the only corpus-wide pass.
     */
+  /** BM25 relevance of every document to a fixed literal query-term
+    * set (k1 = 1.2, b = 0.75) — the ranked-retrieval scorer a corpus
+    * search/eval harness runs. Like [[tfidfTopK]], idf is the BM25
+    * odds ratio (N − df + 0.5)/(df + 0.5) WITHOUT the logarithm:
+    * ln differs in the last ulp across engines while the rational
+    * form is identical IEEE arithmetic.
+    *
+    * Float determinism: the per-term contributions are summed by one
+    * literal left-to-right expression chain (terms is a fixed list,
+    * not data), so the addition order — and hence every last bit —
+    * matches any engine that writes the same chain; there is no
+    * data-ordered float aggregate anywhere.
+    *
+    * Scale shape: per-term tf and dl are per-row array ops (narrow);
+    * the ONLY corpus-wide pass is a single 1-row aggregate (N, Σdl,
+    * per-term df) that broadcasts back — so the whole scorer is one
+    * scan + one narrow map at any corpus size, with no explode and no
+    * per-term shuffle.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
+    val withTf = terms.zipWithIndex.foldLeft(
+      toks.withColumn("dl", size(col("ts")))) { case (d, (t, i)) =>
+        d.withColumn(s"tf_$i", size(filter(col("ts"), x => x === t)))
+      }
+    val aggCols = count(lit(1)).as("nd") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("nd")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = (col("nd").cast("double") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5))
+      idf * tf * lit(2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+
+        contribs.reduce(_ + _).as("score"): _*)
+  }
+
   def tfidfTopK(docs: DataFrame, nProbe: Int, k: Int): DataFrame = {
     def toks(df: DataFrame) = df.select(col("doc_id"),
       filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))

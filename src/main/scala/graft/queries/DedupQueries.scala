@@ -63,6 +63,32 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // canonical selection — the step AFTER clustering in a production
+    // dedup flow: map EVERY doc (members and singletons both) to its
+    // cluster's keeper, longest text winning and ties to the lowest
+    // doc_id. One left join against the (tiny) label table, one
+    // max(struct)/count aggregate per cluster (no window sort), one
+    // co-partitioned join back — the keeper table is one row per
+    // cluster, so at 100 TB it broadcasts and the resolution is a
+    // narrow map over the corpus.
+    "dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val pairs = Dedup.simhashPairs(docs(s, dir), maxHam = 3)
+        .select(col("doc_a"), col("doc_b"))
+      val lbls = Dedup.connectedComponents(pairs, iters = 6)
+      val lab = d.join(lbls, d("doc_id") === lbls("d"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      val canon = lab.groupBy(col("cluster"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"),
+          count(lit(1)).as("csize"))
+        .select(col("cluster"), (-col("m.neg_id")).as("canonical_id"),
+          col("csize"))
+      lab.join(canon, "cluster")
+        .select(col("doc_id"), col("canonical_id"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: per-doc overlap of distinct shingle
     // hashes with the benchmark set (docs 0..9 as the eval-suite
     // stand-in); only contaminated docs (inter > 0) are reported
@@ -189,7 +215,13 @@ object DedupQueries {
     * [[graft.operators.Dedup.connectedComponents]] with the identical
     * fixed round count.
     */
-  private def clusterSql(iters: Int): String = {
+  /** Shared CTE chain ending in `l\$iters` = (d, lbl): simhash
+    * fingerprints → Hamming-verified pairs → `iters` unrolled hash-min
+    * label-propagation rounds (the exact replay of
+    * Dedup.connectedComponents). Used by both the cluster-profile and
+    * canonical-selection oracles.
+    */
+  private def clusterLabelCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""l$i AS (SELECT d, min(lbl) AS lbl FROM (
          |  SELECT d, lbl FROM l${i - 1}
@@ -197,7 +229,7 @@ object DedupQueries {
          |  SELECT e.u AS d, l.lbl FROM e JOIN l${i - 1} l ON l.d = e.v
          |) GROUP BY d)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $simhashCtes,
+    s"""$simhashCtes,
        |blocks AS (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS k
        |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
@@ -209,13 +241,42 @@ object DedupQueries {
        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
        |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
        |l0 AS (SELECT DISTINCT u AS d, u AS lbl FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def clusterSql(iters: Int): String =
+    s"""WITH ${clusterLabelCtes(iters)}
        |SELECT lbl AS cluster_id, count(*) AS csize, max(d) AS max_d
        |FROM l$iters GROUP BY lbl ORDER BY cluster_id""".stripMargin
-  }
+
+  /** Canonical resolution: every doc (clustered or singleton) mapped to
+    * its cluster's keeper — longest text wins, ties to the lowest id.
+    */
+  private def canonicalSql(iters: Int): String =
+    s"""WITH ${clusterLabelCtes(iters)},
+       |lab AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(l.lbl, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN l$iters l ON l.d = d.doc_id
+       |), ranked AS (
+       |  SELECT cluster, doc_id, n_chars,
+       |    count(*) OVER (PARTITION BY cluster) AS csize,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |  FROM lab
+       |), canon AS (
+       |  SELECT cluster, doc_id AS canonical_id,
+       |    CAST(csize AS BIGINT) AS csize
+       |  FROM ranked WHERE rk = 1
+       |)
+       |SELECT l.doc_id, c.canonical_id, c.csize
+       |FROM lab l JOIN canon c ON l.cluster = c.cluster
+       |ORDER BY l.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_cluster" -> clusterSql(6),
+
+    "dedup_canonical" -> canonicalSql(6),
 
     "dedup_contamination" -> {
       import graft.operators.Dedup.{MinhashP => P}

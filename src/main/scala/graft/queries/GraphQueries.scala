@@ -58,7 +58,83 @@ object GraphQueries {
     // invariant triangle set with the simple id-ordered enumeration.
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Triangles.countPerNode(basketEdges(s, dir))
-        .orderBy("node")))
+        .orderBy("node")),
+
+    // 3-core of the part co-occurrence graph by fixed-3-round degree
+    // peeling (KCore scaladoc: per-round degree aggregate + two
+    // left-semi joins, lineage-truncated). Fixed rounds so the oracle
+    // replays them as unrolled CTEs; GraphSpec proves fixed-3 reaches
+    // the true fixpoint on this fixture via KCore.peelConverged.
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.KCore.peel(basketEdges(s, dir), k = 3, rounds = 3)
+        .orderBy("node")),
+
+    // 3-hop multi-source BFS over the bipartite supply graph from
+    // suppliers 1..5 — frontier form, so per-round work is the frontier
+    // expansion, not the whole distance table (Bfs scaladoc). Hop
+    // distance is a min over paths, hence order-free; the oracle
+    // replays the identical frontier rounds as unrolled CTEs.
+    "graph_bfs" -> ((s, dir) => {
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Bfs.run(supplyEdges(s, dir), seeds, rounds = 3)
+        .orderBy("node")
+    }))
+
+  /** Unrolled peel rounds — each round recomputes degrees over the
+    * surviving edge set and keeps edges whose BOTH endpoints still
+    * clear k, exactly the Spark loop's semantics.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""n$i AS (SELECT src FROM (
+         |  SELECT src, count(*) AS d FROM e${i - 1} GROUP BY src) WHERE d >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), ue AS (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+       |), e0 AS (
+       |  SELECT u AS src, v AS dst FROM ue
+       |  UNION ALL SELECT v AS src, u AS dst FROM ue
+       |),
+       |$roundCtes
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled frontier rounds — round i discovers the distinct
+    * neighbors of the dist = i−1 frontier that are not yet visited,
+    * exactly the Spark loop's semantics.
+    */
+  private def bfsSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN v${i - 1} p ON e.src = p.node
+         |  WHERE p.dist = ${i - 1}),
+         |v$i AS (SELECT node, dist FROM v${i - 1}
+         |  UNION ALL
+         |  SELECT node, ${i} AS dist FROM f$i
+         |  WHERE node NOT IN (SELECT node FROM v${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT sup AS src, prt AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst FROM pairs
+       |), v0 AS (
+       |  SELECT s_suppkey AS node, 0 AS dist FROM supplier
+       |  WHERE s_suppkey <= 5
+       |),
+       |$roundCtes
+       |SELECT node, dist FROM v$rounds ORDER BY node""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = {
     // one CTE pair (contribs, ranks) per iteration — the same unrolled-
@@ -77,6 +153,10 @@ object GraphQueries {
          |)""".stripMargin
     }.mkString(",\n")
     Map(
+      "graph_kcore" -> kcoreSql(k = 3, rounds = 3),
+
+      "graph_bfs" -> bfsSql(rounds = 3),
+
       "graph_triangles" ->
         """WITH op AS (
           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

@@ -59,6 +59,17 @@ object TextQueries {
           QueryHelpers.rnd(col("score"), 4).as("score"))
         .orderBy("doc_id", "rk")),
 
+    // BM25 ranked retrieval for a fixed 4-term query (see bm25
+    // scaladoc: rational idf, literal-order contribution sum, ONE
+    // corpus aggregate broadcast back — a scan plus a narrow map at
+    // any scale)
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), bm25Terms)
+        .select(col("doc_id"), col("dl"),
+          col("tf_0"), col("tf_1"), col("tf_2"), col("tf_3"),
+          QueryHelpers.rnd(col("score"), 4).as("score"))
+        .orderBy("doc_id")),
+
     // corpus-wide top-50 word bigrams — the n-gram frequency table every
     // corpus audit builds. Explode is narrow; one count shuffle keyed by
     // bigram; top-k via TakeOrderedAndProject (count desc, bigram ties).
@@ -100,8 +111,49 @@ object TextQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed BM25 query terms (high-/mid-frequency corpus words). */
+  private val bm25Terms = Seq("join", "scan", "window", "merge")
+
+  /** Mirrors [[TextAnalysis.bm25]] term by term: identical literals,
+    * identical association, identical left-to-right contribution sum —
+    * the whole score is one shared IEEE expression on both engines.
+    */
+  private def bm25Sql: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ts, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n       |    ")
+    val dfAggs = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n       |    ")
+    val contribs = bm25Terms.indices.map { i =>
+      s"""(CAST(nd AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5)
+         |      * CAST(tf_$i AS DOUBLE) * 2.2
+         |      / (CAST(tf_$i AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))"""
+        .stripMargin
+    }.mkString("\n       |    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS ts
+       |  FROM documents),
+       |t2 AS (
+       |  SELECT doc_id, len(ts) AS dl,
+       |    $tfCols
+       |  FROM toks),
+       |st AS (
+       |  SELECT count(*) AS nd, sum(dl) AS sdl,
+       |    $dfAggs
+       |  FROM t2)
+       |SELECT doc_id, CAST(dl AS INT) AS dl,
+       |  ${bm25Terms.indices.map(i => s"CAST(tf_$i AS INT) AS tf_$i").mkString(", ")},
+       |  ${QueryHelpers.rndSql(s"($contribs)", 4)} AS score
+       |FROM t2 CROSS JOIN st ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
+
+    "text_bm25" -> bm25Sql,
 
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -163,7 +163,106 @@ object WarehouseQueries {
         count(col("t1")).as("n_view"),
         count(col("t2")).as("n_view_click"),
         count(col("t3")).as("n_full_funnel"))
+    }),
+
+    // ---- CDC snapshot diff (see Cdc.snapshotDiff): generation B of
+    // the orders table is derived deterministically from generation A
+    // (drop key%97=0, re-prioritize key%31=0, insert key%101=0 under
+    // shifted keys), then diffed in ONE co-partitioned full-outer join;
+    // only changed keys survive to the output. Integer/string mutations
+    // only — copied doubles compare bit-identically, nothing is
+    // recomputed, so no float slack in the gate.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val (a, b) = orderGenerations(s, dir)
+      graft.operators.Cdc.snapshotDiff(a, b, "o_orderkey", snapPayload)
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- Incremental aggregate maintenance (IVM): per-customer order
+    // count + exact integer-cents revenue for generation B, computed as
+    // aggregate(A) adjusted by the SIGNED CDC delta (Cdc.delta) — never
+    // rescanning B. At 100 TB aggregate(A) is the already-materialized
+    // serving table and the delta is the |changes|-sized CDC batch, so
+    // the refresh cost is O(|changes|), not O(|table|); here A is
+    // scanned once only to stand in for that materialization. The
+    // delta's update pairs cancel exactly in every distributive
+    // aggregate (priority flips net to zero), deletes subtract, inserts
+    // add; groups whose count reaches 0 are dropped, matching the
+    // full-recompute oracle over B row-for-row.
+    "q_incr_agg" -> ((s, dir) => {
+      val (a, b) = orderGenerations(s, dir)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val aggA = a.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+      val dAgg = graft.operators.Cdc
+        .delta(a, b, "o_orderkey", snapPayload)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("weight")).as("dn"),
+          sum(col("weight") * cents).as("dc"))
+      aggA.join(dAgg, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("sum_cents"))
+        .where(col("n_orders") > 0)
+        .orderBy("o_custkey")
+    }),
+
+    // ---- Time-series gap fill + forward fill: the resampling pass
+    // every metrics/feature pipeline runs before ML — a dense
+    // (priority × day) grid with zero-filled daily counts/revenue and
+    // the last observed revenue carried across gap days. Day index is
+    // pure integer date arithmetic (epoch-day diff — no locale
+    // date_trunc), revenue is exact integer cents, so the gate has no
+    // float slack. Scale shape: ONE map-side-combined daily aggregate
+    // is the only corpus pass; the dense grid is keys × days (tiny —
+    // its explode is narrow off a broadcast 1-row bound), and the
+    // forward fill is one window per key over grid-sized data, never
+    // raw-table-sized.
+    "q_gap_fill" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val dayIdx = datediff(to_date(col("o_orderdate")),
+        to_date(lit("1992-01-01"))).cast("long")
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("prio"), dayIdx.as("day_idx"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("day_cents"))
+      val bounds = daily.agg(max(col("day_idx")).as("mx"))
+      val grid = daily.select(col("prio")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("prio"),
+          explode(sequence(lit(0L), col("mx"))).as("day_idx"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("prio", "day_idx"), "left")
+        .select(col("prio"), col("day_idx"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+          coalesce(last(col("day_cents"), ignoreNulls = true).over(w),
+            lit(0L)).as("carried_cents"))
+        .orderBy("prio", "day_idx")
     }))
+
+  /** Compared payload of the snapshot-diff pair. */
+  private val snapPayload = Seq("o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Two deterministic generations of the orders table: B drops
+    * key%97=0, rewrites the priority of key%31=0, and inserts key%101=0
+    * under shifted keys — integer/string mutations only, copied doubles
+    * compare bit-identically (see q_snapshot_diff).
+    */
+  private def orderGenerations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val a = Tables.orders(s, dir).select(
+      (("o_orderkey" +: snapPayload).map(col)): _*)
+    val updated = a.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 31 === 0, lit("X-DIFF"))
+          .otherwise(col("o_orderpriority")))
+    val inserted = a.where(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    (a, updated.unionAll(inserted))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_retention_cohort" ->
@@ -281,5 +380,93 @@ object WarehouseQueries {
         |)
         |SELECT count(t1) AS n_view, count(t2) AS n_view_click,
         |  count(t3) AS n_full_funnel
-        |FROM per_user""".stripMargin)
+        |FROM per_user""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'X-DIFF'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM a WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM a WHERE o_orderkey % 101 = 0
+        |), d AS (
+        |  SELECT
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'I'
+        |         WHEN b.o_orderkey IS NULL THEN 'D'
+        |         WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+        |           OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+        |           OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+        |           OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+        |           OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+        |         THEN 'U' END AS op,
+        |    coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    b.o_custkey, b.o_orderstatus, b.o_totalprice, b.o_orderdate,
+        |    b.o_orderpriority
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |)
+        |SELECT * FROM d WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle recomputes generation B's aggregate FROM SCRATCH — the
+    // gate proves the Spark delta-maintenance path lands on the exact
+    // same table
+    "q_incr_agg" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'X-DIFF'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM a WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM a WHERE o_orderkey % 101 = 0
+        |)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS day_idx,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1, 2
+        |), mx AS (SELECT max(day_idx) AS m FROM daily),
+        |grid AS (
+        |  SELECT p.prio, g.day_idx
+        |  FROM (SELECT DISTINCT prio FROM daily) p,
+        |    (SELECT unnest(generate_series(0, (SELECT m FROM mx)))
+        |       AS day_idx) g
+        |), f AS (
+        |  SELECT grid.prio, grid.day_idx,
+        |    coalesce(d.n_orders, 0) AS n_orders,
+        |    coalesce(d.day_cents, 0) AS day_cents,
+        |    d.day_cents AS obs
+        |  FROM grid LEFT JOIN daily d
+        |    ON grid.prio = d.prio AND grid.day_idx = d.day_idx
+        |)
+        |SELECT prio, day_idx, CAST(n_orders AS BIGINT) AS n_orders,
+        |  day_cents,
+        |  CAST(coalesce(last_value(obs IGNORE NULLS) OVER (
+        |    PARTITION BY prio ORDER BY day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS BIGINT) AS carried_cents
+        |FROM f ORDER BY prio, day_idx""".stripMargin)
 }

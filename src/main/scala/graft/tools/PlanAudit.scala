@@ -51,7 +51,13 @@ object PlanAudit {
     // round 7 continuation: deterministic mode via max(struct) — two
     // map-side-combined aggregates, no window sort; MAD outliers — two
     // exact-percentile passes + broadcast of the K-row center tables
-    "q_mode", "q_anomaly_mad")
+    "q_mode", "q_anomaly_mad",
+    // round 7 continuation: CDC diff (ONE co-partitioned full-outer
+    // SMJ, changes-only output), IVM refresh (aggregate + |changes|
+    // delta, no B rescan), gap fill (one daily aggregate; grid explode
+    // narrow off a broadcast bound; window over grid-sized data),
+    // BM25 (one 1-row corpus aggregate broadcast back, narrow scorer)
+    "q_snapshot_diff", "q_incr_agg", "q_gap_fill", "text_bm25")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
@@ -86,6 +92,32 @@ object PlanAudit {
       graft.operators.Dedup.containmentPairs(
         graft.Tables.documents(s, dir), n = 5, dfCap = 50, tau = 0.4,
         eager = false)),
+    // per round: one map-side-combined degree aggregate + two
+    // left-semi joins against the survivor list
+    "graph_kcore (pre-checkpoint pipeline)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val op = graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.alias("a").join(op.alias("b"), col("a.ok") === col("b.ok"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.KCore.peel(e, k = 3, rounds = 2, eager = false)
+    }),
+    // per round: frontier semi-join + distinct + anti-join vs visited —
+    // work tracks the frontier expansion, not |V|
+    "graph_bfs (pre-checkpoint pipeline)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val li = graft.Tables.lineitem(s, dir)
+      val pairs = li.select(col("l_suppkey").as("sup"),
+        (org.apache.spark.sql.functions.lit(100000L) +
+          col("l_partkey")).as("prt")).distinct()
+      val edges = pairs.selectExpr("sup AS src", "prt AS dst")
+        .union(pairs.selectExpr("prt AS src", "sup AS dst"))
+      val seeds = graft.Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
+      graft.operators.Bfs.run(edges, seeds, rounds = 2, eager = false)
+    }),
     // one join + one aggregate per iteration, no driver data motion
     "graph_pagerank (pre-checkpoint pipeline)" -> ((s, dir) => {
       val pairs = graft.Tables.lineitem(s, dir)

@@ -51,6 +51,65 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("k-core: fixed rounds under-peel a long path; converged form is exact") {
+    import spark.implicits._
+    // path 1-2-3-...-12 plus a K4 on {100,101,102,103}: the 2-core is
+    // exactly the K4 (a path has no 2-core), but peeling eats the path
+    // one layer per round from each end — 3 rounds leave path remnants
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val k4 = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    val edges = (path ++ k4).toDF("u", "v")
+    val fixed3 = graft.operators.KCore.peel(edges, k = 2, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    val exact = graft.operators.KCore.peelConverged(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(100L -> 3L, 101L -> 3L, 102L -> 3L, 103L -> 3L),
+      s"true 2-core must be the K4, got $exact")
+    assert(fixed3.exists(_ < 100L),
+      "fixed-3 peel should still hold path remnants (else the test graph is too short)")
+  }
+
+  test("graph_kcore's fixed-3 peel reaches the true fixpoint on the fixture") {
+    val e = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = e.alias("a").join(e.alias("b"), col("a.ok") === col("b.ok"))
+      .where(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val fixed = graft.operators.KCore.peel(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.KCore.peelConverged(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == exact,
+      "fixed-3 must equal the converged 3-core on the fixture graph")
+    exact.values.foreach(d => assert(d >= 3L, "every 3-core degree >= 3"))
+  }
+
+  test("bfs: hop distances on a directed path, frontier stops at rounds") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.operators.Bfs.run(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      s"3 rounds reach exactly nodes 1..4 on the path, got $got")
+  }
+
+  test("bfs: multi-source takes the min over seeds; revisits never relabel") {
+    import spark.implicits._
+    // path 1-2-3-4-5 in both directions, seeds at both ends: node 3 is
+    // dist 2 from either seed; nodes 2 and 4 are dist 1 (not re-found
+    // at dist 3 via the other end)
+    val ue = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (ue ++ ue.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = graft.operators.Bfs.run(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
   test("triangle counts on the fixture graph: total divisible by 3") {
     val e = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))

@@ -12,6 +12,26 @@ class PipelineSpec extends SparkSpec {
 
   private def q(name: String) = PipelineQueries.queries(name)(spark, sf)
 
+  test("dedup_canonical: total resolution, idempotent keepers, longest-text rule") {
+    val rows = graft.queries.DedupQueries.queries("dedup_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc resolves to a canonical")
+    val canonOf = rows.map(r => r._1 -> r._2).toMap
+    // keepers map to themselves (idempotent resolution)
+    canonOf.values.toSet.foreach { (c: Long) => assert(canonOf(c) == c) }
+    // the keeper has the longest text in its cluster (ties -> lowest id)
+    val len = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (keeper, members) =>
+      val best = members.map(_._1).maxBy(d => (len(d), -d))
+      assert(keeper == best, s"cluster of $keeper should keep $best")
+      members.foreach { case (_, _, csize) =>
+        assert(csize == members.length.toLong)
+      }
+    }
+  }
+
   test("q_split: deterministic under repartitioning, exhaustive, ~80/10/10") {
     val a = q("q_split").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     // identical assignment when the input arrives in a different layout

@@ -182,9 +182,15 @@ class ScaleSpec extends SparkSpec {
       .withColumn("zkey", ZOrder.zvalue2(col("x"), col("y"), bits = 10))
     val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
     val linDir = java.nio.file.Files.createTempDirectory("linear").toString
-    base.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+    // coalesce(1) first: repartitionByRange picks boundaries by SAMPLING
+    // the input partitions, and the scan's split layout varies with
+    // scheduler load — a one-partition input makes the sample (hence
+    // file boundaries, hence the skip count below) deterministic
+    base.coalesce(1).repartitionByRange(16, col("zkey"))
+      .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(zDir)
-    base.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    base.coalesce(1).repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x")
       .write.mode("overwrite").parquet(linDir)
     // per-file y min/max = exactly the stats parquet row-group/file
     // skipping consults; count files a y-band predicate must open

@@ -33,6 +33,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == md5Of("visit now please"))
   }
 
+  test("bm25: closed-form score on a 3-doc corpus; absent terms score 0") {
+    val d = docsOf(
+      1L -> "join join scan",
+      2L -> "scan other words here",
+      3L -> "nothing relevant at all whatsoever")
+    val rows = TextAnalysis.bm25(d, Seq("join", "scan")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // N=3, sumdl=12, avgdl=4; df(join)=1, df(scan)=2
+    def contrib(tf: Int, df: Long, dl: Int): Double =
+      if (tf == 0) 0.0
+      else (3.0 - df + 0.5) / (df + 0.5) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+    assert(rows(3L).getDouble(4) == 0.0)
+    val exp1 = contrib(2, 1, 3) + contrib(1, 2, 3)
+    assert(math.abs(rows(1L).getDouble(4) - exp1) < 1e-12)
+    val exp2 = contrib(0, 1, 4) + contrib(1, 2, 4)
+    assert(math.abs(rows(2L).getDouble(4) - exp2) < 1e-12)
+    // tf columns surface the per-term counts
+    assert(rows(1L).getInt(2) == 2 && rows(1L).getInt(3) == 1)
+  }
+
   test("repetition: dup 3-gram fraction; short docs excluded") {
     val d = docsOf(
       1L -> "a b c a b c a b c", // 7 trigrams, 3 distinct -> 4 dups

@@ -32,6 +32,77 @@ class WarehouseSpec extends SparkSpec {
     assert(cohortTotal == nUsers)
   }
 
+  test("snapshot diff classifies exactly the mutated keys") {
+    val rows = q("q_snapshot_diff").collect()
+    val byOp = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val nDel = keys.count(_ % 97 == 0)
+    val nIns = keys.count(_ % 101 == 0)
+    // updates: priority rewritten, unless the row was deleted
+    val nUpd = keys.count(k => k % 31 == 0 && k % 97 != 0)
+    assert(byOp.getOrElse("D", 0) == nDel, s"deletes: $byOp vs $nDel")
+    assert(byOp.getOrElse("I", 0) == nIns, s"inserts: $byOp vs $nIns")
+    assert(byOp.getOrElse("U", 0) == nUpd, s"updates: $byOp vs $nUpd")
+    // D rows carry null payload; I/U rows carry the new generation
+    rows.foreach { r =>
+      if (r.getString(0) == "D") assert(r.isNullAt(2))
+      else assert(!r.isNullAt(2))
+    }
+    // diff is |changes|-sized, never |table|-sized
+    assert(rows.length == nDel + nIns + nUpd)
+  }
+
+  test("incremental aggregate equals full recompute over generation B") {
+    val incr = q("q_incr_agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rebuild generation B independently and aggregate it directly
+    val a = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"))
+    val b = a.where(col("o_orderkey") % 97 =!= 0)
+      .unionAll(a.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    val full = b.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(incr.toSet == full.toSet,
+      "delta-maintained aggregate must equal the from-scratch aggregate")
+    // the delta itself is |changes|-sized: signed weights reconcile the
+    // two generations' cardinalities
+    val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val ga = Tables.orders(spark, sf)
+      .select((("o_orderkey" +: payload).map(col)): _*)
+    val gb = ga.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 31 === 0, lit("X-DIFF"))
+          .otherwise(col("o_orderpriority")))
+      .unionAll(ga.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    val wsum = graft.operators.Cdc.delta(ga, gb, "o_orderkey", payload)
+      .agg(sum(col("weight"))).collect()(0).getLong(0)
+    assert(wsum == gb.count() - ga.count())
+  }
+
+  test("gap fill: dense grid, zeros on gap days, forward fill carries") {
+    val rows = q("q_gap_fill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val prios = rows.map(_._1).distinct
+    val maxDay = rows.map(_._2).max
+    assert(rows.length == prios.length * (maxDay + 1),
+      "one row per (priority, day) over the full span")
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      var carried = 0L
+      series.sortBy(_._2).foreach { case (_, _, n, cents, got) =>
+        if (n > 0) carried = cents
+        else assert(cents == 0L, "gap days zero-fill the daily sum")
+        assert(got == carried, "carried_cents = last observed day's cents")
+      }
+    }
+  }
+
   test("transition matrix: rows are probability distributions and counts conserve") {
     val rows = q("q_transition_matrix").collect()
     assert(rows.nonEmpty)
