@@ -89,6 +89,29 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // leakage-proof train/val/test split — the hash split keyed by the
+    // near-dup CLUSTER instead of the doc, so every member of a dup
+    // family lands in the same split and near-copies of training docs
+    // can never leak into eval (the failure mode a doc-keyed split
+    // cannot prevent). Singletons key by their own id, so for them this
+    // degrades to exactly q_split's assignment. The label table is
+    // dedup output (small); the split itself is one join + a narrow
+    // hash map over the corpus.
+    "pipeline_split_leakproof" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val pairs = Dedup.simhashPairs(docs(s, dir), maxHam = 3)
+        .select(col("doc_a"), col("doc_b"))
+      val lbls = Dedup.connectedComponents(pairs, iters = 6)
+      val bucket = QueryHelpers.hashBucket(col("cluster").cast("string"))
+      d.join(lbls, d("doc_id") === lbls("d"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: per-doc overlap of distinct shingle
     // hashes with the benchmark set (docs 0..9 as the eval-suite
     // stand-in); only contaminated docs (inter > 0) are reported
@@ -273,10 +296,29 @@ object DedupQueries {
        |FROM lab l JOIN canon c ON l.cluster = c.cluster
        |ORDER BY l.doc_id""".stripMargin
 
+  /** Cluster-keyed hash split: every dup-family member inherits the
+    * split of its cluster label (singletons: their own id).
+    */
+  private def leakproofSplitSql(iters: Int): String = {
+    val b = QueryHelpers.hashBucketSql("CAST(cluster AS VARCHAR)")
+    s"""WITH ${clusterLabelCtes(iters)},
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN l$iters l ON l.d = d.doc_id
+       |)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN $b < 80 THEN 'train'
+       |       WHEN $b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_cluster" -> clusterSql(6),
 
     "dedup_canonical" -> canonicalSql(6),
+
+    "pipeline_split_leakproof" -> leakproofSplitSql(6),
 
     "dedup_contamination" -> {
       import graft.operators.Dedup.{MinhashP => P}

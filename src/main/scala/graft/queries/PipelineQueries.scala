@@ -26,15 +26,12 @@ import graft.queries.QueryHelpers._
   */
 object PipelineQueries {
 
-  /** Deterministic hash bucket in [0, 100): first 8 hex digits of
-    * md5(key) as an integer, mod 100. Identical on DuckDB via
-    * CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % 100.
-    */
+  // hash bucket moved to QueryHelpers (shared with the leakage-proof
+  // split in DedupQueries); these aliases keep call sites short
   private def hashBucket(key: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(100L))
+    QueryHelpers.hashBucket(key)
 
-  private def hashBucketSql(k: String) =
-    s"CAST('0x' || substr(md5($k), 1, 8) AS BIGINT) % 100"
+  private def hashBucketSql(k: String) = QueryHelpers.hashBucketSql(k)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- END-TO-END training-data pipeline: exact-dedup keep set →

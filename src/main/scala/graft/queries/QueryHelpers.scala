@@ -30,4 +30,15 @@ object QueryHelpers {
     val p = math.pow(10.0, digits)
     s"floor(($expr) * ${p} + 0.5) / ${p}"
   }
+
+  /** Deterministic hash bucket in [0, 100): first 8 hex digits of
+    * md5(key) as an integer, mod 100 — the zero-`rand()` split/sample
+    * primitive (content-hash determinism survives repartitioning).
+    */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(100L))
+
+  /** SQL twin of [[hashBucket]] — keep in exact sync. */
+  def hashBucketSql(k: String): String =
+    s"CAST('0x' || substr(md5($k), 1, 8) AS BIGINT) % 100"
 }

@@ -32,6 +32,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("leakproof split: clusters never span splits; singletons match q_split") {
+    val rows = graft.queries.DedupQueries
+      .queries("pipeline_split_leakproof")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc gets a split")
+    // the leakage guarantee: all members of a cluster share one split
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl spans splits: ${members.map(_._3).distinct}")
+    }
+    // singleton docs (cluster == own id) degrade to the doc-keyed split
+    val plain = q("q_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.filter(r => r._1 == r._2).foreach { case (id, _, split) =>
+      assert(split == plain(id), s"singleton $id should match q_split")
+    }
+  }
+
   test("q_split: deterministic under repartitioning, exhaustive, ~80/10/10") {
     val a = q("q_split").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     // identical assignment when the input arrives in a different layout
