@@ -263,7 +263,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("hour_epoch"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy("hour_epoch", "event_type")))
+        .orderBy("hour_epoch", "event_type")),
+
+    // Hopping (sliding) 10-min/5-min window aggregation — the
+    // overlapping-window twin of q_events_window: every event lands in
+    // exactly width/slide = 2 windows. Spark's window() emits both
+    // assignments natively (one narrow generate, no self-join); the
+    // oracle replays the window membership in pure integer-micros
+    // arithmetic (floor-div to the aligned start, minus one slide), so
+    // boundary events land identically on both engines.
+    "q_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_epoch"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_epoch", "event_type")))
 
   val oracleSql: Map[String, String] = Map(
     // layout never changes answers: the oracle runs the same predicates
@@ -408,5 +424,21 @@ object RelationalQueries {
     "q_events_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          |  event_type, count(*) AS n, ${rndSql("sum(value)", 4)} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)
+         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // integer-micros window membership: aligned start = floor-div by the
+    // 300s slide; each event also belongs to the previous slide's window
+    // (width = 2 slides)
+    "q_hopping_window" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS es_us, event_type, value FROM events
+         |), x AS (
+         |  SELECT unnest([(es_us // 300000000) * 300,
+         |                 (es_us // 300000000) * 300 - 300]) AS win_epoch,
+         |    event_type, value
+         |  FROM e
+         |)
+         |SELECT win_epoch, event_type, count(*) AS n,
+         |  ${rndSql("sum(value)", 4)} AS sum_value
+         |FROM x GROUP BY 1, 2 ORDER BY win_epoch, event_type""".stripMargin)
 }

@@ -209,6 +209,34 @@ object WarehouseQueries {
         .orderBy("o_custkey")
     }),
 
+    // ---- Longest activity streak per user (gaps-and-islands): runs of
+    // consecutive active days found by the day − row_number() island
+    // key — consecutive days share a constant difference, so islands
+    // need NO self-join and no iteration: one distinct, one window, two
+    // map-side-combined aggregates, all partitioned by user_id (a
+    // single exchange at scale). Ties on streak length break to the
+    // earliest start via max(struct), not a sort. Pure epoch-day
+    // integer arithmetic throughout.
+    "q_streaks" -> ((s, dir) => {
+      val days = ev(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(timestamp_micros(ts_us)), " +
+            "DATE '1970-01-01') AS BIGINT)").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_days"),
+          max(struct(col("len"), (-col("start")).as("neg_start"))).as("m"),
+          count(lit(1)).as("n_streaks"))
+        .select(col("user_id"), col("n_days"),
+          col("m.len").as("max_streak"),
+          (-col("m.neg_start")).as("streak_start"), col("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // ---- Time-series gap fill + forward fill: the resampling pass
     // every metrics/feature pipeline runs before ML — a dense
     // (priority × day) grid with zero-filled daily counts/revenue and
@@ -438,6 +466,32 @@ object WarehouseQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |       AS BIGINT) AS sum_cents
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days
+        |), st AS (
+        |  SELECT user_id, island, count(*) AS len, min(day) AS start
+        |  FROM isl GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, len, start,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start ASC) AS rk,
+        |    sum(len) OVER (PARTITION BY user_id) AS n_days,
+        |    count(*) OVER (PARTITION BY user_id) AS n_streaks
+        |  FROM st
+        |)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(len AS BIGINT) AS max_streak, start AS streak_start,
+        |  CAST(n_streaks AS BIGINT) AS n_streaks
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "q_gap_fill" ->
       """WITH daily AS (

@@ -67,6 +67,17 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, null)))
   }
 
+  test("hopping windows: every event in exactly width/slide windows") {
+    val rows = graft.queries.RelationalQueries
+      .queries("q_hopping_window")(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == 2 * nEvents,
+      "width 10min / slide 5min => each event counted in exactly 2 windows")
+    // starts are slide-aligned and consecutive windows overlap
+    val starts = rows.map(_.getLong(0)).distinct.sorted
+    assert(starts.forall(_ % 300 == 0), "window starts align to the slide")
+  }
+
   test("bandedRange equals the naive inequality join") {
     val e = evUs
     val l = e.where(col("event_type") === "signup")

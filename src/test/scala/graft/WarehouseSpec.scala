@@ -85,6 +85,28 @@ class WarehouseSpec extends SparkSpec {
     assert(wsum == gb.count() - ga.count())
   }
 
+  test("streaks match a brute-force driver recomputation") {
+    val got = q("q_streaks").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      // split into runs of consecutive days
+      val runs = sorted.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (h :: t), d) if h.head == d - 1 => (d :: h) :: t
+        case (acc, d) => List(d) :: acc
+      }.map(r => (r.length.toLong, r.min))
+      val (len, start) = runs.maxBy { case (l, s) => (l, -s) }
+      u -> (sorted.length.toLong, len, start, runs.length.toLong)
+    }
+    assert(got == brute, "streak stats must equal the driver replay")
+  }
+
   test("gap fill: dense grid, zeros on gap days, forward fill carries") {
     val rows = q("q_gap_fill").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
