@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -209,6 +209,44 @@ object WarehouseQueries {
         .orderBy("o_custkey")
     }),
 
+    // ---- RFM customer segmentation: recency/frequency/monetary per
+    // customer, each quintile-binned — the quantile-BINNING shape done
+    // scale-first: a global ntile() would funnel every row through one
+    // sorted partition, so instead the 12 exact quintile boundaries
+    // (one 1-row aggregate) broadcast back and bucket assignment is a
+    // narrow comparison map — the same boundaries-then-scan split as
+    // q_histogram, but with data-derived edges. Metrics are exact
+    // integers (epoch-day, count, cents); the oracle replays Spark's
+    // percentile interpolation formula term for term on the sorted
+    // value list, so boundaries agree to the ulp and integer metrics
+    // can never straddle engine-divergent edges (frac = 0 positions are
+    // exact order statistics; elsewhere boundaries sit >= 0.2·gap from
+    // any integer).
+    "q_rfm" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val day = datediff(to_date(col("o_orderdate")),
+        to_date(lit("1992-01-01"))).cast("long")
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(day).as("r_day"), count(lit(1)).as("f"),
+          sum(cents).as("m_cents"))
+      val qs = cust.agg(
+        expr("percentile(r_day, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+        expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+        expr("percentile(m_cents, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
+      def bucket(m: Column, q: String): Column =
+        (1 to 4).map(i => when(m > element_at(col(q), i), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+      cust.crossJoin(broadcast(qs))
+        .select(col("o_custkey"), col("r_day"), col("f"), col("m_cents"),
+          bucket(col("r_day"), "rq").as("r_b"),
+          bucket(col("f"), "fq").as("f_b"),
+          bucket(col("m_cents"), "mq").as("m_b"))
+        .withColumn("segment",
+          col("r_b") * 100 + col("f_b") * 10 + col("m_b"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- Longest activity streak per user (gaps-and-islands): runs of
     // consecutive active days found by the day − row_number() island
     // key — consecutive days share a constant difference, so islands
@@ -270,6 +308,55 @@ object WarehouseQueries {
             lit(0L)).as("carried_cents"))
         .orderBy("prio", "day_idx")
     }))
+
+  /** RFM oracle. The quintile boundaries replay Spark's `percentile`
+    * interpolation verbatim on the sorted value list:
+    * pos = p·(n−1); lower = sorted[⌊pos⌋]; result =
+    * lower + (sorted[⌈pos⌉] − lower)·(pos − ⌊pos⌋) — identical IEEE
+    * term order, so boundaries match to the ulp.
+    */
+  private def rfmSql: String = {
+    def interp(lst: String, p: String): String =
+      s"($lst[CAST(floor($p * (n - 1)) AS BIGINT) + 1] + " +
+        s"($lst[CAST(ceil($p * (n - 1)) AS BIGINT) + 1] - " +
+        s"$lst[CAST(floor($p * (n - 1)) AS BIGINT) + 1]) * " +
+        s"($p * (n - 1) - floor($p * (n - 1))))"
+    val ps = Seq("0.2", "0.4", "0.6", "0.8")
+    val qCols = Seq("rq" -> "rv", "fq" -> "fv", "mq" -> "mv").flatMap {
+      case (q, v) => ps.zipWithIndex.map { case (p, i) =>
+        s"${interp(v, p)} AS ${q}_${i + 1}" }
+    }.mkString(",\n       |    ")
+    def bucket(m: String, q: String): String =
+      (1 to 4).map(i => s"CASE WHEN $m > ${q}_$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", " + 1)")
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    max(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)))
+       |      AS r_day,
+       |    count(*) AS f,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |         AS BIGINT) AS m_cents
+       |  FROM orders GROUP BY 1
+       |), v AS (
+       |  SELECT list_sort(list(CAST(r_day AS DOUBLE))) AS rv,
+       |    list_sort(list(CAST(f AS DOUBLE))) AS fv,
+       |    list_sort(list(CAST(m_cents AS DOUBLE))) AS mv,
+       |    count(*) AS n
+       |  FROM cust
+       |), q AS (
+       |  SELECT $qCols
+       |  FROM v
+       |), b AS (
+       |  SELECT c.o_custkey, c.r_day, c.f, c.m_cents,
+       |    ${bucket("c.r_day", "rq")} AS r_b,
+       |    ${bucket("c.f", "fq")} AS f_b,
+       |    ${bucket("c.m_cents", "mq")} AS m_b
+       |  FROM cust c CROSS JOIN q
+       |)
+       |SELECT o_custkey, r_day, f, m_cents, r_b, f_b, m_b,
+       |  r_b * 100 + f_b * 10 + m_b AS segment
+       |FROM b ORDER BY o_custkey""".stripMargin
+  }
 
   /** Compared payload of the snapshot-diff pair. */
   private val snapPayload = Seq("o_custkey", "o_orderstatus",
@@ -466,6 +553,8 @@ object WarehouseQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |       AS BIGINT) AS sum_cents
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_rfm" -> rfmSql,
 
     "q_streaks" ->
       """WITH days AS (

@@ -85,6 +85,28 @@ class WarehouseSpec extends SparkSpec {
     assert(wsum == gb.count() - ga.count())
   }
 
+  test("rfm: segment encodes the triple; buckets monotone; money quintiles balanced") {
+    val rows = q("q_rfm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, rb, fb, mb, seg) =>
+      assert(rb >= 1 && rb <= 5 && fb >= 1 && fb <= 5 && mb >= 1 && mb <= 5)
+      assert(seg == rb * 100 + fb * 10 + mb)
+    }
+    // bucket assignment is monotone in the metric
+    rows.sortBy(_._4).map(_._7).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ =>
+    }
+    // m_cents is ~unique per customer, so its quintiles are balanced
+    // (tie-heavy metrics like f may legitimately lump)
+    val n = rows.length.toDouble
+    rows.groupBy(_._7).values.foreach { g =>
+      assert(g.length / n > 0.10 && g.length / n < 0.35,
+        s"money bucket share ${g.length / n} out of quintile range")
+    }
+  }
+
   test("streaks match a brute-force driver recomputation") {
     val got = q("q_streaks").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
