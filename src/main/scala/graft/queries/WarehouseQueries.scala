@@ -209,6 +209,38 @@ object WarehouseQueries {
         .orderBy("o_custkey")
     }),
 
+    // ---- Rolling 7-day active users (WAU): exact sliding distinct
+    // count. Sliding distinct has no window-function form (distinct
+    // doesn't decompose over frames), so each (user, day) observation
+    // is exploded into the <=7 window days it supports — a narrow
+    // generate bounded by the window length — then ONE distinct +
+    // count shuffle keyed by (window_day, user). At 100 TB the 7×
+    // row inflation is the exact-answer price (the sketch alternative
+    // — per-day HLL merged across 7 days — trades it for approximation
+    // and is the production escape hatch); the input is pre-collapsed
+    // to distinct (user, day) FIRST so the explosion rides day-level
+    // density, never raw event volume. Trailing partial windows are
+    // trimmed at the observed max day (broadcast 1-row bound).
+    "q_rolling_actives" -> ((s, dir) => {
+      val days = ev(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(timestamp_micros(ts_us)), " +
+            "DATE '1970-01-01') AS BIGINT)").as("day"))
+        .distinct()
+      val daily = days.groupBy(col("day")).agg(count(lit(1)).as("n_active_1d"))
+      val bound = days.agg(max(col("day")).as("mx"))
+      val rolling = days
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .crossJoin(broadcast(bound))
+        .where(col("wday") <= col("mx"))
+        .select(col("wday"), col("user_id")).distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("n_active_7d"))
+      daily.join(rolling, daily("day") === rolling("wday"))
+        .select(col("day"), col("n_active_1d"), col("n_active_7d"))
+        .orderBy("day")
+    }),
+
     // ---- RFM customer segmentation: recency/frequency/monetary per
     // customer, each quintile-binned — the quantile-BINNING shape done
     // scale-first: a global ntile() would funnel every row through one
@@ -555,6 +587,28 @@ object WarehouseQueries {
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_rfm" -> rfmSql,
+
+    "q_rolling_actives" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events
+        |), daily AS (
+        |  SELECT day, count(*) AS n_active_1d FROM days GROUP BY day
+        |), mx AS (SELECT max(day) AS m FROM days),
+        |rolling AS (
+        |  SELECT wday, count(DISTINCT user_id) AS n_active_7d
+        |  FROM (
+        |    SELECT user_id,
+        |      unnest(generate_series(day, day + 6)) AS wday
+        |    FROM days
+        |  )
+        |  WHERE wday <= (SELECT m FROM mx)
+        |  GROUP BY wday
+        |)
+        |SELECT d.day, d.n_active_1d, r.n_active_7d
+        |FROM daily d JOIN rolling r ON d.day = r.wday
+        |ORDER BY d.day""".stripMargin,
 
     "q_streaks" ->
       """WITH days AS (

@@ -85,6 +85,22 @@ class WarehouseSpec extends SparkSpec {
     assert(wsum == gb.count() - ga.count())
   }
 
+  test("rolling 7-day actives match a brute-force driver replay") {
+    val got = q("q_rolling_actives").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = days.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val brute = byDay.map { case (d, _) =>
+      val w = (d - 6 to d).flatMap(byDay.get).flatten.toSet
+      d -> (byDay(d).size.toLong, w.size.toLong)
+    }
+    assert(got == brute)
+  }
+
   test("rfm: segment encodes the triple; buckets monotone; money quintiles balanced") {
     val rows = q("q_rfm").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
