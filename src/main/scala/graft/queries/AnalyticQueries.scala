@@ -93,6 +93,28 @@ object AnalyticQueries {
         .agg(sum(col("l_quantity")))
         .orderBy("l_linestatus")),
 
+    // ---- unpivot (melt) — the inverse of q_pivot: wide per-flag
+    // measures back to (key, measure, value) long form via Spark's
+    // native unpivot (a narrow Expand, one row-set pass, no join/union
+    // re-scan of the input). Measures are exact integers (quantity
+    // sums, price cents, discount points) so the gate has no float
+    // slack; the oracle's UNION-ALL melt is the dialect-stable
+    // equivalent of UNPIVOT.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+            .as("sum_price_cents"),
+          sum(floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+            .as("sum_disc_pts"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price_cents"), col("sum_disc_pts")),
+        "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
     // ---- set operators (INTERSECT / EXCEPT are distinct-set semantics
     // in both engines)
     "q_intersect" -> ((s, dir) => {
@@ -478,6 +500,26 @@ object AnalyticQueries {
         |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sum_price_cents,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sum_disc_pts
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
+        |  FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc_pts', sum_disc_pts FROM wide
+        |)
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -13,6 +13,19 @@ class AnalyticSpec extends SparkSpec {
 
   private def q(name: String) = AnalyticQueries.queries(name)(spark, sf)
 
+  test("q_unpivot: 3 measure rows per key, values equal the wide aggregate") {
+    val long = q("q_unpivot").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(long.size == wide.size * 3, "3 measures per returnflag")
+    wide.foreach { case (flag, qty) =>
+      assert(long((flag, "sum_qty")) == qty)
+    }
+  }
+
   test("q_window_suite: rn is the sort position and lead/lag are offsets") {
     val rows = q("q_window_suite")
       .select("o_orderpriority", "rn", "o_orderkey", "next_key", "top_key")
