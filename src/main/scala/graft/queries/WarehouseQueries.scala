@@ -407,7 +407,7 @@ object WarehouseQueries {
         when(col("o_orderkey") % 31 === 0, lit("X-DIFF"))
           .otherwise(col("o_orderpriority")))
     val inserted = a.where(col("o_orderkey") % 101 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L))
     (a, updated.unionAll(inserted))
   }
 
@@ -541,7 +541,7 @@ object WarehouseQueries {
         |         ELSE o_orderpriority END AS o_orderpriority
         |  FROM a WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
         |    o_totalprice, o_orderdate, o_orderpriority
         |  FROM a WHERE o_orderkey % 101 = 0
         |), d AS (
@@ -577,7 +577,7 @@ object WarehouseQueries {
         |         ELSE o_orderpriority END AS o_orderpriority
         |  FROM a WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
         |    o_totalprice, o_orderdate, o_orderpriority
         |  FROM a WHERE o_orderkey % 101 = 0
         |)

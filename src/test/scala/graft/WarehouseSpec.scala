@@ -61,7 +61,7 @@ class WarehouseSpec extends SparkSpec {
       col("o_custkey"), col("o_totalprice"))
     val b = a.where(col("o_orderkey") % 97 =!= 0)
       .unionAll(a.where(col("o_orderkey") % 101 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
     val full = b.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("c"))
@@ -79,7 +79,7 @@ class WarehouseSpec extends SparkSpec {
         when(col("o_orderkey") % 31 === 0, lit("X-DIFF"))
           .otherwise(col("o_orderpriority")))
       .unionAll(ga.where(col("o_orderkey") % 101 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
     val wsum = graft.operators.Cdc.delta(ga, gb, "o_orderkey", payload)
       .agg(sum(col("weight"))).collect()(0).getLong(0)
     assert(wsum == gb.count() - ga.count())
