@@ -57,7 +57,13 @@ object PlanAudit {
     // delta, no B rescan), gap fill (one daily aggregate; grid explode
     // narrow off a broadcast bound; window over grid-sized data),
     // BM25 (one 1-row corpus aggregate broadcast back, narrow scorer)
-    "q_snapshot_diff", "q_incr_agg", "q_gap_fill", "text_bm25")
+    "q_snapshot_diff", "q_incr_agg", "q_gap_fill", "text_bm25",
+    // round 7 final batch: RFM (broadcast quantile boundaries, no
+    // global ntile), rolling distinct (bounded window explode), streaks
+    // (one user_id exchange), hopping windows (single Expand, no
+    // self-join), unpivot (native Expand melt)
+    "q_rfm", "q_rolling_actives", "q_streaks", "q_hopping_window",
+    "q_unpivot")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
