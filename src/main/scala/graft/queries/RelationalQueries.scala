@@ -157,6 +157,27 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // Trending items: top-3 parts per ship-month by line count — the
+    // custom bounded-heap TopKPerGroupExec driven by a TIME-DERIVED
+    // group key (q_topk_custom uses a static dimension). One map-side-
+    // combined (month, part) aggregate is the only real shuffle; the
+    // top-k pass holds k rows per month, never a per-month sort or a
+    // window materialization — at 100 TB the heap state is months × 3
+    // rows regardless of part cardinality. Ties break to the lowest
+    // part id via the struct order key.
+    "q_trending" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("ym"), col("l_partkey"))
+        .groupBy(col("ym"), col("l_partkey")).agg(count(lit(1)).as("n"))
+      val o = counts.withColumn("_ord",
+        struct((-col("n")).as("a"), col("l_partkey").as("b")))
+      graft.plans.TopKPerGroup(o, Seq("ym"), "_ord",
+        descending = false, k = 3)
+        .select(col("ym"), col("l_partkey"), col("n"))
+        .orderBy(col("ym"), col("n").desc, col("l_partkey"))
+    }),
+
     // frame-based running window. The ordering key includes l_quantity so
     // it matches the documented point identity (okey, lineno, price, qty)
     // — a unique sort key is what makes the cross-engine compare
@@ -351,6 +372,21 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_trending" ->
+      """WITH c AS (
+        |  SELECT year(CAST(l_shipdate AS DATE)) * 12
+        |    + month(CAST(l_shipdate AS DATE)) AS ym,
+        |    l_partkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT ym, l_partkey, n,
+        |    row_number() OVER (PARTITION BY ym
+        |      ORDER BY n DESC, l_partkey) AS rk
+        |  FROM c
+        |)
+        |SELECT ym, l_partkey, n FROM r WHERE rk <= 3
+        |ORDER BY ym, n DESC, l_partkey""".stripMargin,
 
     "q_topk_custom" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (

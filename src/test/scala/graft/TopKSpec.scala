@@ -43,6 +43,19 @@ class TopKSpec extends SparkSpec {
     assert(p.contains("Exchange"), s"expected clustering exchange:\n$p")
   }
 
+  test("q_trending drives the custom exec off a time-derived group key") {
+    val df = graft.queries.RelationalQueries.queries("q_trending")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"plan:\n$p")
+    val rows = df.collect()
+    // exactly 3 per month wherever >=3 parts shipped; counts descending
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val ns = rs.map(_.getLong(2))
+      assert(ns.sameElements(ns.sortBy(-_)), "per-month counts descending")
+    }
+  }
+
   test("struct-ordered boundary is deterministic (buffer-aliasing regression)") {
     import spark.implicits._
     val df = Seq((1, 5.0, 10L), (1, 5.0, 11L), (1, 5.0, 12L), (1, 4.0, 13L))
