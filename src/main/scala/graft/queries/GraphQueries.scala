@@ -30,6 +30,15 @@ object GraphQueries {
     * appear in the same order. DISTINCT (order, part) first, so the
     * per-order pair expansion is bounded by basket size, never line
     * count.
+    *
+    * (A 2-shuffle variant — groupBy(order) collect_set + higher-order
+    * pair expansion over the sorted basket array — was A/B'd via
+    * tools/BasketProfile: the build alone is ~1 s cheaper cold, but
+    * interleaved steady-state under BOTH graph consumers came out
+    * ~1 s SLOWER for triangles and neutral for k-core, so the
+    * self-join form stays. At real scale the basket aggregate remains
+    * the shuffle-count winner; revisit if the co-occurrence build
+    * ever dominates a profile.)
     */
   private def basketEdges(s: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(s, dir)
