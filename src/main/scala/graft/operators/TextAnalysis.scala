@@ -14,6 +14,47 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Vocabulary induction + per-doc coverage — the tokenizer-fitting
+    * audit a pretraining pipeline runs before committing to a vocab:
+    * the top-`v` corpus tokens by total occurrence count (ties →
+    * lexicographic, so the vocabulary is deterministic on any engine)
+    * form the vocabulary; each document then reports how much of its
+    * DISTINCT token set the vocabulary covers (OOV rate = 1 −
+    * coverage).
+    *
+    * Scale shape mirrors [[Dedup.contamination]]: the corpus-frequency
+    * pass is ONE map-side-combined groupBy whose shuffle carries
+    * per-partition token partials (bounded by |alphabet|·partitions,
+    * never corpus volume); the vocabulary is by construction tiny
+    * (top-v), reduced to one sorted 60-bit-hash array and broadcast;
+    * the per-doc pass is then a single narrow map — sorted-merge
+    * intersect via the codegen'd SortedIntersectCount kernel. Zero
+    * corpus-side explode beyond the frequency pass, zero join shuffle.
+    * Token identity crosses engines as the md5-derived 60-bit hash
+    * ([[Dedup.shingleBaseHash]]), so any collision is identical on
+    * both sides. Returns (doc_id, n_distinct, n_in_vocab); the
+    * coverage ratio is left to the query layer so rounding stays
+    * there.
+    */
+  def vocabCoverage(docs: DataFrame, v: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
+    val freq = toks.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val vocabArr = freq.orderBy(col("f").desc, col("tok")).limit(v)
+      .agg(array_sort(array_distinct(
+        collect_list(Dedup.shingleBaseHash(col("tok"))))).as("vh"))
+    val perDoc = toks
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), sort_array(array_distinct(
+        transform(col("ts"), t => Dedup.shingleBaseHash(t)))).as("ths"))
+    perDoc.crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"),
+        size(col("ths")).cast("long").as("n_distinct"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("ths"), col("vh"))
+          .as("n_in_vocab"))
+  }
+
   /** Stopword markers per language. Scores = Σ occurrence counts of the
     * language's markers in the space-padded lowercased text.
     */

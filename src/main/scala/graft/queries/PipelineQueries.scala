@@ -117,6 +117,37 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ---- temperature-scaled source mixing (the multilingual-corpus
+    // sampling rule): weight_i = cnt_i^α / Σ_j cnt_j^α with α = 0.5,
+    // boost_i = weight_i / (cnt_i / total) — how much source i is up-
+    // or down-sampled vs proportional. The denominator Σ √cnt is a
+    // data-ordered float sum, so it is folded over the source-sorted
+    // array seeded with the first element (the q_ewma idiom) — same
+    // IEEE op order as the oracle's list_reduce, bit-exact before the
+    // 6-dp display rounding. Scale: per-source counts are ONE
+    // map-side-combined aggregate; the fold runs over |sources| rows
+    // in a single 1-row reduction — nothing driver-side, nothing
+    // proportional to corpus volume.
+    "pipeline_mix_temperature" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            .cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("cnt"))
+      per.agg(
+          array_sort(collect_list(struct(col("source"), col("cnt")))).as("xs"),
+          sum(col("cnt")).as("tot"))
+        .withColumn("ss", expr("transform(xs, x -> sqrt(CAST(x.cnt AS DOUBLE)))"))
+        .withColumn("den", expr(
+          "aggregate(slice(ss, 2, greatest(size(ss) - 1, 0)), ss[0], (acc, v) -> acc + v)"))
+        .select(col("tot"), col("den"), explode(col("xs")).as("x"))
+        .select(col("x.source").as("source"), col("x.cnt").as("n_tokens"),
+          rnd(sqrt(col("x.cnt").cast("double")) / col("den"), 6).as("weight"),
+          rnd(sqrt(col("x.cnt").cast("double")) / col("den")
+            * col("tot").cast("double") / col("x.cnt").cast("double"), 6).as("boost"))
+        .orderBy("source")
+    }),
+
     // ---- per-ROW weighted (importance) sampling: keep probability
     // proportional to capped document length, decided by a content-hash
     // uniform — the quality-weighted subsampling pass. Both the uniform
@@ -307,6 +338,24 @@ object PipelineQueries {
         |SELECT source, rate, count(*) AS n_total,
         |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM d GROUP BY source, rate ORDER BY source""".stripMargin,
+    // list(ORDER BY source) + list_reduce ≡ the Spark sorted-array
+    // fold seeded with the first element — identical IEEE op order
+    "pipeline_mix_temperature" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(sum(len(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY source
+         |), d AS (
+         |  SELECT list_reduce(list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY source),
+         |    (acc, v) -> acc + v) AS den,
+         |    CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM per
+         |)
+         |SELECT p.source, p.cnt AS n_tokens,
+         |  ${rndSql("sqrt(CAST(p.cnt AS DOUBLE)) / d.den", 6)} AS weight,
+         |  ${rndSql("sqrt(CAST(p.cnt AS DOUBLE)) / d.den * d.tot / p.cnt", 6)} AS boost
+         |FROM per p, d ORDER BY p.source""".stripMargin,
+
     "q_split" ->
       s"""SELECT doc_id,
          |  ${hashBucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TextAnalysis
+import graft.queries.QueryHelpers.{rnd, rndSql}
 
 /** Oracle-checked text-analysis queries over `documents` (language ID,
   * quality metrics, token counting, winnowing fingerprints). All
@@ -28,6 +29,16 @@ object TextQueries {
 
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenReport(docs(s, dir)).orderBy("source")),
+
+    // top-24 corpus vocabulary (occurrence count, ties lexicographic)
+    // + per-doc distinct-token coverage against it — the broadcast
+    // sorted-hash-array + narrow sorted-merge-intersect shape of
+    // dedup_contamination (TextAnalysis.vocabCoverage scaladoc)
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir), v = 24)
+        .withColumn("coverage",
+          rnd(col("n_in_vocab").cast("double") / col("n_distinct"), 6))
+        .orderBy("doc_id")),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprint(docs(s, dir)).orderBy("doc_id")),
@@ -152,6 +163,38 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
+
+    // same 60-bit md5 token hash as the Spark side, so vocabulary and
+    // per-doc token sets agree even under (identical) collisions
+    "text_vocab_coverage" -> {
+      import graft.operators.Dedup.{MinhashP => P}
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+         |  FROM documents
+         |), freq AS (
+         |  SELECT tok, count(*) AS f FROM toks GROUP BY tok
+         |), vocab AS (
+         |  SELECT tok FROM freq ORDER BY f DESC, tok LIMIT 24
+         |), vh AS (
+         |  SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $P AS hm
+         |  FROM vocab
+         |), dt AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $P AS hm
+         |  FROM toks
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY doc_id
+         |), it AS (
+         |  SELECT d.doc_id, count(*) AS n_in FROM dt d JOIN vh v ON d.hm = v.hm
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT s.doc_id, CAST(s.n_distinct AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in_vocab,
+         |  ${rndSql("CAST(coalesce(i.n_in, 0) AS DOUBLE) / s.n_distinct", 6)} AS coverage
+         |FROM sizes s LEFT JOIN it i ON s.doc_id = i.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
 
     "text_bm25" -> bm25Sql,
 

@@ -109,4 +109,21 @@ class PipelineSpec extends SparkSpec {
       .filter(_.getLong(1) > 0.3 * n).map(_.getString(0)).toSet
     assert(truly.subsetOf(freq), s"missing ${truly -- freq}")
   }
+
+  test("mix temperature: weights sum to 1, α=0.5 boosts small sources above large") {
+    val rows = q("pipeline_mix_temperature").collect()
+    assert(rows.length > 1, "fixture has multiple sources")
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    // each weight display-rounds at 6 dp; the sum drifts at most n·5e-7
+    assert(math.abs(wSum - 1.0) < rows.length * 5e-7, s"weights sum to $wSum")
+    // α < 1 flattens the mix: the smallest source is up-sampled
+    // (boost > 1) and the largest down-sampled (boost < 1); boost is
+    // monotone decreasing in source size
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("boost") > 1.0)
+    assert(bySize.last.getAs[Double]("boost") < 1.0)
+    val boosts = bySize.map(_.getAs[Double]("boost"))
+    assert(boosts.zip(boosts.tail).forall { case (a, b) => a >= b },
+      "boost must fall as source size grows")
+  }
 }

@@ -170,4 +170,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(sZebra - 1.0 * (4 - 1 + 0.5) / 1.5) < 1e-12)
     assert(math.abs(sCommon - 3.0 * (4 - 4 + 0.5) / 4.5) < 1e-12)
   }
+
+  test("vocabCoverage: top-v by occurrence with lexicographic ties; exact per-doc counts") {
+    // occurrences: aa=4, bb=3, cc=2, dd=2, zz=1 → v=3 vocab = {aa, bb, cc}
+    // (cc beats dd on the lexicographic tie at count 2)
+    val d = docsOf(
+      1L -> "aa aa bb cc dd",
+      2L -> "aa bb cc dd zz",
+      3L -> "aa bb aa")
+    val got = TextAnalysis.vocabCoverage(d, v = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((4L, 3L))) // {aa,bb,cc,dd}: aa,bb,cc in vocab
+    assert(got(2L) == ((5L, 3L))) // {aa,bb,cc,dd,zz}: aa,bb,cc
+    assert(got(3L) == ((2L, 2L))) // {aa,bb}: both in vocab
+    // vocabulary smaller than v degrades to the full token set
+    val all = TextAnalysis.vocabCoverage(d, v = 100).collect()
+    assert(all.forall(r => r.getLong(2) == r.getLong(1)),
+      "with v >= |alphabet| every distinct token is in-vocab")
+  }
 }
