@@ -89,7 +89,34 @@ object GraphQueries {
         .select(col("s_suppkey").as("node"))
       graft.operators.Bfs.run(supplyEdges(s, dir), seeds, rounds = 3)
         .orderBy("node")
+    }),
+
+    // weighted shortest paths (3-round Bellman-Ford) over the supply
+    // graph with integer edge weights = min quantity per (supplier,
+    // part) — cheapest routes, not fewest hops. Spark runs the DELTA
+    // form (only improved nodes propagate); the oracle replays the
+    // provably-equal full relaxation as unrolled CTEs (Sssp scaladoc).
+    "graph_sssp" -> ((s, dir) => {
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Sssp.run(weightedSupplyEdges(s, dir), seeds, rounds = 3)
+        .orderBy("node")
     }))
+
+  /** Weighted bipartite supply graph: both directions of each distinct
+    * (supplier, part) pair, edge weight = min lineitem quantity for the
+    * pair (an exact small integer in the fixtures — BIGINT on both
+    * engines). One map-side-combined aggregate builds it.
+    */
+  private def weightedSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    pairs.select(col("sup").as("src"), col("prt").as("dst"), col("w"))
+      .unionAll(pairs.select(col("prt").as("src"), col("sup").as("dst"), col("w")))
+  }
 
   /** Unrolled peel rounds — each round recomputes degrees over the
     * surviving edge set and keeps edges whose BOTH endpoints still
@@ -145,6 +172,36 @@ object GraphQueries {
        |SELECT node, dist FROM v$rounds ORDER BY node""".stripMargin
   }
 
+  /** Unrolled full-relaxation Bellman-Ford rounds — round i takes the
+    * min over (previous distances ∪ every one-edge relaxation from
+    * them), which equals the Spark delta form table-for-table (Sssp
+    * scaladoc).
+    */
+  private def ssspSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT node, min(d) AS d FROM (
+         |  SELECT node, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.d + e.w AS d
+         |  FROM d${i - 1} p JOIN edges e ON e.src = p.node
+         |) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT l_suppkey AS sup, 100000 + l_partkey AS prt,
+       |    CAST(min(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT sup AS src, prt AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst, w FROM pairs
+       |), d0 AS (
+       |  SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS d FROM supplier
+       |  WHERE s_suppkey <= 5
+       |),
+       |$roundCtes
+       |SELECT node, d FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = {
     // one CTE pair (contribs, ranks) per iteration — the same unrolled-
     // replay pattern as kmeans_fit_unrolled; `//` is DuckDB integer
@@ -165,6 +222,8 @@ object GraphQueries {
       "graph_kcore" -> kcoreSql(k = 3, rounds = 3),
 
       "graph_bfs" -> bfsSql(rounds = 3),
+
+      "graph_sssp" -> ssspSql(rounds = 3),
 
       "graph_triangles" ->
         """WITH op AS (

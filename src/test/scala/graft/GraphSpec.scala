@@ -110,6 +110,30 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
 
+  test("sssp: cheap long route beats heavy direct edge; delta form = full relaxation") {
+    import spark.implicits._
+    // 1 →(10)→ 2, 1 →(1)→ 3 →(1)→ 2: cheapest 1→2 is 2 via node 3,
+    // but it needs TWO rounds — after one round the heavy direct edge wins
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def distMap(rounds: Int) =
+      graft.operators.Sssp.run(edges, seeds, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distMap(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    assert(distMap(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 1L))
+    // extra rounds past the diameter change nothing (fixpoint)
+    assert(distMap(3) == distMap(2))
+    // delta form ≡ full relaxation, replayed in driver Scala
+    val es = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L))
+    var full = Map(1L -> 0L)
+    for (_ <- 1 to 2)
+      full = (full.toSeq ++ es.flatMap { case (s, d, w) =>
+        full.get(s).map(ds => d -> (ds + w)) })
+        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+    assert(distMap(2) == full)
+  }
+
   test("triangle counts on the fixture graph: total divisible by 3") {
     val e = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
