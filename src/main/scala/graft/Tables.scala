@@ -21,22 +21,35 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set in Verify/Bench/tests) it reads as BIGINT nanoseconds. This
-    * loader normalizes: keeps `ts_ns BIGINT` and adds `ts TIMESTAMP`
-    * truncated to microseconds.
+  /** events.parquet has shipped `ts` in three physical forms across
+    * driver testdata generations:
+    *  - TIMESTAMP(NANOS): rejected by the vectorized reader unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/
+    *    tests) makes it BIGINT nanoseconds;
+    *  - timestamp[us] with isAdjustedToUTC=false: reads as TIMESTAMP_NTZ
+    *    (which `unix_micros` rejects — round-8 bench regression);
+    *  - plain TIMESTAMP.
+    * [[normalizeEvents]] maps all three to the same contract every query
+    * depends on: `ts TIMESTAMP` (micros) + `ts_ns BIGINT` (epoch nanos).
+    * The session timezone is UTC everywhere, so the NTZ→TIMESTAMP cast is
+    * the identity on the stored micros and matches DuckDB's naive read.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = table(spark, sfDir, "events")
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
-      case _ => raw.withColumn("ts_ns",
-        unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
   }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEvents(table(spark, sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -18,11 +18,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json is written FIRST (and again at the end, in case a
+    // partial file was read mid-write): if the driver kills this process
+    // on a wall-clock budget, the dumps completed so far + the oracle
+    // map still form a usable partial correctness artifact instead of
+    // an empty round (the round-7/8 failure mode).
+    writeOracleJson(outDir)
     // Dump queries on a small thread pool: each write is its own Spark
     // job into its own directory, and concurrent jobs overlap planning
     // with execution (most of these queries are planning-bound at
     // sf0.01) — roughly halves the correctness-gate wall clock.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.get("SPARK_GRAFT_POOL").map(_.toInt).getOrElse(4))
     try {
       // dev-loop filters (driver never sets them): dump only these /
       // all-but-these queries — SKIP exists for derived-scale runs where
@@ -45,6 +52,11 @@ object Verify {
       }
       tasks.foreach(_.get())
     } finally pool.shutdown()
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -60,6 +72,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

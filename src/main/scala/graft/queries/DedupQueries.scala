@@ -213,7 +213,7 @@ object DedupQueries {
        |sums AS (SELECT doc_id,
        |        $sums
        |      FROM hs GROUP BY doc_id),
-       |fp AS (SELECT doc_id, ${Dedup.simhashFpSql} AS fp FROM sums)""".stripMargin
+       |fp AS MATERIALIZED (SELECT doc_id, ${Dedup.simhashFpSql} AS fp FROM sums)""".stripMargin
   }
 
   private def simhashSql: String =
@@ -245,25 +245,31 @@ object DedupQueries {
     * canonical-selection oracles.
     */
   private def clusterLabelCtes(iters: Int): String = {
+    // every lN is referenced twice by lN+1 (and `e` by every round):
+    // without MATERIALIZED DuckDB re-executes the whole upstream chain
+    // per reference — 2^iters recomputations of the simhash pipeline.
+    // Observed: sf0.01 gate went from minutes-per-query (the round-8
+    // empty-correctness suspect) to 0.2 s with the hints. Spark never
+    // runs this SQL; the hint is DuckDB-only syntax.
     val rounds = (1 to iters).map { i =>
-      s"""l$i AS (SELECT d, min(lbl) AS lbl FROM (
+      s"""l$i AS MATERIALIZED (SELECT d, min(lbl) AS lbl FROM (
          |  SELECT d, lbl FROM l${i - 1}
          |  UNION ALL
          |  SELECT e.u AS d, l.lbl FROM e JOIN l${i - 1} l ON l.d = e.v
          |) GROUP BY d)""".stripMargin
     }.mkString(",\n")
     s"""$simhashCtes,
-       |blocks AS (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS k
+       |blocks AS MATERIALIZED (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS k
        |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
        |                y.doc_id AS doc_b, y.fp AS fp_b
        |         FROM blocks x JOIN blocks y
        |           ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
-       |p AS (SELECT doc_a, doc_b FROM cand
+       |p AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
        |      WHERE bit_count(xor(fp_a, fp_b)) <= 3),
-       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p
        |      UNION ALL SELECT doc_b AS u, doc_a AS v FROM p),
-       |l0 AS (SELECT DISTINCT u AS d, u AS lbl FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS d, u AS lbl FROM e),
        |$rounds""".stripMargin
   }
 

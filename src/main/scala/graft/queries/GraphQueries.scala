@@ -124,9 +124,9 @@ object GraphQueries {
     */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
-      s"""n$i AS (SELECT src FROM (
+      s"""n$i AS MATERIALIZED (SELECT src FROM (
          |  SELECT src, count(*) AS d FROM e${i - 1} GROUP BY src) WHERE d >= $k),
-         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN n$i a ON e.src = a.src JOIN n$i b ON e.dst = b.src)""".stripMargin
     }.mkString(",\n")
     s"""WITH op AS (
@@ -134,7 +134,7 @@ object GraphQueries {
        |), ue AS (
        |  SELECT DISTINCT a.p AS u, b.p AS v
        |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
-       |), e0 AS (
+       |), e0 AS MATERIALIZED (
        |  SELECT u AS src, v AS dst FROM ue
        |  UNION ALL SELECT v AS src, u AS dst FROM ue
        |),
@@ -149,10 +149,10 @@ object GraphQueries {
     */
   private def bfsSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
-      s"""f$i AS (SELECT DISTINCT e.dst AS node
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
          |  FROM edges e JOIN v${i - 1} p ON e.src = p.node
          |  WHERE p.dist = ${i - 1}),
-         |v$i AS (SELECT node, dist FROM v${i - 1}
+         |v$i AS MATERIALIZED (SELECT node, dist FROM v${i - 1}
          |  UNION ALL
          |  SELECT node, ${i} AS dist FROM f$i
          |  WHERE node NOT IN (SELECT node FROM v${i - 1}))""".stripMargin
@@ -160,7 +160,7 @@ object GraphQueries {
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
        |  FROM lineitem
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT sup AS src, prt AS dst FROM pairs
        |  UNION ALL
        |  SELECT prt AS src, sup AS dst FROM pairs
@@ -179,7 +179,7 @@ object GraphQueries {
     */
   private def ssspSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
-      s"""d$i AS (SELECT node, min(d) AS d FROM (
+      s"""d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
          |  SELECT node, d FROM d${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS node, p.d + e.w AS d
@@ -190,7 +190,7 @@ object GraphQueries {
        |  SELECT l_suppkey AS sup, 100000 + l_partkey AS prt,
        |    CAST(min(l_quantity) AS BIGINT) AS w
        |  FROM lineitem GROUP BY 1, 2
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT sup AS src, prt AS dst, w FROM pairs
        |  UNION ALL
        |  SELECT prt AS src, sup AS dst, w FROM pairs
@@ -208,11 +208,11 @@ object GraphQueries {
     // division ≡ Spark DIV on BIGINT
     val iterate = (1 to 3).map { i =>
       val prev = s"r${i - 1}"
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst, sum(r.rank // e.outdeg) AS sc
          |  FROM ewd e JOIN $prev r ON e.src = r.node
          |  GROUP BY e.dst
-         |), r$i AS (
+         |), r$i AS MATERIALIZED (
          |  SELECT n.node,
          |    CAST(150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$i c ON n.node = c.dst
@@ -228,10 +228,10 @@ object GraphQueries {
       "graph_triangles" ->
         """WITH op AS (
           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-          |), e AS (
+          |), e AS MATERIALIZED (
           |  SELECT DISTINCT a.p AS u, b.p AS v
           |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
-          |), tri AS (
+          |), tri AS MATERIALIZED (
           |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
           |  FROM e e1
           |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -254,9 +254,9 @@ object GraphQueries {
            |  SELECT prt AS src, sup AS dst FROM pairs
            |), deg AS (
            |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
-           |), ewd AS (
+           |), ewd AS MATERIALIZED (
            |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src
-           |), nodes AS (
+           |), nodes AS MATERIALIZED (
            |  SELECT DISTINCT src AS node FROM edges
            |  UNION
            |  SELECT DISTINCT dst AS node FROM edges

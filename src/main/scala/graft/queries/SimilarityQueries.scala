@@ -152,7 +152,7 @@ object SimilarityQueries {
 
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
-      s"en AS (SELECT vec_id, v, sqrt(${VecFunctions.dotUnrolledSql("v", "v", SimilarityDims.D)}) AS nrm FROM e)"
+      s"en AS MATERIALIZED (SELECT vec_id, v, sqrt(${VecFunctions.dotUnrolledSql("v", "v", SimilarityDims.D)}) AS nrm FROM e)"
 
   /** cosine with precomputed norms — mirrors Similarity.withNorm exactly */
   private def cosN(a: String, b: String, na: String, nb: String): String =
@@ -171,26 +171,58 @@ object SimilarityQueries {
 
   private def bucketSql(v: String): String = bucketSqlFor(v, planes)
 
-  /** Per-coarse-centroid squared distance, mirroring the
-    * SquaredDistance kernel's ascending left-associative accumulation.
-    */
-  private def cellDistSql(v: String, c: Array[Double]): String =
-    c.zipWithIndex.map { case (cv, i) =>
-      s"($v[${i + 1}] - $cv)*($v[${i + 1}] - $cv)"
-    }.mkString(" + ")
+  // ---- list-native distance helpers ----
+  // The first-generation oracles expanded every per-cell / per-code
+  // squared distance as its own wide scalar projection (one 139 KB SQL
+  // string for the residual IVF-PQ), which DuckDB plans and buffers so
+  // poorly that the PQ family alone cost minutes and, at default thread
+  // counts, exhausted its allocator — the prime suspect for the
+  // empty driver correctness artifacts of rounds 7-8. These builders
+  // instead ship centroids/codebooks as DOUBLE[] VALUES tables and
+  // compute each distance as `list_reduce(list_transform(range(...)))`
+  // — the identical ascending left-associative IEEE fold (validated
+  // bit-equal against the expression form on the fixtures), with a
+  // constant-size expression tree.
 
-  private def ivfSql: String = {
-    val dcols = coarse.map(c => s"${cellDistSql("v", c.vec)} AS dd${c.cid}")
-      .mkString(",\n        ")
-    val leastArgs = coarse.map(c => s"dd${c.cid}").mkString(", ")
-    val caseArms = coarse.map(c => s"WHEN dd${c.cid} = mind THEN ${c.cid}").mkString(" ")
+  private def vecLit(a: Array[Double]): String =
+    a.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** `cent(cid INT, cv DOUBLE[])` — the trained coarse cells. */
+  private def centCteSql: String =
+    "cent AS (SELECT CAST(cid AS INT) AS cid, cv FROM (VALUES\n  " +
+      coarse.sortBy(_.cid).map(c => s"(${c.cid}, ${vecLit(c.vec)})")
+        .mkString(",\n  ") +
+      ") AS t(cid, cv))"
+
+  /** `cb(s INT, cid INT, bv DOUBLE[])` — one row per subspace codeword. */
+  private def cbCteSql(books: Seq[Seq[graft.operators.CentroidND]]): String =
+    "cb AS (SELECT CAST(s AS INT) AS s, CAST(cid AS INT) AS cid, bv FROM (VALUES\n  " +
+      (for { s <- books.indices; c <- books(s).sortBy(_.cid) }
+        yield s"($s, ${c.cid}, ${vecLit(c.vec)})").mkString(",\n  ") +
+      ") AS t(s, cid, bv))"
+
+  /** Ascending left-fold squared distance `Σ (v[off+i] − c[i])²` —
+    * bit-identical to the unrolled `(v[1]-c1)*(v[1]-c1) + …` form.
+    */
+  private def foldSq(v: String, c: String, n: Int, off: String = "0"): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), " +
+      s"i -> ($v[$off + i] - $c[i])*($v[$off + i] - $c[i])), (a, b) -> a + b)"
+
+  /** Ordered ADC total: fold the per-subspace lookup distances in
+    * ascending subspace order — the same `dt0 + dt1 + …` float order as
+    * the Spark kernel.
+    */
+  private def adcFold: String =
+    "list_reduce(list(d ORDER BY s), (a, b) -> a + b)"
+
+  private def ivfSql: String =
     s"""WITH $embCte,
-       |cd AS (SELECT vec_id, v, nrm,
-       |        $dcols
-       |      FROM en),
-       |cm AS (SELECT *, least($leastArgs) AS mind FROM cd),
-       |cc AS (SELECT vec_id, v, nrm,
-       |        CAST(CASE $caseArms ELSE -1 END AS INT) AS cell FROM cm),
+       |$centCteSql,
+       |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+       |      FROM en CROSS JOIN cent),
+       |cc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |        FROM cd) WHERE crk = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM cc WHERE vec_id < 10),
        |j AS (SELECT q.qid, q.cell, b.vec_id, ${rndSql(cosN("q.qv", "b.v", "q.qnrm", "b.nrm"), 5)} AS cos5
        |      FROM q JOIN cc b USING (cell) WHERE b.vec_id <> q.qid),
@@ -198,34 +230,22 @@ object SimilarityQueries {
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
        |      FROM j)
        |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
-  }
 
-  /** Multi-probe IVF oracle: probe ranking via UNION ALL + row_number
-    * (ORDER BY pdist, pcell — the same (d, c) struct order the Spark
-    * sort_array uses; pdist is the identical expression text so values
-    * are bit-equal).
+  /** Multi-probe IVF oracle: probe ranking by (d, cid) — the same
+    * (d, c) struct order the Spark sort_array uses; d is the identical
+    * fold so values are bit-equal.
     */
-  private def ivfMpSql: String = {
-    val dcols = coarse.map(c => s"${cellDistSql("v", c.vec)} AS dd${c.cid}")
-      .mkString(",\n        ")
-    val ddList = coarse.map(c => s"dd${c.cid}").mkString(", ")
-    val leastArgs = ddList
-    val caseArms = coarse.map(c => s"WHEN dd${c.cid} = mind THEN ${c.cid}").mkString(" ")
-    val probeUnion = coarse.map(c =>
-      s"SELECT qid, qv, qnrm, ${c.cid} AS pcell, dd${c.cid} AS pdist FROM cq")
-      .mkString("\n  UNION ALL ")
+  private def ivfMpSql: String =
     s"""WITH $embCte,
-       |cd AS (SELECT vec_id, v, nrm,
-       |        $dcols
-       |      FROM en),
-       |cm AS (SELECT *, least($leastArgs) AS mind FROM cd),
-       |cc AS (SELECT vec_id, v, nrm,
-       |        CAST(CASE $caseArms ELSE -1 END AS INT) AS cell FROM cm),
-       |cq AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, $ddList
+       |$centCteSql,
+       |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+       |      FROM en CROSS JOIN cent),
+       |cc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |        FROM cd) WHERE crk = 1),
+       |pr AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS pcell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
        |      FROM cd WHERE vec_id < 10),
-       |pr AS (SELECT qid, qv, qnrm, pcell,
-       |        row_number() OVER (PARTITION BY qid ORDER BY pdist, pcell) AS prk
-       |      FROM ($probeUnion)),
        |p2 AS (SELECT qid, qv, qnrm, pcell FROM pr WHERE prk <= 2),
        |j AS (SELECT p2.qid, b.cell, b.vec_id,
        |        ${rndSql(cosN("p2.qv", "b.v", "p2.qnrm", "b.nrm"), 5)} AS cos5
@@ -234,214 +254,106 @@ object SimilarityQueries {
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
        |      FROM j)
        |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
-  }
 
-  /** PQ/ADC oracle: per-subspace argmin encoding of the corpus (same
-    * dd/least/CASE shape as the IVF cells, over slice index ranges) +
-    * per-query code-distance columns + CASE-lookup ADC sum. Distance
-    * terms ascend within each subspace and subspaces sum in order, the
-    * exact float order of the Spark kernel.
+  /** PQ/ADC oracle: per-subspace argmin encoding of the corpus, per-query
+    * code-distance table, ordered ADC fold. Distance terms ascend within
+    * each subspace and subspaces sum in order — the exact float order of
+    * the Spark kernel.
     */
   private def pqSql: String = {
     val books = graft.operators.TrainedPqCodebooks.books
-    val m = books.length
     val subDim = books.head.head.vec.length
-    def subDist(v: String, c: Array[Double], s: Int): String =
-      c.zipWithIndex.map { case (cv, i) =>
-        s"($v[${s * subDim + i + 1}] - $cv)*($v[${s * subDim + i + 1}] - $cv)"
-      }.mkString(" + ")
-    val ddCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
-      yield s"${subDist("v", c.vec, s)} AS dd${s}_${c.cid}").mkString(",\n        ")
-    val minCols = (0 until m).map(s =>
-      s"least(${books(s).map(c => s"dd${s}_${c.cid}").mkString(", ")}) AS m$s")
-      .mkString(",\n        ")
-    val cellCols = (0 until m).map { s =>
-      val arms = books(s).sortBy(_.cid)
-        .map(c => s"WHEN dd${s}_${c.cid} = m$s THEN ${c.cid}").mkString(" ")
-      s"CAST(CASE $arms ELSE -1 END AS INT) AS cell$s"
-    }.mkString(",\n        ")
-    val dtCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
-      yield s"${subDist("qv", c.vec, s)} AS dt${s}_${c.cid}").mkString(",\n        ")
-    val adc = (0 until m).map { s =>
-      val arms = books(s).sortBy(_.cid)
-        .map(c => s"WHEN ${c.cid} THEN q.dt${s}_${c.cid}").mkString(" ")
-      s"(CASE cc.cell$s $arms END)"
-    }.mkString(" + ")
     s"""WITH $embCte,
-       |cd AS (SELECT vec_id, v,
-       |        $ddCols
-       |      FROM en),
-       |cm AS (SELECT *,
-       |        $minCols
-       |      FROM cd),
-       |cc AS (SELECT vec_id,
-       |        $cellCols
-       |      FROM cm),
-       |q AS (SELECT vec_id AS qid, v AS qv,
-       |        $dtCols
-       |      FROM en WHERE vec_id < 10),
-       |j AS (SELECT q.qid, cc.vec_id, ${rndSql(s"($adc)", 5)} AS adc5
-       |      FROM q, cc WHERE cc.vec_id <> q.qid),
+       |${cbCteSql(books)},
+       |cd AS MATERIALIZED (SELECT vec_id, s, cid, ${foldSq("v", "bv", subDim, s"s*$subDim")} AS d
+       |      FROM en CROSS JOIN cb),
+       |cc AS (SELECT vec_id, s, cid AS code FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS crk
+       |        FROM cd) WHERE crk = 1),
+       |dt AS (SELECT vec_id AS qid, s, cid, d FROM cd WHERE vec_id < 10),
+       |pair AS (SELECT dt.qid, cc.vec_id, dt.s, dt.d
+       |      FROM cc JOIN dt ON dt.s = cc.s AND dt.cid = cc.code
+       |      WHERE cc.vec_id <> dt.qid),
+       |j AS (SELECT qid, vec_id, ${rndSql(adcFold, 5)} AS adc5
+       |      FROM pair GROUP BY qid, vec_id),
        |r AS (SELECT qid, vec_id, adc5,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc5 ASC, vec_id) AS INT) AS rk
        |      FROM j)
        |SELECT qid, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
-  /** IVF+PQ oracle: IVF cell + probe CTEs (as in ivfMpSql) composed
-    * with the PQ encode/table CTEs (as in pqSql); candidates join on the
-    * probed cell and rank by the CASE-lookup ADC.
+  /** IVF+PQ oracle: coarse assignment + probe ranking (as in ivfMpSql)
+    * composed with the PQ encode / query-table CTEs (as in pqSql);
+    * candidates join on the probed cell and rank by the ordered ADC fold.
     */
   private def ivfPqSql: String = {
     val books = graft.operators.TrainedPqCodebooks.books
-    val m = books.length
     val subDim = books.head.head.vec.length
-    def subDist(v: String, c: Array[Double], s: Int): String =
-      c.zipWithIndex.map { case (cv, i) =>
-        s"($v[${s * subDim + i + 1}] - $cv)*($v[${s * subDim + i + 1}] - $cv)"
-      }.mkString(" + ")
-    // IVF side (full 64-dim cells)
-    val cellDcols = coarse.map(c => s"${cellDistSql("v", c.vec)} AS cd${c.cid}")
-      .mkString(",\n        ")
-    val cdList = coarse.map(c => s"cd${c.cid}").mkString(", ")
-    val cellArms = coarse.map(c => s"WHEN cd${c.cid} = mind THEN ${c.cid}").mkString(" ")
-    val probeUnion = coarse.map(c =>
-      s"SELECT qid, qv, ${c.cid} AS pcell, cd${c.cid} AS pdist FROM cq")
-      .mkString("\n  UNION ALL ")
-    // PQ side
-    val codeDds = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
-      yield s"${subDist("v", c.vec, s)} AS dd${s}_${c.cid}").mkString(",\n        ")
-    val codeMins = (0 until m).map(s =>
-      s"least(${books(s).map(c => s"dd${s}_${c.cid}").mkString(", ")}) AS m$s")
-      .mkString(",\n        ")
-    val codeCols = (0 until m).map { s =>
-      val arms = books(s).sortBy(_.cid)
-        .map(c => s"WHEN dd${s}_${c.cid} = m$s THEN ${c.cid}").mkString(" ")
-      s"CAST(CASE $arms ELSE -1 END AS INT) AS code$s"
-    }.mkString(",\n        ")
-    val dtCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
-      yield s"${subDist("qv", c.vec, s)} AS dt${s}_${c.cid}").mkString(",\n        ")
-    val dtList = (for { s <- 0 until m; c <- books(s) }
-      yield s"dt${s}_${c.cid}").mkString(", ")
-    val adc = (0 until m).map { s =>
-      val arms = books(s).sortBy(_.cid)
-        .map(c => s"WHEN ${c.cid} THEN p2.dt${s}_${c.cid}").mkString(" ")
-      s"(CASE cc.code$s $arms END)"
-    }.mkString(" + ")
     s"""WITH $embCte,
-       |vd AS (SELECT vec_id, v,
-       |        $cellDcols
-       |      FROM en),
-       |vm AS (SELECT *, least($cdList) AS mind FROM vd),
-       |pq AS (SELECT vec_id, v,
-       |        CAST(CASE $cellArms ELSE -1 END AS INT) AS cell
-       |      FROM vm),
-       |pe AS (SELECT vec_id, cell, v,
-       |        $codeDds
-       |      FROM pq),
-       |pm AS (SELECT *,
-       |        $codeMins
-       |      FROM pe),
-       |cc AS (SELECT vec_id, cell,
-       |        $codeCols
-       |      FROM pm),
-       |cq AS (SELECT vec_id AS qid, v AS qv, $cdList
+       |$centCteSql,
+       |${cbCteSql(books)},
+       |vd AS MATERIALIZED (SELECT vec_id, v, cid, ${foldSq("v", "cv", D)} AS d
+       |      FROM en CROSS JOIN cent),
+       |asg AS (SELECT vec_id, v, cid AS cell FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |        FROM vd) WHERE crk = 1),
+       |code_d AS MATERIALIZED (SELECT vec_id, s, cid, ${foldSq("v", "bv", subDim, s"s*$subDim")} AS d
+       |      FROM en CROSS JOIN cb),
+       |cc AS (SELECT vec_id, s, cid AS code FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS crk
+       |        FROM code_d) WHERE crk = 1),
+       |pr AS (SELECT vec_id AS qid, cid AS pcell,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
        |      FROM vd WHERE vec_id < 10),
-       |pr AS (SELECT qid, qv, pcell,
-       |        row_number() OVER (PARTITION BY qid ORDER BY pdist, pcell) AS prk
-       |      FROM ($probeUnion)),
-       |pt AS (SELECT qid, qv, pcell,
-       |        $dtCols
-       |      FROM pr WHERE prk <= 2),
-       |p2 AS (SELECT qid, pcell, $dtList FROM pt),
-       |j AS (SELECT p2.qid, cc.cell, cc.vec_id, ${rndSql(s"($adc)", 5)} AS adc5
-       |      FROM p2 JOIN cc ON cc.cell = p2.pcell AND cc.vec_id <> p2.qid),
+       |p2 AS (SELECT qid, pcell FROM pr WHERE prk <= 2),
+       |dt AS (SELECT vec_id AS qid, s, cid, d FROM code_d WHERE vec_id < 10),
+       |pair AS (SELECT p2.qid, a.cell, a.vec_id, cc.s, dt.d
+       |      FROM p2 JOIN asg a ON a.cell = p2.pcell AND a.vec_id <> p2.qid
+       |      JOIN cc ON cc.vec_id = a.vec_id
+       |      JOIN dt ON dt.qid = p2.qid AND dt.s = cc.s AND dt.cid = cc.code),
+       |j AS (SELECT qid, cell, vec_id, ${rndSql(adcFold, 5)} AS adc5
+       |      FROM pair GROUP BY qid, cell, vec_id),
        |r AS (SELECT qid, cell, vec_id, adc5,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc5 ASC, vec_id) AS INT) AS rk
        |      FROM j)
        |SELECT qid, cell, rk, vec_id, adc5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
   }
 
-  /** Residual IVF-PQ oracle: residual components materialized as named
-    * columns (r1..r64 = v[k] − CASE cell … centroid_k), PQ dd/code CTEs
-    * over them, probe-local query residuals likewise. Float order
+  /** Residual IVF-PQ oracle: residual vectors as `list_transform(v − cv)`
+    * against the assigned (resp. probed) cell's centroid, PQ encode /
+    * query tables over the residual slices, ordered ADC fold. Float order
     * mirrors the Spark kernel term-for-term: (v[k]−cent_k)−code_i inside
     * ascending-index sums.
     */
   private def ivfPqResidualSql: String = {
     val books = graft.operators.TrainedResidualPq.books
-    val m = books.length
     val subDim = books.head.head.vec.length
     val dim = SimilarityDims.D
-    val cells = coarse.sortBy(_.cid)
-    def centCase(cellCol: String, k: Int): String =
-      "CASE " + cellCol + " " +
-        cells.map(c => s"WHEN ${c.cid} THEN ${c.vec(k - 1)}").mkString(" ") + " END"
-    val cellDcols = cells.map(c => s"${cellDistSql("v", c.vec)} AS cd${c.cid}")
-      .mkString(",\n        ")
-    val cdList = cells.map(c => s"cd${c.cid}").mkString(", ")
-    val cellArms = cells.map(c => s"WHEN cd${c.cid} = mind THEN ${c.cid}").mkString(" ")
-    val probeUnion = cells.map(c =>
-      s"SELECT qid, qv, ${c.cid} AS pcell, cd${c.cid} AS pdist FROM cq")
-      .mkString("\n  UNION ALL ")
-    val rCols = (1 to dim).map(k =>
-      s"(v[$k] - ${centCase("cell", k)}) AS r$k").mkString(",\n        ")
-    def resDist(prefix: String, c: Array[Double], s: Int): String =
-      c.zipWithIndex.map { case (cv, i) =>
-        s"($prefix${s * subDim + i + 1} - $cv)*($prefix${s * subDim + i + 1} - $cv)"
-      }.mkString(" + ")
-    val codeDds = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
-      yield s"${resDist("r", c.vec, s)} AS dd${s}_${c.cid}").mkString(",\n        ")
-    val codeMins = (0 until m).map(s =>
-      s"least(${books(s).map(c => s"dd${s}_${c.cid}").mkString(", ")}) AS m$s")
-      .mkString(",\n        ")
-    val codeCols = (0 until m).map { s =>
-      val arms = books(s).sortBy(_.cid)
-        .map(c => s"WHEN dd${s}_${c.cid} = m$s THEN ${c.cid}").mkString(" ")
-      s"CAST(CASE $arms ELSE -1 END AS INT) AS code$s"
-    }.mkString(",\n        ")
-    val qrCols = (1 to dim).map(k =>
-      s"(qv[$k] - ${centCase("pcell", k)}) AS qr$k").mkString(",\n        ")
-    val dtCols = (for { s <- 0 until m; c <- books(s).sortBy(_.cid) }
-      yield s"${resDist("qr", c.vec, s)} AS dt${s}_${c.cid}").mkString(",\n        ")
-    val adc = (0 until m).map { s =>
-      val arms = books(s).sortBy(_.cid)
-        .map(c => s"WHEN ${c.cid} THEN p2.dt${s}_${c.cid}").mkString(" ")
-      s"(CASE cc.code$s $arms END)"
-    }.mkString(" + ")
     s"""WITH $embCte,
-       |vd AS (SELECT vec_id, v,
-       |        $cellDcols
-       |      FROM en),
-       |vm AS (SELECT *, least($cdList) AS mind FROM vd),
-       |pq AS (SELECT vec_id, v,
-       |        CAST(CASE $cellArms ELSE -1 END AS INT) AS cell
-       |      FROM vm),
-       |rr AS (SELECT vec_id, cell,
-       |        $rCols
-       |      FROM pq),
-       |pe AS (SELECT vec_id, cell,
-       |        $codeDds
-       |      FROM rr),
-       |pm AS (SELECT *,
-       |        $codeMins
-       |      FROM pe),
-       |cc AS (SELECT vec_id, cell,
-       |        $codeCols
-       |      FROM pm),
-       |cq AS (SELECT vec_id AS qid, v AS qv, $cdList
-       |      FROM vd WHERE vec_id < 10),
-       |pr AS (SELECT qid, qv, pcell,
-       |        row_number() OVER (PARTITION BY qid ORDER BY pdist, pcell) AS prk
-       |      FROM ($probeUnion)),
-       |pp AS (SELECT qid, pcell,
-       |        $qrCols
-       |      FROM pr WHERE prk <= 2),
-       |p2 AS (SELECT qid, pcell,
-       |        $dtCols
-       |      FROM pp),
-       |j AS (SELECT p2.qid, cc.cell, cc.vec_id, ${rndSql(s"($adc)", 5)} AS adc5
-       |      FROM p2 JOIN cc ON cc.cell = p2.pcell AND cc.vec_id <> p2.qid),
+       |$centCteSql,
+       |${cbCteSql(books)},
+       |vd AS MATERIALIZED (SELECT vec_id, v, cid, cv, ${foldSq("v", "cv", dim)} AS d
+       |      FROM en CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cid AS cell,
+       |        list_transform(range(1, ${dim + 1}), k -> v[k] - cv[k]) AS rv
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |            FROM vd) WHERE crk = 1),
+       |code_d AS MATERIALIZED (SELECT vec_id, cell, s, cid, ${foldSq("rv", "bv", subDim, s"s*$subDim")} AS d
+       |      FROM asg CROSS JOIN cb),
+       |cc AS (SELECT vec_id, cell, s, cid AS code FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS crk
+       |        FROM code_d) WHERE crk = 1),
+       |pp AS (SELECT vec_id AS qid, cid AS pcell,
+       |        list_transform(range(1, ${dim + 1}), k -> v[k] - cv[k]) AS qr
+       |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
+       |            FROM vd WHERE vec_id < 10) WHERE prk <= 2),
+       |dt AS (SELECT qid, pcell, s, cid, ${foldSq("qr", "bv", subDim, s"s*$subDim")} AS d
+       |      FROM pp CROSS JOIN cb),
+       |pair AS (SELECT dt.qid, cc.cell, cc.vec_id, cc.s, dt.d
+       |      FROM cc JOIN dt ON dt.pcell = cc.cell AND dt.s = cc.s AND dt.cid = cc.code
+       |      WHERE cc.vec_id <> dt.qid),
+       |j AS (SELECT qid, cell, vec_id, ${rndSql(adcFold, 5)} AS adc5
+       |      FROM pair GROUP BY qid, cell, vec_id),
        |r AS (SELECT qid, cell, vec_id, adc5,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adc5 ASC, vec_id) AS INT) AS rk
        |      FROM j)

@@ -98,9 +98,19 @@ object StreamingQueries {
     } else java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
     val maxNs = graft.Tables.events(s, dir)
       .agg(max(col("ts_ns"))).head().getLong(0)
+    val markNs = maxNs + 30L * 24 * 3600 * 1000000000L
+    // the marker's ts must carry the SAME physical type as the staged
+    // source files (BIGINT nanos / TIMESTAMP / TIMESTAMP_NTZ vary by
+    // testdata generation) — a mixed-type dir breaks the file source
+    val tsType = EventStream.storedSchema(s, s"$dir/events.parquet")("ts").dataType
     import s.implicits._
-    Seq((-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "_mark", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val marker = Seq((-1L, markNs, -1L, "_mark", 0.0, "{}"))
+      .toDF("event_id", "ts_raw", "user_id", "event_type", "value", "props")
+      .withColumn("ts", tsType match {
+        case org.apache.spark.sql.types.LongType => col("ts_raw")
+        case t => timestamp_micros(expr("ts_raw DIV 1000")).cast(t)
+      })
+    marker.select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(tmp.toString)
     tmp.toString
   }

@@ -22,9 +22,9 @@ import graft.operators.{Assign, Centroid1D}
   */
 object EventStream {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) in parquet → read
-    * as BIGINT nanos under nanosAsLong, normalized here like
-    * Tables.events).
+  /** events schema with ts as BIGINT nanos (the TIMESTAMP(NANOS)
+    * testdata generation under nanosAsLong; derived-scale fixtures keep
+    * this shape).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -34,11 +34,20 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** The stored schema of an events parquet dir — a file source needs the
+    * schema up front, and `ts` has shipped as BIGINT nanos, TIMESTAMP, and
+    * TIMESTAMP_NTZ across testdata generations (Tables.normalizeEvents).
+    * One driver-side batch-metadata peek per query; no data is read.
+    */
+  def storedSchema(spark: SparkSession, srcDir: String): StructType =
+    spark.read.parquet(srcDir).schema
+
+  /** File-source stream over a directory of events parquet files,
+    * normalized to the `ts TIMESTAMP` + `ts_ns BIGINT` contract.
+    */
   def readEvents(spark: SparkSession, srcDir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(srcDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(storedSchema(spark, srcDir)).parquet(srcDir))
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
   def windowedAgg(events: DataFrame): DataFrame =
@@ -197,15 +206,16 @@ object EventStream {
     def asStruct(df: DataFrame): DataFrame =
       df.select(col("user_id"), struct(col("ts_us"), col("event_id"),
         col("event_type"), col("value")).as("m"))
-    val reader = spark.readStream.schema(rawSchema)
-    val events = (if (maxFilesPerTrigger > 0)
+    val reader = spark.readStream.schema(storedSchema(spark, srcDir))
+    val events = graft.Tables.normalizeEvents(
+      (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-      else reader).parquet(srcDir)
+      else reader).parquet(srcDir))
     val q = events.writeStream.outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val delta = asStruct(batch.select(col("user_id"),
-            expr("ts DIV 1000").as("ts_us"), col("event_id"),
+            expr("ts_ns DIV 1000").as("ts_us"), col("event_id"),
             col("event_type"), col("value")))
           .groupBy(col("user_id")).agg(max(col("m")).as("m"))
         val merged = Option(current.get()) match {

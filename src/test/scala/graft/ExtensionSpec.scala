@@ -280,8 +280,16 @@ class ExtensionSpec extends SparkSpec {
     // phase 2: a single far-future event pushes the watermark past every
     // session's (end + gap) → all real sessions time out and emit
     val maxNs = Tables.events(spark, sf).agg(max(col("ts_ns"))).head().getLong(0)
+    // marker ts must match the source files' physical type (see
+    // StreamingQueries.stageEvents)
+    val tsType = EventStream.storedSchema(spark, dir.getAbsolutePath)("ts").dataType
     Seq((-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "marker", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .toDF("event_id", "ts_raw", "user_id", "event_type", "value", "props")
+      .withColumn("ts", tsType match {
+        case org.apache.spark.sql.types.LongType => col("ts_raw")
+        case t => timestamp_micros(expr("ts_raw DIV 1000")).cast(t)
+      })
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
     val phase2 = runOnce()
 
