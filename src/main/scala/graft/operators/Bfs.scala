@@ -48,4 +48,37 @@ object Bfs {
     }
     visited
   }
+
+  /** Run-to-fixpoint audit variant: expands until the frontier is
+    * empty (an empty frontier ⟺ every reachable node is visited ⟺
+    * exact hop distances — BFS discovery is monotone). Throws after
+    * `maxRounds` instead of returning a partial reach. The fixed-round
+    * production form stays the default; this mode proves (or refutes)
+    * a chosen round count on real data — the [[KCore.peelConverged]]
+    * policy applied to reachability.
+    */
+  def runConverged(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var round = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && round < maxRounds) {
+      round += 1
+      val next = e.join(frontier, e("src") === frontier("node"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(round)).localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+      frontierSize = next.count()
+    }
+    if (frontierSize > 0)
+      throw new IllegalStateException(
+        s"Bfs.runConverged: frontier still non-empty after $maxRounds rounds; " +
+          "raise maxRounds")
+    visited
+  }
 }

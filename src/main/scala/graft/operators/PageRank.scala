@@ -50,12 +50,18 @@ object PageRank {
     * has no catalog stats, so the planner can't see it's tiny and
     * falls back to a sort-merge join that re-shuffles and re-sorts
     * EVERY edge EVERY iteration (measured 5.6 → 4.2 s cold / 4.1 →
-    * 3.0 s warm at sf0.1). For billion-node graphs leave it false and
-    * pre-partition edges by src so the SMJ reuses the edge layout
-    * instead.
+    * 3.0 s warm at sf0.1). For billion-node graphs a forced broadcast
+    * is instead an executor/driver OOM, so the DEFAULT (`None`)
+    * self-selects: the node count is measured once on the
+    * checkpointed frame (one cheap count of materialized state) and
+    * ranks broadcast only under `broadcastMaxNodes`. Passing
+    * `Some(x)` pins either regime for A/B runs; billion-node jobs can
+    * additionally pre-partition edges by src so the SMJ reuses the
+    * edge layout.
     */
   def run(edges: DataFrame, iters: Int, eager: Boolean = true,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -66,8 +72,10 @@ object PageRank {
       edgesWithDeg = edgesWithDeg.localCheckpoint(true)
       ranks = ranks.localCheckpoint(true)
     }
+    val doBroadcast = broadcastRanks.getOrElse(
+      eager && ranks.count() <= broadcastMaxNodes)
     for (_ <- 1 to iters) {
-      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
       val contribs = edgesWithDeg
         .join(rankSide, edgesWithDeg("src") === rankSide("node"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))

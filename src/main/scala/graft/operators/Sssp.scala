@@ -61,4 +61,44 @@ object Sssp {
     }
     dist
   }
+
+  /** Run-to-fixpoint audit variant: relaxes until no distance improves
+    * (an empty changed set ⟺ every relaxation is dominated ⟺ exact
+    * shortest paths — Bellman-Ford convergence). Throws after
+    * `maxRounds` (a negative-free graph converges within |V| rounds,
+    * so non-convergence here means maxRounds is too low). The
+    * fixed-round production form stays the default; this mode proves
+    * (or refutes) a chosen round count on real data — the
+    * [[KCore.peelConverged]] policy applied to shortest paths.
+    */
+  def runConverged(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    var changed = dist
+    var round = 0
+    var changedSize = changed.count()
+    while (changedSize > 0 && round < maxRounds) {
+      round += 1
+      val cand = e.join(changed, e("src") === changed("node"))
+        .select(e("dst").as("node"), (col("d") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("d"), lit(Long.MaxValue)),
+            coalesce(col("nd"), lit(Long.MaxValue))).as("d"),
+          (coalesce(col("nd"), lit(Long.MaxValue)) <
+            coalesce(col("d"), lit(Long.MaxValue))).as("improved"))
+        .localCheckpoint(true)
+      changed = merged.where(col("improved")).select(col("node"), col("d"))
+      dist = merged.select(col("node"), col("d"))
+      changedSize = changed.count()
+    }
+    if (changedSize > 0)
+      throw new IllegalStateException(
+        s"Sssp.runConverged: distances still improving after $maxRounds rounds; " +
+          "raise maxRounds")
+    dist
+  }
 }

@@ -55,9 +55,11 @@ object GraphQueries {
     // integer arithmetic makes the result engine- and
     // parallelism-independent (see PageRank scaladoc), so the oracle
     // replays the identical iterations as CTEs with no float slack.
+    // The registered form SELF-SELECTS the ranks-broadcast from the
+    // measured node count (scale-safe default; the pin was the one
+    // broadcast-overflow hazard in the registry).
     "graph_pagerank" -> ((s, dir) =>
-      graft.operators.PageRank.run(supplyEdges(s, dir), iters = 3,
-        broadcastRanks = true)
+      graft.operators.PageRank.run(supplyEdges(s, dir), iters = 3)
         .orderBy(col("rank").desc, col("node"))
         .limit(100)),
 

@@ -241,6 +241,33 @@ object WarehouseQueries {
         .orderBy("day")
     }),
 
+    // the 100-TB escape hatch for q_rolling_actives, registered: per-day
+    // HLL sketches (hll_sketch_agg, lgK=14) + a 7-day hll_union_agg
+    // window + estimate. The exact form explodes user×day rows and
+    // re-distincts 7 days of users per output day; this form reduces
+    // each day to one fixed-size sketch (≤ ~16 KB) and merges 7
+    // sketches per output row — per-day state is O(sketch), not
+    // O(users), and the final window runs over one tiny day-keyed
+    // frame. HLL register-max is commutative, so the estimate is
+    // parallelism- and order-invariant (deterministic), but no other
+    // engine shares Spark's datasketches binary — so this is a
+    // rows-only driver check, and WarehouseSpec pins the estimates
+    // within 5% of the exact rolling counts on the fixture.
+    "q_rolling_actives_hll" -> ((s, dir) => {
+      val days = ev(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(timestamp_micros(ts_us)), " +
+            "DATE '1970-01-01') AS BIGINT)").as("day"))
+      val sk = days.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          count_distinct(col("user_id")).as("n_active_1d"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      sk.select(col("day"), col("n_active_1d"),
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
+            .as("n_active_7d_est"))
+        .orderBy("day")
+    }),
+
     // ---- RFM customer segmentation: recency/frequency/monetary per
     // customer, each quintile-binned — the quantile-BINNING shape done
     // scale-first: a global ntile() would funnel every row through one

@@ -134,7 +134,7 @@ object PlanAudit {
       val edges = pairs.selectExpr("sup AS src", "prt AS dst")
         .union(pairs.selectExpr("prt AS src", "sup AS dst"))
       graft.operators.PageRank.run(edges, iters = 2, eager = false,
-        broadcastRanks = true)
+        broadcastRanks = Some(true))
     }))
 
   def main(args: Array[String]): Unit = {

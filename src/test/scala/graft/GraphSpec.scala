@@ -86,6 +86,47 @@ class GraphSpec extends SparkSpec {
     exact.values.foreach(d => assert(d >= 3L, "every 3-core degree >= 3"))
   }
 
+  test("graph_bfs's fixed-3 frontier reaches the true fixpoint on the fixture") {
+    // the registered query's exact inputs: bipartite supply graph, both
+    // directions, seeds = suppliers 1..5
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .distinct()
+    val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"))
+      .unionAll(pairs.select(col("prt").as("src"), col("sup").as("dst")))
+    val seeds = Tables.supplier(spark, sf)
+      .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
+    val fixed = graft.operators.Bfs.run(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = graft.operators.Bfs.runConverged(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fixed == exact,
+      "fixed-3 must equal the converged reach on the fixture supply graph")
+  }
+
+  test("sssp: fixed-3 is hop-bounded on the fixture; the converged audit finds the cheaper routes") {
+    // same inputs as the registered graph_sssp (weights = min quantity)
+    val pairs = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"), col("w"))
+      .unionAll(pairs.select(col("prt").as("src"), col("sup").as("dst"), col("w")))
+    val seeds = Tables.supplier(spark, sf)
+      .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
+    val fixed = graft.operators.Sssp.run(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.Sssp.runConverged(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at sf0.001 relaxation converges in exactly 3 rounds, so fixed-3
+    // IS the fixpoint here; at sf0.01 routes keep improving through
+    // round 5, so the registered driver-gate form stays documented as
+    // hop-bounded (its oracle replays the identical bounded rounds)
+    assert(fixed == exact,
+      "fixed-3 must equal the converged shortest paths on the sf0.001 fixture")
+  }
+
   test("bfs: hop distances on a directed path, frontier stops at rounds") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

@@ -179,4 +179,24 @@ class WarehouseSpec extends SparkSpec {
     val nUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0)
     assert(totalTrans == nEvents - nUsers)
   }
+
+  test("HLL rolling actives tracks the exact rolling distinct within 5%") {
+    val exact = q("q_rolling_actives").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = q("q_rolling_actives_hll").collect()
+    assert(est.length == exact.size,
+      s"day coverage differs: hll ${est.length} vs exact ${exact.size}")
+    est.foreach { r =>
+      val day = r.getLong(0)
+      val e = exact(day).toDouble
+      val a = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e <= 0.05,
+        s"day $day: hll estimate $a vs exact $e (>5% off)")
+    }
+    // the estimate is deterministic (HLL register-max is commutative):
+    // a repeated run must match exactly
+    val again = q("q_rolling_actives_hll").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.sameElements(est.map(r => (r.getLong(0), r.getLong(2)))))
+  }
 }
