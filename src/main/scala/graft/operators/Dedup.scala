@@ -298,6 +298,51 @@ object Dedup {
     res
   }
 
+  /** Signature-only Jaccard ESTIMATE over the LSH candidates: matching
+    * minhash components / nHash. This is the verify-FREE production
+    * path — [[minhashPairs]] re-touches the candidate docs' shingle
+    * sets to compute exact Jaccard, which at 100 TB is a second pass
+    * over the near-dup sliver; at crawl scale you dedup on the
+    * estimator (unbiased, σ = √(j(1−j)/nHash)) and sample-audit the
+    * threshold instead. Everything here is integer arithmetic over the
+    * signatures already in hand — no shingle materialization at all —
+    * and the banding/candidate shape is identical to [[minhashPairs]]
+    * (same keys, same streaming self-join; see the shape notes there).
+    */
+  def minhashEstimatePairs(docs: DataFrame, n: Int = 8, nHash: Int = 12,
+      rowsPerBand: Int = 2, minMatches: Int = 6): DataFrame = {
+    val nBands = nHash / rowsPerBand
+    val mh = minhashSignatureFast(docs, n, nHash).cache()
+    val keyNames = (0 until rowsPerBand).map(r => s"k$r")
+    val bandCols = (0 until nBands).map { bi =>
+      struct(lit(bi).as("band") +:
+        (0 until rowsPerBand).map(r =>
+          col(s"h${bi * rowsPerBand + r}").as(s"k$r")): _*)
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id") +: col("b.band").as("band") +:
+        keyNames.map(k => col(s"b.$k").as(k)): _*)
+    val cand = bands.as("x").join(bands.as("y"), "band" +: keyNames)
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = mh.select(col("doc_id").as("doc_a") +:
+      (0 until nHash).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sigB = mh.select(col("doc_id").as("doc_b") +:
+      (0 until nHash).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matchCount = (0 until nHash)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("matches", matchCount)
+      .where(col("matches") >= minMatches)
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+        (col("matches").cast("double") / lit(nHash.toDouble)).as("est"))
+    val res = out.localCheckpoint(true)
+    mh.unpersist(blocking = true)
+    res
+  }
+
   /** 64-bit SimHash per doc over distinct whitespace tokens.
     *
     * Bit b of a token's hash = bit of the hex digit at md5 position

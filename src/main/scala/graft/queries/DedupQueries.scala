@@ -36,6 +36,19 @@ object DedupQueries {
           rnd(col("jac"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // signature-only Jaccard estimate over the same LSH candidates as
+    // dedup_minhash_lsh — matching components / 12, est >= 0.5 (the
+    // verify-free path: no shingle re-materialization; see
+    // Dedup.minhashEstimatePairs). est is one exact-integer count
+    // divided by a constant, so both engines compute the identical
+    // double; rounded 6 dp for display only.
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(docs(s, dir), n = 8, nHash = 12,
+          rowsPerBand = 2, minMatches = 6)
+        .select(col("doc_a"), col("doc_b"), col("matches"),
+          rnd(col("est"), 6).as("est"))
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_simhash" -> ((s, dir) => {
       val fp = Dedup.simhash(docs(s, dir))
       fp.withColumn("cnt_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
@@ -200,6 +213,40 @@ object DedupQueries {
        |                   JOIN hset sb ON sb.doc_id = c.doc_b AND sb.hm = sa.hm
        |       GROUP BY c.doc_a, c.doc_b),
        |$jaccardTail WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Signature-estimate oracle: the minhashSql signature/banding CTEs,
+    * then a per-candidate count of matching components (exact integers;
+    * the /12.0 division is one IEEE op on both engines).
+    */
+  private def minhashEstSql: String = {
+    import graft.operators.Dedup.{MinhashP => P}
+    val mins = graft.operators.Dedup.minhashCoeffs(12).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * hm + $b) % $P) AS h$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 6).map { bi =>
+      val a = bi * 2; val b = a + 1
+      s"SELECT doc_id, $bi AS band, h$a AS k1, h$b AS k2 FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until 12)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${ssetsCte(8)},
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm FROM ssets),
+       |mh AS MATERIALIZED (SELECT doc_id,
+       |        $mins
+       |      FROM hs GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+       |           AND x.doc_id < y.doc_id),
+       |m AS (SELECT c.doc_a, c.doc_b, CAST($matchSum AS BIGINT) AS matches
+       |      FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+       |                  JOIN mh b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, matches,
+       |  ${rndSql("CAST(matches AS DOUBLE) / 12.0", 6)} AS est
+       |FROM m WHERE matches >= 6 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Shared toks→hs→sums→fp CTE chain for the simhash queries. */
@@ -375,6 +422,7 @@ object DedupQueries {
          |FROM c WHERE cont >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_minhash_est" -> minhashEstSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> simhashHammingSql,
 

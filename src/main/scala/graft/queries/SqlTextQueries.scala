@@ -48,6 +48,22 @@ object SqlTextQueries {
       |                  WHERE s_nationkey = n_nationkey AND s_acctbal < -900)
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * top-N-per-key shape expressed in the SQL dialect (Catalyst
+    * decorrelates it to the same window/join plan as q_topk; DuckDB
+    * runs its own lateral unnesting). Ties cannot occur: c_name is
+    * unique within the ordered prefix. Values are raw parquet doubles
+    * (no arithmetic), so outputs are byte-identical.
+    */
+  private val lateralSql =
+    """SELECT n.n_name, c.c_name, c.c_acctbal
+      |FROM nation n JOIN LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+      |) c ON true
+      |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin
+
   private def run(sql: String)(s: SparkSession, dir: String): DataFrame = {
     graft.tools.SqlRunner.register(s, dir)
     s.sql(sql)
@@ -56,11 +72,13 @@ object SqlTextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_cte" -> run(cteSql) _,
     "q_sql_recursive" -> run(recursiveSql) _,
-    "q_sql_exists" -> run(existsSql) _)
+    "q_sql_exists" -> run(existsSql) _,
+    "q_sql_lateral" -> run(lateralSql) _)
 
   /** The oracle SQL IS the executed SQL — one string, two engines. */
   val oracleSql: Map[String, String] = Map(
     "q_sql_cte" -> cteSql,
     "q_sql_recursive" -> recursiveSql,
-    "q_sql_exists" -> existsSql)
+    "q_sql_exists" -> existsSql,
+    "q_sql_lateral" -> lateralSql)
 }

@@ -97,6 +97,12 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # an all-zero gate means the harness itself broke (empty oracle map,
+    # missing dump dir) — fail LOUDLY instead of looking like a quiet
+    # green (the round-7/8 empty-CORRECTNESS lesson)
+    if n_pass == 0:
+        print("ERROR: gate produced no results — harness/handoff failure")
+        return 2
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
