@@ -310,7 +310,8 @@ object Dedup {
     * (same keys, same streaming self-join; see the shape notes there).
     */
   def minhashEstimatePairs(docs: DataFrame, n: Int = 8, nHash: Int = 12,
-      rowsPerBand: Int = 2, minMatches: Int = 6): DataFrame = {
+      rowsPerBand: Int = 2, minMatches: Int = 6,
+      eager: Boolean = true): DataFrame = {
     val nBands = nHash / rowsPerBand
     val mh = minhashSignatureFast(docs, n, nHash).cache()
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
@@ -338,6 +339,7 @@ object Dedup {
       .where(col("matches") >= minMatches)
       .select(col("doc_a"), col("doc_b"), col("matches"),
         (col("matches").cast("double") / lit(nHash.toDouble)).as("est"))
+    if (!eager) return out
     val res = out.localCheckpoint(true)
     mh.unpersist(blocking = true)
     res

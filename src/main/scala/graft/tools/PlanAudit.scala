@@ -48,6 +48,11 @@ object PlanAudit {
     // exchange each), narrow per-row entropy fold (zero shuffle)
     "q_heavy_hitters", "q_retention_cohort", "q_transition_matrix",
     "text_entropy",
+    // round 9: signature-only estimate (band self-join + two signature
+    // joins, NO shingle re-materialization), SQL lateral (decorrelated
+    // to the same window shape as q_topk), HLL rolling actives (one
+    // day-keyed aggregate + one tiny window over sketches)
+    "dedup_minhash_est", "q_sql_lateral", "q_rolling_actives_hll",
     // round 7 continuation: deterministic mode via max(struct) — two
     // map-side-combined aggregates, no window sort; MAD outliers — two
     // exact-percentile passes + broadcast of the K-row center tables
@@ -78,6 +83,12 @@ object PlanAudit {
       graft.operators.Dedup.minhashPairs(
         graft.Tables.documents(s, dir), n = 8, nHash = 12, rowsPerBand = 2,
         tau = 0.5, eager = false)),
+    // signature band self-join + two one-row-per-doc signature joins —
+    // no shingle re-materialization anywhere in the plan
+    "dedup_minhash_est (pre-checkpoint pipeline)" -> ((s, dir) =>
+      graft.operators.Dedup.minhashEstimatePairs(
+        graft.Tables.documents(s, dir), n = 8, nHash = 12, rowsPerBand = 2,
+        minMatches = 6, eager = false)),
     "mm_features (pre-checkpoint pipeline)" -> ((s, dir) =>
       graft.operators.Multimodal.features(
         graft.operators.Multimodal.synthesizeMedia(s, dir).toDF(), eager = false)),
