@@ -38,8 +38,18 @@ object Verify {
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
       val skip = sys.env.get("SPARK_GRAFT_SKIP")
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      // longest-first scheduling: the handful of multi-second queries
+      // (streaming sinks, dedup/graph iteration families, k-means fits)
+      // go to the pool first so they overlap the long tail of sub-second
+      // queries instead of serializing at the end — better wall-clock
+      // packing at any pool size
+      val slowPrefixes = Seq("stream_", "dedup_", "graph_", "kmeans_fit",
+        "pipeline_", "sim_", "q_tpch_q2", "q_tpch_q16", "q_tpch_q21")
+      def costRank(n: String): Int =
+        if (slowPrefixes.exists(n.startsWith)) 0 else 1
       val tasks = SparkEntry.queries.toSeq
         .filter(q => (only.isEmpty || only(q._1)) && !skip(q._1))
+        .sortBy { case (n, _) => (costRank(n), n) }
         .map { case (name, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
