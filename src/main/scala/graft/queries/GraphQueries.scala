@@ -227,17 +227,42 @@ object GraphQueries {
 
       "graph_sssp" -> ssspSql(rounds = 3),
 
+      // degree-ordered orientation, the SAME trick the Spark operator
+      // uses (Triangles scaladoc): orient every edge toward the higher
+      // (deg, node) endpoint, so each triangle is emitted once from its
+      // minimum vertex and the wedge join is bounded by Σ outdeg² with
+      // outdeg ≤ O(√E). Validated identical to the id-ordered form at
+      // sf0.01 and the sampled derived scale. On the near-REGULAR
+      // derived basket graph the bound barely bites (411M vs 492M
+      // wedges, 145 vs 154 s — this query is the one inherently heavy
+      // DuckDB oracle, half the sampled gate); on any skewed real graph
+      // the id-ordered form degrades quadratically in the hub degree
+      // while this stays √E-bounded, so the oriented form is the right
+      // default for an oracle that must survive fixture regenerations.
       "graph_triangles" ->
         """WITH op AS (
           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
           |), e AS MATERIALIZED (
           |  SELECT DISTINCT a.p AS u, b.p AS v
           |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+          |), deg AS MATERIALIZED (
+          |  SELECT node, count(*) AS d FROM (
+          |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+          |  GROUP BY node
+          |), oe AS MATERIALIZED (
+          |  SELECT CASE WHEN lt THEN u ELSE v END AS src,
+          |         CASE WHEN lt THEN v ELSE u END AS dst,
+          |         CASE WHEN lt THEN dv ELSE du END AS dd
+          |  FROM (SELECT e.u, e.v, da.d AS du, db.d AS dv,
+          |          (da.d < db.d OR (da.d = db.d AND e.u < e.v)) AS lt
+          |        FROM e JOIN deg da ON da.node = e.u
+          |               JOIN deg db ON db.node = e.v)
           |), tri AS MATERIALIZED (
-          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-          |  FROM e e1
-          |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
-          |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+          |  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+          |  FROM oe o1
+          |  JOIN oe o2 ON o2.src = o1.src
+          |    AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+          |  JOIN oe o3 ON o3.src = o1.dst AND o3.dst = o2.dst
           |), nodes AS (
           |  SELECT a AS node FROM tri
           |  UNION ALL SELECT b FROM tri
