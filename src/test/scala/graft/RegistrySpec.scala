@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Contract checks on the SparkEntry registry itself — no Spark session
+  * needed.
+  *
+  * The registry merges 15 module maps with `++`, so a name collision
+  * between modules would SILENTLY shadow one module's query (and its
+  * oracle could then grade a different query's dump). These checks turn
+  * that into a loud failure at test time.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private val modules: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+    ("KMeans", KMeansQueries.queries, KMeansQueries.oracleSql),
+    ("Relational", RelationalQueries.queries, RelationalQueries.oracleSql),
+    ("Analytic", AnalyticQueries.queries, AnalyticQueries.oracleSql),
+    ("Pipeline", PipelineQueries.queries, PipelineQueries.oracleSql),
+    ("Temporal", TemporalQueries.queries, TemporalQueries.oracleSql),
+    ("Tpch", TpchQueries.queries, TpchQueries.oracleSql),
+    ("SqlText", SqlTextQueries.queries, SqlTextQueries.oracleSql),
+    ("Streaming", StreamingQueries.queries, StreamingQueries.oracleSql),
+    ("Dedup", DedupQueries.queries, DedupQueries.oracleSql),
+    ("Text", TextQueries.queries, TextQueries.oracleSql),
+    ("Similarity", SimilarityQueries.queries, SimilarityQueries.oracleSql),
+    ("Multimodal", MultimodalQueries.queries, MultimodalQueries.oracleSql),
+    ("Warehouse", WarehouseQueries.queries, WarehouseQueries.oracleSql),
+    ("Graph", GraphQueries.queries, GraphQueries.oracleSql),
+    ("Quality", QualityQueries.queries, QualityQueries.oracleSql))
+
+  test("no query name collides across modules (++ would silently shadow)") {
+    val owners = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
+    val dups = owners.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"duplicate query names: ${dups.map { case (n, os) => s"$n in ${os.map(_._2).mkString("+")}" }}")
+    assert(SparkEntry.queries.size == owners.size)
+  }
+
+  test("every oracle key has a registered query, within its own module") {
+    modules.foreach { case (m, qs, os) =>
+      val orphan = os.keySet -- qs.keySet
+      assert(orphan.isEmpty, s"$m: oracle SQL without a query: $orphan")
+    }
+  }
+
+  test("no-oracle queries are exactly the declared rows-only set") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val declared = Set("kmeans_fit", "kmeans_fit_nd", "kmeans_mllib",
+      "q_rolling_actives_hll")
+    assert(noOracle == declared,
+      s"rows-only set drifted: extra=${noOracle -- declared} missing=${declared -- noOracle} — " +
+        "new queries need oracle SQL or an explicit entry here")
+  }
+
+  test("oracle SQL never names an output column with a DuckDB reserved word") {
+    // `check` burned a round once (verify SKILL.md gotchas); extendable
+    val reserved = Seq("\\bAS check\\b", "\\bAS order\\b", "\\bAS table\\b")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      reserved.foreach { r =>
+        assert(!r.r.findFirstIn(sql).isDefined,
+          s"$name: oracle aliases a DuckDB reserved word ($r)")
+      }
+    }
+  }
+}
