@@ -29,7 +29,9 @@ object Verify {
     // with execution (most of these queries are planning-bound at
     // sf0.01) — roughly halves the correctness-gate wall clock.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.get("SPARK_GRAFT_POOL").map(_.toInt).getOrElse(4))
+      sys.env.get("SPARK_GRAFT_POOL")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ > 0).getOrElse(4))
     try {
       // dev-loop filters (driver never sets them): dump only these /
       // all-but-these queries — SKIP exists for derived-scale runs where

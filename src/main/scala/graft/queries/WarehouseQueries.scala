@@ -26,6 +26,37 @@ object WarehouseQueries {
       col("event_id"), col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
       col("event_type"))
 
+  /** Core of q_rolling_actives_hll, parameterized on the distinct
+    * (user_id, day BIGINT) frame so the spec can drive it with gap-day
+    * data. The sketch union runs over a RANGE frame on the integer day
+    * key — `rangeBetween(-6, 0)` covers the calendar window
+    * [day-6, day] even when intermediate days have no events; a rows
+    * frame would silently widen to the last 7 *observed* days on gappy
+    * data and diverge from q_rolling_actives' calendar semantics. The
+    * exact 7-day distinct is computed alongside (same explode shape as
+    * q_rolling_actives — a user active on day d supports exactly the
+    * output days [d, d+6], i.e. the days whose trailing window
+    * contains d) and collapsed into the pinned `within_5pct` boolean.
+    */
+  def rollingActivesHll(days: DataFrame): DataFrame = {
+    val sk = days.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("n_active_1d"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    val est = sk.select(col("day"), col("n_active_1d"),
+      hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("est"))
+    val exact = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy(col("wday"))
+      .agg(count_distinct(col("user_id")).as("n7"))
+    est.join(exact, est("day") === exact("wday"))
+      .select(col("day"), col("n_active_1d"),
+        (abs(col("est") - col("n7")).cast("double") <=
+          lit(0.05) * col("n7").cast("double")).as("within_5pct"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- MERGE INTO (CDC upsert): the change batch is the latest order
     // per customer (update c_acctbal := o_totalprice), plus synthetic
@@ -248,24 +279,19 @@ object WarehouseQueries {
     // each day to one fixed-size sketch (≤ ~16 KB) and merges 7
     // sketches per output row — per-day state is O(sketch), not
     // O(users), and the final window runs over one tiny day-keyed
-    // frame. HLL register-max is commutative, so the estimate is
-    // parallelism- and order-invariant (deterministic), but no other
-    // engine shares Spark's datasketches binary — so this is a
-    // rows-only driver check, and WarehouseSpec pins the estimates
-    // within 5% of the exact rolling counts on the fixture.
+    // frame. Output carries the ORACLE-CHECKABLE form: the exact 7-day
+    // distinct (computed in the same query) collapsed into a pinned
+    // `within_5pct` boolean, so the driver hash-gates the sketch's
+    // accuracy without sharing Spark's datasketches binary (the
+    // q_approx_distinct pattern). HLL register-max is commutative, so
+    // the estimate is parallelism- and order-invariant (deterministic).
     "q_rolling_actives_hll" -> ((s, dir) => {
       val days = ev(s, dir)
         .select(col("user_id"),
           expr("CAST(datediff(to_date(timestamp_micros(ts_us)), " +
             "DATE '1970-01-01') AS BIGINT)").as("day"))
-      val sk = days.groupBy(col("day"))
-        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
-          count_distinct(col("user_id")).as("n_active_1d"))
-      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-      sk.select(col("day"), col("n_active_1d"),
-          hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
-            .as("n_active_7d_est"))
-        .orderBy("day")
+        .distinct()
+      rollingActivesHll(days)
     }),
 
     // ---- RFM customer segmentation: recency/frequency/monetary per
@@ -636,6 +662,19 @@ object WarehouseQueries {
         |SELECT d.day, d.n_active_1d, r.n_active_7d
         |FROM daily d JOIN rolling r ON d.day = r.wday
         |ORDER BY d.day""".stripMargin,
+
+    // replays the exact side (per-day distinct actives) and pins the
+    // sketch-accuracy boolean TRUE — a sketch regression >5% off the
+    // exact 7-day distinct fails the hash gate (q_approx_distinct
+    // pattern; the estimate itself has no cross-engine twin)
+    "q_rolling_actives_hll" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events
+        |)
+        |SELECT day, count(*) AS n_active_1d, TRUE AS within_5pct
+        |FROM days GROUP BY day ORDER BY day""".stripMargin,
 
     "q_streaks" ->
       """WITH days AS (

@@ -51,7 +51,8 @@ object PlanAudit {
     // round 9: signature-only estimate (band self-join + two signature
     // joins, NO shingle re-materialization), SQL lateral (decorrelated
     // to the same window shape as q_topk), HLL rolling actives (one
-    // day-keyed aggregate + one tiny window over sketches)
+    // day-keyed aggregate + one tiny RANGE window over sketches, plus
+    // the exact-side explode that feeds the within_5pct oracle pin)
     "dedup_minhash_est", "q_sql_lateral", "q_rolling_actives_hll",
     // round 7 continuation: deterministic mode via max(struct) — two
     // map-side-combined aggregates, no window sort; MAD outliers — two

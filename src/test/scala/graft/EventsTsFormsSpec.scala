@@ -47,12 +47,13 @@ class EventsTsFormsSpec extends SparkSpec {
   }
 
   test("streaming reader peeks each stored form and the staged marker matches it") {
-    Seq("long_nanos", "timestamp_ntz").foreach { form =>
+    Seq("long_nanos", "timestamp", "timestamp_ntz").foreach { form =>
       val dir = writeForm(form)
       // EventStream.storedSchema must reflect the stored type
       val t = graft.streaming.EventStream.storedSchema(spark, s"$dir/events.parquet")("ts").dataType
       form match {
         case "long_nanos" => assert(t == LongType, s"$form peeked $t")
+        case "timestamp" => assert(t == TimestampType, s"$form peeked $t")
         case _ => assert(t == TimestampNTZType, s"$form peeked $t")
       }
       // a batch read through the stream's normalization contract

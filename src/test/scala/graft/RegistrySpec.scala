@@ -47,8 +47,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("no-oracle queries are exactly the declared rows-only set") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val declared = Set("kmeans_fit", "kmeans_fit_nd", "kmeans_mllib",
-      "q_rolling_actives_hll")
+    val declared = Set("kmeans_fit", "kmeans_fit_nd", "kmeans_mllib")
     assert(noOracle == declared,
       s"rows-only set drifted: extra=${noOracle -- declared} missing=${declared -- noOracle} — " +
         "new queries need oracle SQL or an explicit entry here")
@@ -56,7 +55,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle SQL never names an output column with a DuckDB reserved word") {
     // `check` burned a round once (verify SKILL.md gotchas); extendable
-    val reserved = Seq("\\bAS check\\b", "\\bAS order\\b", "\\bAS table\\b")
+    val reserved = Seq("(?i)\\bAS check\\b", "(?i)\\bAS order\\b",
+      "(?i)\\bAS table\\b")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       reserved.foreach { r =>
         assert(!r.r.findFirstIn(sql).isDefined,

@@ -180,23 +180,40 @@ class WarehouseSpec extends SparkSpec {
     assert(totalTrans == nEvents - nUsers)
   }
 
-  test("HLL rolling actives tracks the exact rolling distinct within 5%") {
+  test("HLL rolling actives pins within_5pct TRUE against the exact form") {
     val exact = q("q_rolling_actives").collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val est = q("q_rolling_actives_hll").collect()
     assert(est.length == exact.size,
       s"day coverage differs: hll ${est.length} vs exact ${exact.size}")
     est.foreach { r =>
       val day = r.getLong(0)
-      val e = exact(day).toDouble
-      val a = r.getLong(2).toDouble
-      assert(math.abs(a - e) / e <= 0.05,
-        s"day $day: hll estimate $a vs exact $e (>5% off)")
+      // n_active_1d is exact and must equal the exact query's dailies
+      assert(r.getLong(1) == exact(day)._1,
+        s"day $day: n_active_1d ${r.getLong(1)} vs exact ${exact(day)._1}")
+      assert(r.getBoolean(2), s"day $day: sketch estimate >5% off exact")
     }
     // the estimate is deterministic (HLL register-max is commutative):
     // a repeated run must match exactly
     val again = q("q_rolling_actives_hll").collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
-    assert(again.sameElements(est.map(r => (r.getLong(0), r.getLong(2)))))
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(again.sameElements(est.map(r => (r.getLong(0), r.getBoolean(2)))))
+  }
+
+  test("HLL rolling actives covers the CALENDAR window on gap-day data") {
+    // users {1,2} active on day 0, {3} on day 1, {4} on day 10: day 10's
+    // trailing window is calendar days [4, 10] = user 4 alone. A rows
+    // frame (last 7 *observed* days) would sweep in days 0 and 1 and
+    // estimate ~4 actives — >5% off the exact 1, failing within_5pct.
+    import spark.implicits._
+    val days = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 10L))
+      .toDF("user_id", "day")
+    val got = WarehouseQueries.rollingActivesHll(days).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L, 1L))
+    got.foreach { r =>
+      assert(r.getBoolean(2),
+        s"day ${r.getLong(0)}: window widened past the calendar span")
+    }
   }
 }
