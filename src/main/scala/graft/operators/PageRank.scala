@@ -62,35 +62,61 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, eager: Boolean = true,
       broadcastRanks: Option[Boolean] = None,
       broadcastMaxNodes: Long = 5000000L): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    var edgesWithDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-    var ranks = nodes.withColumn("rank", lit(1000000L))
+    var edgesWithDeg = withDegrees(edges)
+    var ranks = initRanks(edges)
     if (eager) {
       edgesWithDeg = edgesWithDeg.localCheckpoint(true)
       ranks = ranks.localCheckpoint(true)
     }
-    val doBroadcast = broadcastRanks.getOrElse(
-      eager && ranks.count() <= broadcastMaxNodes)
+    val doBroadcast = chooseBroadcast(broadcastRanks, eager,
+      ranks.count(), broadcastMaxNodes)
     for (_ <- 1 to iters) {
-      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
-      val contribs = edgesWithDeg
-        .join(rankSide, edgesWithDeg("src") === rankSide("node"))
-        .select(col("dst"), expr("rank DIV outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      // the node frame for the no-in-edges left join is the PREVIOUS
-      // ranks (checkpointed — exactly the node set), not `nodes`: joining
-      // vs `nodes` would recompute its union+distinct over all edges
-      // every iteration (measured 6.6 s → 5.6 s cold at sf0.1; the
-      // broadcast below buys the rest)
-      val frame = ranks.select(col("node"))
-      ranks = frame.join(contribs, frame("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("(850 * coalesce(sc, 0L)) DIV 1000")).as("rank"))
+      ranks = step(edgesWithDeg, ranks, doBroadcast)
       if (eager) ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /** Static per-iteration edge relation: (src, dst, outdeg). */
+  private[graft] def withDegrees(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(deg, "src").select(col("src"), col("dst"), col("outdeg"))
+  }
+
+  /** Uniform initial ranks (scaled 1e6) over the observed node set. */
+  private[graft] def initRanks(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .withColumn("rank", lit(1000000L))
+
+  /** The broadcast gate, pure so the spec can pin it: an explicit pin
+    * wins; otherwise broadcast only when the measured node count fits
+    * under the cap (and the count is cheap, i.e. ranks materialized).
+    * `nNodes` is by-name so the count is never run on a pinned call.
+    */
+  private[graft] def chooseBroadcast(broadcastRanks: Option[Boolean],
+      eager: Boolean, nNodes: => Long, broadcastMaxNodes: Long): Boolean =
+    broadcastRanks.getOrElse(eager && nNodes <= broadcastMaxNodes)
+
+  /** ONE rank iteration (unexecuted), the plan the spec audits in both
+    * regimes: contributions join on src (broadcast or shuffle per the
+    * gate), sum by dst, left-join back onto the node frame.
+    */
+  private[graft] def step(edgesWithDeg: DataFrame, ranks: DataFrame,
+      doBroadcast: Boolean): DataFrame = {
+    val rankSide = if (doBroadcast) broadcast(ranks) else ranks
+    val contribs = edgesWithDeg
+      .join(rankSide, edgesWithDeg("src") === rankSide("node"))
+      .select(col("dst"), expr("rank DIV outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+    // the node frame for the no-in-edges left join is the PREVIOUS
+    // ranks (checkpointed — exactly the node set), not the raw node
+    // relation: joining vs it would recompute union+distinct over all
+    // edges every iteration (measured 6.6 s → 5.6 s cold at sf0.1; the
+    // broadcast above buys the rest)
+    val frame = ranks.select(col("node"))
+    frame.join(contribs, frame("node") === contribs("dst"), "left")
+      .select(col("node"),
+        (lit(150000L) + expr("(850 * coalesce(sc, 0L)) DIV 1000")).as("rank"))
   }
 }

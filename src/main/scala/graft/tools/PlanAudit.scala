@@ -147,6 +147,26 @@ object PlanAudit {
         .union(pairs.selectExpr("prt AS src", "sup AS dst"))
       graft.operators.PageRank.run(edges, iters = 2, eager = false,
         broadcastRanks = Some(true))
+    }),
+    // the billion-node regime (node count above the broadcast cap):
+    // ONE rank iteration with the gate refusing broadcast — the ranks
+    // join must be a SHUFFLE join (auto-broadcast thresholds disabled
+    // in an isolated session so fixture-scale stats can't mask it;
+    // GraphSpec pins the same invariant)
+    "graph_pagerank (large-graph shuffle regime, one iteration)" -> ((s, dir) => {
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pairs = graft.Tables.lineitem(sess, dir)
+        .select(org.apache.spark.sql.functions.col("l_suppkey").as("sup"),
+          (org.apache.spark.sql.functions.lit(100000L) +
+            org.apache.spark.sql.functions.col("l_partkey")).as("prt"))
+        .distinct()
+      val edges = pairs.selectExpr("sup AS src", "prt AS dst")
+        .union(pairs.selectExpr("prt AS src", "sup AS dst"))
+      graft.operators.PageRank.step(
+        graft.operators.PageRank.withDegrees(edges),
+        graft.operators.PageRank.initRanks(edges), doBroadcast = false)
     }))
 
   def main(args: Array[String]): Unit = {

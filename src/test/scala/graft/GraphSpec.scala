@@ -175,6 +175,63 @@ class GraphSpec extends SparkSpec {
     assert(distMap(2) == full)
   }
 
+  test("pagerank broadcast gate: pins win, cap decides, count is lazy") {
+    import graft.operators.PageRank
+    // the cap forced low refuses broadcast no matter how small the graph
+    assert(!PageRank.chooseBroadcast(None, eager = true, nNodes = 10L,
+      broadcastMaxNodes = 0L))
+    assert(PageRank.chooseBroadcast(None, eager = true, nNodes = 10L,
+      broadcastMaxNodes = 5000000L))
+    // a billion-node graph sails over the default cap
+    assert(!PageRank.chooseBroadcast(None, eager = true,
+      nNodes = 1000000000L, broadcastMaxNodes = 5000000L))
+    // explicit pins never run the node count (by-name argument), and
+    // the non-eager default never counts an unmaterialized frame
+    assert(PageRank.chooseBroadcast(Some(true), eager = false,
+      nNodes = sys.error("pin must not count"), broadcastMaxNodes = 0L))
+    assert(!PageRank.chooseBroadcast(None, eager = false,
+      nNodes = sys.error("non-eager must not count"),
+      broadcastMaxNodes = 5000000L))
+  }
+
+  test("pagerank above the broadcast cap: shuffle-join plan, identical ranks") {
+    import graft.operators.PageRank
+    // isolated session: killing the auto-broadcast thresholds here must
+    // not leak into suites asserting broadcast plans elsewhere
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import sess.implicits._
+    // directed 20-cycle + chords: every node has outdeg >= 1
+    val n = 20L
+    val edges = (0L until n)
+      .flatMap(i => Seq((i, (i + 1) % n), (i, (i + 5) % n)))
+      .toDF("src", "dst")
+    val ewd = PageRank.withDegrees(edges)
+    val r0 = PageRank.initRanks(edges)
+    // large-graph regime (gate refused broadcast): the per-iteration
+    // plan must join ranks by SHUFFLE — a regression re-forcing a
+    // broadcast of billion-node rank state would show up right here
+    val shufPlan = plan(PageRank.step(ewd, r0, doBroadcast = false))
+    assert(!shufPlan.contains("BroadcastHashJoin"),
+      s"ranks must not broadcast above the cap:\n$shufPlan")
+    assert(shufPlan.contains("SortMergeJoin") ||
+      shufPlan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join on ranks:\n$shufPlan")
+    // small-graph regime keeps the broadcast (hint beats the -1 thresholds)
+    val bcPlan = plan(PageRank.step(ewd, r0, doBroadcast = true))
+    assert(bcPlan.contains("BroadcastHashJoin"),
+      s"pinned broadcast regime lost its broadcast join:\n$bcPlan")
+    // end to end through run(): the gate forced low (shuffle regime)
+    // is integer-exact, so ranks must EQUAL the self-selected
+    // broadcast regime's bit for bit
+    def ranksOf(maxNodes: Long) =
+      PageRank.run(edges, iters = 3, broadcastMaxNodes = maxNodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranksOf(0L) == ranksOf(5000000L),
+      "shuffle and broadcast regimes diverged")
+  }
+
   test("triangle counts on the fixture graph: total divisible by 3") {
     val e = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
