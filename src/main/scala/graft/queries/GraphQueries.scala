@@ -29,26 +29,22 @@ object GraphQueries {
   /** Co-occurrence (market-basket) graph: edge (p1, p2) iff both parts
     * appear in the same order. DISTINCT (order, part) first, so the
     * per-order pair expansion is bounded by basket size, never line
-    * count.
+    * count. The relation is STAGED (materialized once per scale dir,
+    * [[graft.sources.StagedLayouts.basketEdges]]) and shared by both
+    * graph consumers — before staging each re-derived the identical
+    * build, the one bench double-pay left in the round-9 adjudication.
     *
-    * (A 2-shuffle variant — groupBy(order) collect_set + higher-order
-    * pair expansion over the sorted basket array — was A/B'd via
-    * tools/BasketProfile: the build alone is ~1 s cheaper cold, but
-    * interleaved steady-state under BOTH graph consumers came out
-    * ~1 s SLOWER for triangles and neutral for k-core, so the
-    * self-join form stays. At real scale the basket aggregate remains
-    * the shuffle-count winner; revisit if the co-occurrence build
+    * (A 2-shuffle build variant — groupBy(order) collect_set +
+    * higher-order pair expansion over the sorted basket array — was
+    * A/B'd via tools/BasketProfile: the build alone is ~1 s cheaper
+    * cold, but interleaved steady-state under BOTH graph consumers
+    * came out ~1 s SLOWER for triangles and neutral for k-core, so
+    * the self-join form stays. At real scale the basket aggregate
+    * remains the shuffle-count winner; revisit if the staged build
     * ever dominates a profile.)
     */
-  private def basketEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    op.alias("a").join(op.alias("b"), col("a.ok") === col("b.ok"))
-      .where(col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-  }
+  private def basketEdges(s: SparkSession, dir: String): DataFrame =
+    graft.sources.StagedLayouts.basketEdges(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 fixed-point PageRank iterations over the supply graph; exact
