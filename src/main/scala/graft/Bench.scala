@@ -81,7 +81,28 @@ object Bench {
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
     val errJson = errors.map { case (n, m) => s"\"$n\":\"$m\"" }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // Protocol self-description (round-9 adjudication ask): the driver
+    // invokes this main ONCE, in-load with the rest of its round work,
+    // while BASELINE.md's closing numbers come from 3 isolated fresh-JVM
+    // repeats (tools/closing_bench.sh) — two different protocols whose
+    // artifacts used to be distinguishable only by BASELINE.md
+    // archaeology (how round 8's broken run nearly became a baseline).
+    // Now every line carries its own mode + repeat count, and when the
+    // closing protocol has been recorded (bench_closing.json, committed
+    // by the round's closing run), its summary rides along so the
+    // driver artifact itself holds the adjudication-grade numbers.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "in_load")
+    val closing = {
+      val p = java.nio.file.Paths.get("bench_closing.json")
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val txt = java.nio.file.Files.readString(p).trim
+        // embed only if it is the expected one-line object (defensive:
+        // a malformed file must not corrupt the driver-parsed line)
+        if (txt.startsWith("{") && txt.endsWith("}") && !txt.contains("\n") &&
+          txt.length < 600) txt else "null"
+      } else "null"
+    }
+    val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"mode":"$mode","n_repeats":1,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     val headline = Set(
@@ -94,11 +115,12 @@ object Bench {
       "mm_features", "pipeline_e2e", "stream_window_sink",
       "graph_pagerank", "q_bucket_join", "q_merge_upsert", "q_dq_checks",
       "graph_kcore", "q_incr_agg")
-    val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2, headline)},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},"detail":"bench_detail.json","sf":"$sfDir"}"""
+    val proto = s""""mode":"$mode","n_repeats":1,"closing":$closing"""
+    val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2, headline)},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},$proto,"detail":"bench_detail.json","sf":"$sfDir"}"""
     // If the headline subset ever outgrows the driver's ~2.5KB stdout
     // capture, fall back to a totals-only line rather than throwing away
     // the whole run (bench_detail.json always has the full map).
-    val totalsOnly = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},"detail":"bench_detail.json","sf":"$sfDir"}"""
+    val totalsOnly = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},$proto,"detail":"bench_detail.json","sf":"$sfDir"}"""
     println(if (line.length < 2000) line else totalsOnly)
     spark.stop()
   }
