@@ -33,6 +33,33 @@ object AnalyticQueries {
     */
   private val SessionGapUs = 1800L * 1000000L
 
+  /** q_concurrency's sweep stream: sessionize events (same gap rule as
+    * q_sessionize), then emit +1 at each session start and -1 one tick
+    * past its end. Factored out so AnalyticSpec can run the identical
+    * stream through BOTH sweep forms (global window vs the
+    * range-partitioned [[graft.operators.SweepLine]]).
+    */
+  private[graft] def concurrencyDeltas(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > lit(SessionGapUs), 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
+    // both deltas explode from ONE pass over the session table — a
+    // union of two projections would recompute the whole sessionize
+    // pipeline per branch (no subtree reuse in the plan)
+    sess.select(explode(array(
+        struct(col("s").as("ts"), lit(1).as("delta")),
+        struct((col("e") + lit(1L)).as("ts"), lit(-1).as("delta")))).as("d"))
+      .select(col("d.ts").as("ts"), col("d.delta").as("delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact heavy hitters via two-phase Misra-Gries (per-partition
     // k-counter summaries → candidate superset → exact recount of
@@ -402,25 +429,14 @@ object AnalyticQueries {
     // pass) — the deltas explode from one pass over the session table.
     // Peak value and its earliest timestamp are order-invariant within
     // tied (ts, delta) groups, so the answer is deterministic.
+    // The sweep itself runs one GLOBAL unpartitioned window — correct
+    // here because the delta stream is two rows per session, orders of
+    // magnitude below the funnel threshold. The 100-TB path for a
+    // delta stream that is itself huge is the range-partitioned
+    // two-pass prefix sum in [[graft.operators.SweepLine.runningSum]];
+    // AnalyticSpec proves the two forms agree on this exact stream.
     "q_concurrency" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
-        .withColumn("new_s",
-          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > lit(SessionGapUs), 1)
-            .when(lag(col("ts_us"), 1).over(w).isNull, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_s")).over(run))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
-      // both deltas explode from ONE pass over the session table — a
-      // union of two projections would recompute the whole sessionize
-      // pipeline per branch (no subtree reuse in the plan)
-      val deltas = sess.select(explode(array(
-          struct(col("s").as("ts"), lit(1).as("delta")),
-          struct((col("e") + lit(1L)).as("ts"), lit(-1).as("delta")))).as("d"))
-        .select(col("d.ts").as("ts"), col("d.delta").as("delta"))
+      val deltas = concurrencyDeltas(s, dir)
       val sweep = Window.orderBy(col("ts"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       deltas.withColumn("cur", sum(col("delta")).over(sweep))

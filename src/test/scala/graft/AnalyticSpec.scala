@@ -13,6 +13,48 @@ class AnalyticSpec extends SparkSpec {
 
   private def q(name: String) = AnalyticQueries.queries(name)(spark, sf)
 
+  test("SweepLine running sum == global-window form on an adversarial stream") {
+    import spark.implicits._
+    // duplicate timestamps with mixed-sign deltas, a long gap (forces
+    // empty buckets), and a run landing on a bucket boundary
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(50).toLong * 10L,
+      if (rnd.nextBoolean()) 1 else -1)) ++
+      Seq((100000L, 1), (100000L, -1), (100001L, 1))
+    val deltas = rows.toDF("ts", "delta")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("delta"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val global = deltas.withColumn("cur", sum(col("delta")).over(w))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    Seq(1, 4, 32).foreach { b =>
+      val sweep = graft.operators.SweepLine.runningSum(deltas, nBuckets = b)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(sweep == global, s"nBuckets=$b diverged from the global window")
+    }
+    // scale shape: the heavy pass is a PARTITIONED window (exchange on
+    // the bucket key), and the offsets come back by broadcast — no
+    // all-rows single-partition funnel anywhere
+    val p = plan(graft.operators.SweepLine.runningSum(deltas, nBuckets = 8))
+    assert(p.contains("hashpartitioning(bkt"),
+      s"per-bucket window must hash-partition on bkt:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket offsets must join back by broadcast:\n$p")
+  }
+
+  test("q_concurrency's global sweep == SweepLine on the fixture stream") {
+    val reg = q("q_concurrency").head()
+    val viaSweep = graft.operators.SweepLine
+      .runningSum(AnalyticQueries.concurrencyDeltas(spark, sf), nBuckets = 8)
+      .groupBy(col("cur")).agg(min(col("ts")).as("first_ts_us"))
+      .orderBy(col("cur").desc).limit(1).head()
+    assert(viaSweep.getLong(0) == reg.getLong(0), "max_concurrent differs")
+    assert(viaSweep.getLong(1) == reg.getLong(1), "first_ts_us differs")
+  }
+
   test("q_unpivot: 3 measure rows per key, values equal the wide aggregate") {
     val long = q("q_unpivot").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
