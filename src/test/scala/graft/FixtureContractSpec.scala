@@ -49,7 +49,8 @@ class FixtureContractSpec extends SparkSpec {
       "c_nationkey" -> Set(IntegerType, LongType),
       "c_acctbal" -> Set(DoubleType), "c_mktsegment" -> Set(StringType)))
     check("supplier", Seq(
-      "s_suppkey" -> Set(LongType), "s_nationkey" -> Set(IntegerType, LongType),
+      "s_suppkey" -> Set(LongType), "s_name" -> Set(StringType),
+      "s_nationkey" -> Set(IntegerType, LongType),
       "s_acctbal" -> Set(DoubleType)))
     check("nation", Seq(
       "n_nationkey" -> Set(IntegerType, LongType), "n_name" -> Set(StringType),
@@ -57,7 +58,10 @@ class FixtureContractSpec extends SparkSpec {
     check("region", Seq(
       "r_regionkey" -> Set(IntegerType, LongType), "r_name" -> Set(StringType)))
     check("part", Seq(
-      "p_partkey" -> Set(LongType), "p_name" -> Set(StringType)))
+      "p_partkey" -> Set(LongType), "p_name" -> Set(StringType),
+      "p_brand" -> Set(StringType), "p_type" -> Set(StringType),
+      "p_size" -> Set(IntegerType, LongType),
+      "p_retailprice" -> Set(DoubleType)))
   }
 
   test("documents/embeddings carry the pipeline-contract columns and types") {
