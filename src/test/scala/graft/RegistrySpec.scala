@@ -53,6 +53,26 @@ class RegistrySpec extends AnyFunSuite {
         "new queries need oracle SQL or an explicit entry here")
   }
 
+  test("README's canonical Registry line carries the registry's actual counts") {
+    // the single source of truth for current counts is the registry
+    // itself; README carries exactly ONE human-readable copy, and this
+    // assert is what keeps it honest (the dozen hand-synced totals that
+    // drifted every round are gone — history sections keep their own
+    // frozen numbers)
+    val p = java.nio.file.Paths.get("README.md")
+    assert(java.nio.file.Files.isRegularFile(p),
+      s"README.md not found at ${p.toAbsolutePath} (forked-test cwd moved?)")
+    val readme = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val line = """\*\*(\d+) queries / (\d+) DuckDB-oracle-checked\*\*""".r
+    val ms = line.findAllMatchIn(readme).toSeq
+    assert(ms.size == 1,
+      s"README must carry exactly one '**N queries / M DuckDB-oracle-checked**' line, found ${ms.size}")
+    assert(ms.head.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${ms.head.group(1)} queries, registry has ${SparkEntry.queries.size}")
+    assert(ms.head.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${ms.head.group(2)} oracle-checked, registry has ${SparkEntry.oracleSql.size}")
+  }
+
   test("oracle SQL never names an output column with a DuckDB reserved word") {
     // `check` burned a round once (verify SKILL.md gotchas); extendable
     val reserved = Seq("(?i)\\bAS check\\b", "(?i)\\bAS order\\b",
