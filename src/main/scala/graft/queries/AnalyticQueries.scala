@@ -445,6 +445,20 @@ object AnalyticQueries {
         .select(col("cur").as("max_concurrent"), col("first_ts_us"))
     }),
 
+    // the SAME answer through the 100-TB sweep path: SweepLine's
+    // range-partitioned two-pass prefix sum replaces the global window
+    // (per-bucket parallel local sums + a B-row offset pass). Registered
+    // first-class so the scale variant carries its own driver-gate row —
+    // the oracle is IDENTICAL to q_concurrency's because the two forms
+    // are exactly equal (AnalyticSpec proves it row-for-row on
+    // adversarial streams; the gate proves it cross-engine here).
+    "q_concurrency_sweep" -> ((s, dir) =>
+      graft.operators.SweepLine
+        .runningSum(concurrencyDeltas(s, dir), nBuckets = 32)
+        .groupBy(col("cur")).agg(min(col("ts")).as("first_ts_us"))
+        .orderBy(col("cur").desc).limit(1)
+        .select(col("cur").as("max_concurrent"), col("first_ts_us"))),
+
     // EWMA (alpha = 0.25) of each user's value series — the classic
     // feature-engineering op with a SEQUENTIAL dependency no window
     // frame expresses. Realized as an ordered array fold (higher-order
@@ -467,6 +481,41 @@ object AnalyticQueries {
                     vs[0].value,
                     (acc, x) -> acc * 0.75D + x.value * 0.25D)""").as("ewma"))
         .orderBy("user_id")))
+
+  /** Shared oracle of q_concurrency AND q_concurrency_sweep: the two
+    * engine paths (global window vs range-partitioned two-pass prefix
+    * sum) are exactly equal, so one SQL text gates both.
+    */
+  private lazy val concurrencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts_us, event_id,
+       |    CASE WHEN ts_us - lag(ts_us, 1) OVER w > ${SessionGapUs} THEN 1
+       |         WHEN lag(ts_us, 1) OVER w IS NULL THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |), sess AS (
+       |  SELECT user_id,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id,
+       |    ts_us
+       |  FROM flagged
+       |), iv AS (
+       |  SELECT min(ts_us) AS s, max(ts_us) AS e
+       |  FROM sess GROUP BY user_id, session_id
+       |), deltas AS (
+       |  SELECT s AS ts, 1 AS delta FROM iv
+       |  UNION ALL
+       |  SELECT e + 1 AS ts, -1 AS delta FROM iv
+       |), r AS (
+       |  SELECT CAST(sum(delta) OVER (ORDER BY ts, delta
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur, ts
+       |  FROM deltas
+       |)
+       |SELECT cur AS max_concurrent, min(ts) AS first_ts_us
+       |FROM r GROUP BY cur ORDER BY cur DESC LIMIT 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_heavy_hitters" ->
@@ -717,36 +766,10 @@ object AnalyticQueries {
          |FROM sessions GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
 
-    "q_concurrency" ->
-      s"""WITH e AS (
-         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
-         |), flagged AS (
-         |  SELECT user_id, ts_us, event_id,
-         |    CASE WHEN ts_us - lag(ts_us, 1) OVER w > ${SessionGapUs} THEN 1
-         |         WHEN lag(ts_us, 1) OVER w IS NULL THEN 1
-         |         ELSE 0 END AS new_s
-         |  FROM e
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |), sess AS (
-         |  SELECT user_id,
-         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS session_id,
-         |    ts_us
-         |  FROM flagged
-         |), iv AS (
-         |  SELECT min(ts_us) AS s, max(ts_us) AS e
-         |  FROM sess GROUP BY user_id, session_id
-         |), deltas AS (
-         |  SELECT s AS ts, 1 AS delta FROM iv
-         |  UNION ALL
-         |  SELECT e + 1 AS ts, -1 AS delta FROM iv
-         |), r AS (
-         |  SELECT CAST(sum(delta) OVER (ORDER BY ts, delta
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur, ts
-         |  FROM deltas
-         |)
-         |SELECT cur AS max_concurrent, min(ts) AS first_ts_us
-         |FROM r GROUP BY cur ORDER BY cur DESC LIMIT 1""".stripMargin,
+    "q_concurrency" -> concurrencySql,
+    // exact equality with the global-window form is the point of the
+    // sweep variant — one oracle text, two engine paths
+    "q_concurrency_sweep" -> concurrencySql,
 
     // list() with ORDER BY = Spark's array_sort(collect_list(struct));
     // list_reduce folds left seeded with the first element, exactly the

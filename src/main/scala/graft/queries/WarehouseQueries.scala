@@ -37,6 +37,12 @@ object WarehouseQueries {
     * q_rolling_actives — a user active on day d supports exactly the
     * output days [d, d+6], i.e. the days whose trailing window
     * contains d) and collapsed into the pinned `within_5pct` boolean.
+    *
+    * Returns the full frame a user of the sketch wants — (day,
+    * n_active_1d, n_active_7d_est, n_active_7d, within_5pct); the
+    * registered query projects the oracle-checkable subset (the
+    * estimate has no cross-engine twin, so it cannot sit in a
+    * hash-gated column).
     */
   def rollingActivesHll(days: DataFrame): DataFrame = {
     val sk = days.groupBy(col("day"))
@@ -44,16 +50,18 @@ object WarehouseQueries {
         count(lit(1)).as("n_active_1d"))
     val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
     val est = sk.select(col("day"), col("n_active_1d"),
-      hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("est"))
+      hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
+        .as("n_active_7d_est"))
     val exact = days
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + 6)).as("wday"))
       .groupBy(col("wday"))
-      .agg(count_distinct(col("user_id")).as("n7"))
+      .agg(count_distinct(col("user_id")).as("n_active_7d"))
     est.join(exact, est("day") === exact("wday"))
-      .select(col("day"), col("n_active_1d"),
-        (abs(col("est") - col("n7")).cast("double") <=
-          lit(0.05) * col("n7").cast("double")).as("within_5pct"))
+      .select(col("day"), col("n_active_1d"), col("n_active_7d_est"),
+        col("n_active_7d"),
+        (abs(col("n_active_7d_est") - col("n_active_7d")).cast("double") <=
+          lit(0.05) * col("n_active_7d").cast("double")).as("within_5pct"))
       .orderBy("day")
   }
 
@@ -292,6 +300,7 @@ object WarehouseQueries {
             "DATE '1970-01-01') AS BIGINT)").as("day"))
         .distinct()
       rollingActivesHll(days)
+        .select(col("day"), col("n_active_1d"), col("within_5pct"))
     }),
 
     // ---- RFM customer segmentation: recency/frequency/monetary per

@@ -69,7 +69,10 @@ object PlanAudit {
     // (one user_id exchange), hopping windows (single Expand, no
     // self-join), unpivot (native Expand melt)
     "q_rfm", "q_rolling_actives", "q_streaks", "q_hopping_window",
-    "q_unpivot")
+    "q_unpivot",
+    // round 10: the registered 100-TB sweep path — per-bucket
+    // partitioned window + broadcast offsets, no global funnel
+    "q_concurrency_sweep")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

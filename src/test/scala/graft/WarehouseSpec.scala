@@ -211,8 +211,11 @@ class WarehouseSpec extends SparkSpec {
     val got = WarehouseQueries.rollingActivesHll(days).collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L))
     assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L, 1L))
+    // exact calendar-window distincts: [−6,0]→{1,2}, [−5,1]→{1,2,3},
+    // [4,10]→{4} — a rows frame would report 4 for day 10
+    assert(got.map(_.getLong(3)).toSeq == Seq(2L, 3L, 1L))
     got.foreach { r =>
-      assert(r.getBoolean(2),
+      assert(r.getBoolean(4),
         s"day ${r.getLong(0)}: window widened past the calendar span")
     }
   }
