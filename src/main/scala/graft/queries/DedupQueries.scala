@@ -58,8 +58,12 @@ object DedupQueries {
 
     // SimHash near-dup pairs at Hamming <= 3 (byte-block LSH — complete
     // by pigeonhole; see Dedup.simhashPairs)
+    // pairs/labels come from the STAGED build
+    // (StagedLayouts.simhashPairs/simhashLabels): four registered
+    // queries consume the identical simhash + banded-join + 6-round CC
+    // computation, materialized once per scale dir.
     "dedup_simhash_hamming" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), maxHam = 3)
+      graft.sources.StagedLayouts.simhashPairs(s, dir)
         .orderBy("doc_a", "doc_b")),
 
     // near-dup CLUSTERING: connected components over the verified
@@ -67,14 +71,11 @@ object DedupQueries {
     // rounds — pairs → clusters → one survivor per cluster is the full
     // production dedup flow (keep cluster_id = min member). Output is
     // the per-cluster profile.
-    "dedup_cluster" -> ((s, dir) => {
-      val pairs = Dedup.simhashPairs(docs(s, dir), maxHam = 3)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.connectedComponents(pairs, iters = 6)
+    "dedup_cluster" -> ((s, dir) =>
+      graft.sources.StagedLayouts.simhashLabels(s, dir)
         .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("csize"), max(col("d")).as("max_d"))
-        .orderBy("cluster_id")
-    }),
+        .orderBy("cluster_id")),
 
     // canonical selection — the step AFTER clustering in a production
     // dedup flow: map EVERY doc (members and singletons both) to its
@@ -86,9 +87,7 @@ object DedupQueries {
     // narrow map over the corpus.
     "dedup_canonical" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
-      val pairs = Dedup.simhashPairs(docs(s, dir), maxHam = 3)
-        .select(col("doc_a"), col("doc_b"))
-      val lbls = Dedup.connectedComponents(pairs, iters = 6)
+      val lbls = graft.sources.StagedLayouts.simhashLabels(s, dir)
       val lab = d.join(lbls, d("doc_id") === lbls("d"), "left")
         .select(col("doc_id"), col("n_chars"),
           coalesce(col("lbl"), col("doc_id")).as("cluster"))
@@ -112,9 +111,7 @@ object DedupQueries {
     // hash map over the corpus.
     "pipeline_split_leakproof" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"))
-      val pairs = Dedup.simhashPairs(docs(s, dir), maxHam = 3)
-        .select(col("doc_a"), col("doc_b"))
-      val lbls = Dedup.connectedComponents(pairs, iters = 6)
+      val lbls = graft.sources.StagedLayouts.simhashLabels(s, dir)
       val bucket = QueryHelpers.hashBucket(col("cluster").cast("string"))
       d.join(lbls, d("doc_id") === lbls("d"), "left")
         .select(col("doc_id"),

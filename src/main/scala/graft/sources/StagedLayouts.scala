@@ -156,4 +156,43 @@ object StagedLayouts {
     })
     s.read.parquet(s"$dir/basket_edges")
   }
+
+  // ---- shared simhash near-dup pairs + cluster labels ----------------
+
+  /** Simhash Hamming-≤3 near-dup pairs over `documents` AND their
+    * 6-round hash-min CC label table, materialized once per scale dir.
+    * FOUR registered queries consume this build (`dedup_simhash_hamming`
+    * the pairs; `dedup_cluster` / `dedup_canonical` /
+    * `pipeline_split_leakproof` the labels) and each re-derived it
+    * independently — the same triple-pay shape as the basket edges,
+    * and like there the shared build (simhash fingerprints + banded
+    * self-join + 6 CC join-aggregate rounds) dominates while the
+    * materialized outputs are tiny (pair list + one row per clustered
+    * doc). The labels are built FROM the staged pairs, so the pair
+    * computation runs exactly once. Production shape: a dedup pipeline
+    * writes its pair/cluster tables once and every downstream consumer
+    * (canonicalization, splits, audits) scans them.
+    */
+  private def simhashDir(s: SparkSession, sfDir: String): String = {
+    require(hookInstalled)
+    staged.computeIfAbsent(s"simhashcc:$sfDir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
+      graft.operators.Dedup
+        .simhashPairs(graft.Tables.documents(s, sfDir), maxHam = 3)
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+      val pairs = s.read.parquet(s"$tmp/pairs")
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup.connectedComponents(pairs, iters = 6)
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      tmp
+    })
+  }
+
+  /** (doc_a, doc_b, ham) — verified simhash pairs, Hamming ≤ 3. */
+  def simhashPairs(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"${simhashDir(s, sfDir)}/pairs")
+
+  /** (d, lbl) — 6-round hash-min CC labels over the pairs. */
+  def simhashLabels(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"${simhashDir(s, sfDir)}/labels")
 }
