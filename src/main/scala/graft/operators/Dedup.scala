@@ -482,6 +482,40 @@ object Dedup {
     res
   }
 
+  /** Bloom-filter decontamination — the constant-memory variant of
+    * [[contamination]]. The broadcast there is the bench set's FULL
+    * sorted shingle-hash array (linear in the eval suite's distinct
+    * shingles — gigabytes once the benchmark battery is itself
+    * web-scale); here it is a fixed mBits-bit [[Bloom]] filter, so the
+    * per-executor footprint no longer grows with the bench set at all.
+    * The trade: reported overlap counts include the filter's false
+    * positives — acceptable for a REJECT decision (superset of the true
+    * contaminated set, no false negatives), not for overlap ratios.
+    *
+    * Both engines rebuild the identical deterministic filter, so the
+    * flagged set — false positives included — hash-gates exactly
+    * (Bloom scaladoc).
+    */
+  def contaminationBloom(docs: DataFrame, benchIds: Long, n: Int = 8,
+      mBits: Int = 4096): DataFrame = {
+    val sets = shingleHashArray(docs, n)
+      .select(col("doc_id"), array_distinct(col("hs")).as("shs"))
+      .cache()
+    val bits = Bloom.buildBits(
+      sets.where(col("doc_id") < benchIds).select(explode(col("shs")).as("hm")),
+      mBits)
+    val out = sets.where(col("doc_id") >= benchIds)
+      .crossJoin(broadcast(bits))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("nsh"),
+        size(filter(col("shs"),
+          h => Bloom.mightContain(col("bits"), h, mBits))).cast("long")
+          .as("n_hits"))
+      .where(col("n_hits") > 0)
+    val res = out.localCheckpoint(true)
+    sets.unpersist(blocking = true)
+    res
+  }
+
   /** Connected components over a near-dup pair set via FIXED-iteration
     * hash-min label propagation: every member starts labeled with its
     * own id; each round every node takes the min of its own and its

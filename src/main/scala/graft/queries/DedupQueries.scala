@@ -131,6 +131,18 @@ object DedupQueries {
           rnd(col("inter").cast("double") / col("nsh"), 6))
         .orderBy("doc_id")),
 
+    // constant-memory decontamination: the same bench set compressed
+    // into a deterministic 4096-bit Bloom filter (Bloom scaladoc). The
+    // flagged set is a superset of dedup_contamination's (false
+    // positives possible, false negatives impossible) and both engines
+    // rebuild the identical filter, so the output — FPs included —
+    // sits under the exact hash gate.
+    "dedup_contamination_bloom" -> ((s, dir) =>
+      Dedup.contaminationBloom(docs(s, dir), benchIds = 10L)
+        .withColumn("hit_rate",
+          rnd(col("n_hits").cast("double") / col("nsh"), 6))
+        .orderBy("doc_id")),
+
     // asymmetric containment |A∩B|/|A| over df-capped rare 5-gram
     // shingles — flags doc-in-doc swallowing that Jaccard/MinHash miss
     // by construction (see Dedup.containmentPairs). Directed output:
@@ -386,6 +398,41 @@ object DedupQueries {
          |  ${rndSql("CAST(i.inter AS DOUBLE) / s.nsh", 6)} AS ratio
          |FROM it i JOIN sizes s ON s.doc_id = i.doc_id
          |ORDER BY i.doc_id""".stripMargin
+    },
+
+    "dedup_contamination_bloom" -> {
+      import graft.operators.{Bloom, Dedup}
+      import Dedup.{MinhashP => P}
+      val m = 4096
+      val pos = Bloom.positionSql("hm", m)
+      val probes = pos.zipWithIndex.map { case (p, j) =>
+        Bloom.probeSql(s"w$j", p)
+      }.mkString("\n  AND ")
+      val wordJoins = pos.zipWithIndex.map { case (p, j) =>
+        s"LEFT JOIN bw w$j ON w$j.w = ($p) // 32"
+      }.mkString("\n  ")
+      val benchPos = pos.map(p =>
+        s"SELECT $p AS p FROM hset WHERE doc_id < 10").mkString("\n  UNION ALL ")
+      s"""WITH ${ssetsCte(8)},
+         |hset AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm
+         |  FROM ssets),
+         |bpos AS (SELECT DISTINCT p FROM (
+         |  $benchPos)),
+         |bw AS MATERIALIZED (SELECT p // 32 AS w,
+         |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS b
+         |  FROM bpos GROUP BY 1),
+         |ph AS (SELECT doc_id, hm FROM hset WHERE doc_id >= 10),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM ph
+         |  $wordJoins
+         |  WHERE $probes
+         |  GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM hset
+         |  WHERE doc_id >= 10 GROUP BY doc_id)
+         |SELECT h.doc_id, s.nsh, h.n_hits,
+         |  ${rndSql("CAST(h.n_hits AS DOUBLE) / s.nsh", 6)} AS hit_rate
+         |FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+         |ORDER BY h.doc_id""".stripMargin
     },
 
     "dedup_exact" ->

@@ -218,6 +218,38 @@ object RelationalQueries {
 
     // Semi/anti joins (free from Catalyst; pinned under the oracle —
     // SURVEY §2.3 notes the reference has none, our engine must)
+    // bloom-filter semi-join reduction — the classic big-join shuffle
+    // cutter: build a fixed-size deterministic Bloom filter over the
+    // SMALL side's join keys (urgent orders, ~20% selectivity), prefilter
+    // the BIG side's scan before it ever reaches the join shuffle. At
+    // 100 TB this is the difference between shuffling every lineitem row
+    // and shuffling ~the matching fifth (false positives only add the
+    // filter's ε). The oracle is the PLAIN join: prefiltering with a
+    // no-false-negative filter provably never changes the join result,
+    // so correctness needs no bloom replay at all — the strongest
+    // possible gate for an optimization (same output, cheaper plan).
+    // (Spark's AQE runtime bloom pushdown follows the same design;
+    // this form is explicit, deterministic, and engine-portable.)
+    "q_join_bloom_reduce" -> ((s, dir) => {
+      import graft.operators.{Bloom, Dedup}
+      val m = 1 << 17
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bits = Bloom.buildBits(
+        urgent.select(pmod(col("o_orderkey"), lit(Dedup.MinhashP)).as("hm")), m)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .crossJoin(broadcast(bits))
+        .where(Bloom.mightContain(col("bits"),
+          pmod(col("l_orderkey"), lit(Dedup.MinhashP)), m))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          rnd(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("month")
+    }),
+
     "q_semi_join" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
@@ -420,6 +452,14 @@ object RelationalQueries {
         |  string_split(string_split(concat(CAST(l_orderkey AS VARCHAR), ':', l_returnflag, ',', l_linestatus), ':')[2], ',')[2] AS status
         |FROM lineitem WHERE l_returnflag <> 'N'
         |ORDER BY l_orderkey, l_linenumber, kv""".stripMargin,
+
+    // the plain join — the bloom prefilter must be output-invisible
+    "q_join_bloom_reduce" ->
+      s"""SELECT date_trunc('month', o_orderdate) AS month,
+         |  count(*) AS n_items, ${rndSql("sum(l_quantity)", 2)} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_cust FROM customer
