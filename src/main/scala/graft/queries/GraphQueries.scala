@@ -76,6 +76,18 @@ object GraphQueries {
       graft.operators.KCore.peel(basketEdges(s, dir), k = 3, rounds = 3)
         .orderBy("node")),
 
+    // connected components of the supply graph via hash-min + pointer
+    // jumping (ConnectedComponents scaladoc: O(log d) rounds, run to
+    // fixpoint with the label-sum audit). The fixpoint labeling — every
+    // node mapped to its component's min id — is algorithm-independent,
+    // so the oracle replays plain unrolled hash-min rounds; 8 rounds
+    // covers the fixture graph's diameter with margin and GraphSpec
+    // pins the Spark side's convergence and the jump-vs-plain round
+    // advantage.
+    "graph_cc" -> ((s, dir) =>
+      graft.operators.ConnectedComponents.run(supplyEdges(s, dir))
+        .orderBy("node")),
+
     // 3-hop multi-source BFS over the bipartite supply graph from
     // suppliers 1..5 — frontier form, so per-round work is the frontier
     // expansion, not the whole distance table (Bfs scaladoc). Hop
@@ -139,6 +151,35 @@ object GraphQueries {
        |$roundCtes
        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
        |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled plain hash-min rounds over the supply graph — valid as the
+    * [[graft.operators.ConnectedComponents]] oracle because the FIXPOINT
+    * labeling (node → component min id) is the same whatever schedule
+    * reaches it; `rounds` must cover the fixture graph's min-label
+    * propagation depth (checked empirically at both gate scales, with
+    * the Spark side's own convergence audit as the belt).
+    */
+  private def ccSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT d, min(lbl) AS lbl FROM (
+         |  SELECT d, lbl FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT e.src AS d, l.lbl FROM edges e JOIN l${i - 1} l ON l.d = e.dst
+         |) GROUP BY d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT sup AS src, prt AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst FROM pairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS d, src AS lbl FROM edges
+       |),
+       |$roundCtes
+       |SELECT d AS node, lbl AS comp FROM l$rounds ORDER BY node""".stripMargin
   }
 
   /** Unrolled frontier rounds — round i discovers the distinct
@@ -218,6 +259,8 @@ object GraphQueries {
     }.mkString(",\n")
     Map(
       "graph_kcore" -> kcoreSql(k = 3, rounds = 3),
+
+      "graph_cc" -> ccSql(rounds = 8),
 
       "graph_bfs" -> bfsSql(rounds = 3),
 

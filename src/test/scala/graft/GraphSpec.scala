@@ -232,6 +232,46 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("cc: pointer jumping equals plain hash-min fixpoint, in fewer rounds") {
+    import spark.implicits._
+    // chain graph of diameter 40: worst case for hash-min (40 rounds),
+    // log-ish for the jump form
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (jumped, jumpRounds) =
+      graft.operators.ConnectedComponents.runWithRounds(chain)
+    val labels = jumped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 41 && labels.values.forall(_ == 0L),
+      "single 41-node chain must collapse to component 0")
+    // plain hash-min on the same chain: needs the full diameter
+    val plainRounds = {
+      val pairs = chain.select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      var r = 0
+      var done = false
+      while (!done && r < 64) {
+        r += 1
+        val lbl = graft.operators.Dedup.connectedComponents(pairs, iters = r)
+        done = lbl.agg(sum(col("lbl"))).head().getLong(0) == 0L
+      }
+      r
+    }
+    assert(jumpRounds < plainRounds,
+      s"jump took $jumpRounds rounds, plain hash-min $plainRounds — no speedup")
+    assert(jumpRounds <= 8, s"jump rounds $jumpRounds not logarithmic in 40")
+  }
+
+  test("graph_cc on the fixture equals the converged plain hash-min labeling") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("doc_a"),
+        (lit(100000L) + col("l_partkey")).as("doc_b"))
+      .distinct()
+    val plain = graft.operators.Dedup.connectedComponentsConverged(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val jumped = graft.operators.ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jumped == plain, "pointer-jump CC != converged hash-min CC")
+  }
+
   test("triangle counts on the fixture graph: total divisible by 3") {
     val e = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
