@@ -74,6 +74,17 @@ object AnalyticQueries {
           rnd(col("freq").cast("double") / col("n_total"), 6).as("share"))
         .orderBy("user_id")),
 
+    // ---- Count-Min sketch point-frequency estimates next to the exact
+    // counts (CountMin scaladoc: fixed Depth×512 grid, deterministic
+    // universal hashes → both engines build the identical sketch, so
+    // collisions and all, this row sits under the exact hash gate).
+    // est_cnt ≥ exact_cnt always; the gap IS the key's sketch collision
+    // mass, visible per key.
+    "q_heavy_hitters_cms" -> ((s, dir) =>
+      graft.operators.CountMin
+        .estimates(Tables.events(s, dir), "user_id", w = 512)
+        .orderBy("user_id")),
+
     // ---- exact mode per group with a DETERMINISTIC tie-break (the
     // built-in mode() is tie-arbitrary in both engines, so it can never
     // sit under a hash gate): count per (group, value), then
@@ -528,6 +539,31 @@ object AnalyticQueries {
          |GROUP BY user_id, n.n_total
          |HAVING count(*) * 150 > n.n_total
          |ORDER BY user_id""".stripMargin,
+
+    "q_heavy_hitters_cms" -> {
+      import graft.operators.{CountMin, Dedup}
+      val w = 512
+      val pos = CountMin.positionSql("hm", w)
+      val cmsCtes = pos.zipWithIndex.map { case (p, j) =>
+        s"cms$j AS MATERIALIZED (SELECT $p AS pos, count(*) AS c FROM rows GROUP BY 1)"
+      }.mkString(",\n")
+      val joins = pos.zipWithIndex.map { case (p, j) =>
+        s"JOIN cms$j c$j ON c$j.pos = ${p.replace("hm", "k.hm")}"
+      }.mkString("\n  ")
+      val ls = (0 until CountMin.Depth).map(j => s"c$j.c").mkString(", ")
+      s"""WITH rows AS (
+         |  SELECT user_id % ${Dedup.MinhashP} AS hm FROM events
+         |  WHERE user_id IS NOT NULL
+         |),
+         |$cmsCtes,
+         |k AS (SELECT user_id, user_id % ${Dedup.MinhashP} AS hm,
+         |    count(*) AS exact_cnt
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         |SELECT k.user_id, k.exact_cnt, least($ls) AS est_cnt
+         |FROM k
+         |  $joins
+         |ORDER BY k.user_id""".stripMargin
+    },
 
     "q_mode" ->
       """WITH c AS (

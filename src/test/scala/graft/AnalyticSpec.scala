@@ -192,4 +192,31 @@ class AnalyticSpec extends SparkSpec {
     assert(got == want, s"got ${got.keySet} want ${want.keySet}")
     assert(got.contains(1L) && got.contains(2L))
   }
+
+  test("count-min: one-sided bound, per-row mass conservation, exact counts") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val n = events.where(col("user_id").isNotNull).count()
+    // each sketch row must hold the full stream mass (every input row
+    // lands in exactly one cell per row)
+    val rowMass = graft.operators.CountMin.sketch(events, "user_id", w = 512)
+      .groupBy("j").agg(sum(col("c")).as("mass")).collect()
+    assert(rowMass.length == graft.operators.CountMin.Depth)
+    rowMass.foreach(r =>
+      assert(r.getLong(1) == n, s"row ${r.getInt(0)} mass ${r.getLong(1)} != $n"))
+    // estimates never undercount, and equal exact when no collision
+    val est = graft.operators.CountMin.estimates(events, "user_id", w = 512)
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"key ${r.get(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)} — " +
+          "CMS must never undercount")
+    }
+    // exact side agrees with a plain groupBy
+    val plain = events.where(col("user_id").isNotNull)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.map(r => r.getLong(0) -> r.getLong(1)).toMap == plain)
+  }
 }
