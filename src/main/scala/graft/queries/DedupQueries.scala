@@ -153,6 +153,35 @@ object DedupQueries {
           rnd(col("cont"), 6).as("containment"))
         .orderBy("doc_a", "doc_b")),
 
+    // record linkage: blocked Jaro-Winkler over part names — the
+    // classic entity-resolution metric (prefix-weighted, transposition-
+    // tolerant) Spark ships no function for; graft_jaro_winkler is a
+    // codegen'd kernel replicated bit-exactly against DuckDB's
+    // jaro_winkler_similarity (JaroWinklerKernel scaladoc). Blocking on
+    // (brand, first name word) keeps the pair space Σ block² — never
+    // corpus² — at every scale; output is the per-entity link profile
+    // (link count + best match), which stays |entities|-bounded where
+    // the raw pair list would explode at crawl scale.
+    "dedup_record_linkage" -> ((s, dir) => {
+      import graft.functions.JaroWinklerKernel.jaroWinkler
+      val p = Tables.part(s, dir).select(col("p_partkey").as("k"),
+        col("p_name").as("n"), col("p_brand").as("b"),
+        split(col("p_name"), " ").getItem(0).as("w"))
+      val lhs = p.select(col("k").as("ka"), col("n").as("na"), col("b"), col("w"))
+      val rhs = p.select(col("k").as("kb"), col("n").as("nb"), col("b"), col("w"))
+      val pr = lhs.join(rhs, Seq("b", "w")).where(col("ka") < col("kb"))
+        .select(col("ka"), col("kb"), jaroWinkler(col("na"), col("nb")).as("jw"))
+        .where(col("jw") >= 0.88)
+        .select(col("ka"), col("kb"), rnd(col("jw"), 6).as("jw6"))
+      pr.unionAll(pr.select(col("kb").as("ka"), col("ka").as("kb"), col("jw6")))
+        .groupBy(col("ka"))
+        .agg(count(lit(1)).as("n_links"),
+          max(struct(col("jw6"), col("kb"))).as("m"))
+        .select(col("ka").as("part_a"), col("n_links"),
+          col("m.jw6").as("best_jw"), col("m.kb").as("best_partner"))
+        .orderBy("part_a")
+    }),
+
     // edit-distance fuzzy-neighbor profile: a 2% hash-sampled probe set,
     // blocked on (lang, length-bucket), levenshtein over 32-char
     // prefixes; per probe doc emit its candidate count, closest distance
@@ -434,6 +463,31 @@ object DedupQueries {
          |FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
          |ORDER BY h.doc_id""".stripMargin
     },
+
+    "dedup_record_linkage" ->
+      s"""WITH p AS (
+         |  SELECT p_partkey AS k, p_name AS n, p_brand AS b,
+         |    split_part(p_name, ' ', 1) AS w
+         |  FROM part
+         |), pr AS MATERIALIZED (
+         |  SELECT a.k AS ka, b.k AS kb,
+         |    ${rndSql("jaro_winkler_similarity(a.n, b.n)", 6)} AS jw6
+         |  FROM p a JOIN p b ON a.b = b.b AND a.w = b.w AND a.k < b.k
+         |  WHERE jaro_winkler_similarity(a.n, b.n) >= 0.88
+         |), und AS (
+         |  SELECT ka, kb, jw6 FROM pr
+         |  UNION ALL SELECT kb AS ka, ka AS kb, jw6 FROM pr
+         |), g AS (
+         |  SELECT ka, count(*) AS n_links FROM und GROUP BY ka
+         |), best AS (
+         |  SELECT ka, jw6, kb,
+         |    row_number() OVER (PARTITION BY ka ORDER BY jw6 DESC, kb DESC) AS rk
+         |  FROM und
+         |)
+         |SELECT g.ka AS part_a, g.n_links, b.jw6 AS best_jw,
+         |  b.kb AS best_partner
+         |FROM g JOIN best b ON b.ka = g.ka AND b.rk = 1
+         |ORDER BY part_a""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(lower(text)) AS h

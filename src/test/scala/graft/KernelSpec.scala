@@ -92,6 +92,39 @@ class KernelSpec extends SparkSpec {
     assert(df.where(col("got") =!= col("want")).count() == 0)
   }
 
+  test("jaro-winkler: DuckDB-pinned values, boost threshold, null/empty edges") {
+    import spark.implicits._
+    import graft.functions.JaroWinklerKernel.jaroWinkler
+    // expected doubles are DuckDB jaro_winkler_similarity outputs,
+    // pinned to the exact bits (the cross-engine contract the linkage
+    // oracle depends on)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // classic: boost, t=1
+      ("DIXON", "DICKSONX", 0.8133333333333332),  // prefix 2, uneven lengths
+      ("abcdexxxxx", "abcdeyyyyy", 0.6666666666666666), // jaro < 0.7: NO boost
+      ("abcd", "abcdzzzzzzzz", 0.8666666666666666), // prefix capped at 4
+      ("CRATE", "TRACE", 0.7333333333333334),     // boost region, prefix 0
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),                        // m = 0
+      ("a", "", 0.0), ("", "", 0.0)               // DuckDB's empty = 0 rule
+    )
+    val df = cases.toDF("a", "b", "want")
+      .withColumn("got", jaroWinkler(col("a"), col("b")))
+    val bad = df.where(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, s"bit-exact pin failed: ${bad.mkString(";")}")
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b")).as("jw")).head()
+    assert(n.isNullAt(0), "null input must yield null")
+    // symmetric
+    assert(graft.functions.JaroWinklerKernel
+      .similarity(org.apache.spark.unsafe.types.UTF8String.fromString("DIXON"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("DICKSONX")) ==
+      graft.functions.JaroWinklerKernel
+        .similarity(org.apache.spark.unsafe.types.UTF8String.fromString("DICKSONX"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("DIXON")))
+  }
+
   test("the kernel runs inside whole-stage codegen") {
     val df = Dedup.minhashSignatureFast(Tables.documents(spark, sf), 8, 12)
     df.collect() // finalize the adaptive plan so codegen markers appear
