@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan et al.,
+  * 2007) with DETERMINISTIC semantics: every node starts in its own
+  * community; each round every node adopts the label carried by the
+  * PLURALITY of its neighbors, ties broken to the smallest label.
+  * Classic LPA breaks ties randomly and is therefore unreproducible —
+  * the deterministic tie-break is what lets the oracle replay the
+  * identical rounds as unrolled CTEs (and what makes reruns/retries
+  * idempotent on a cluster, where a nondeterministic operator breaks
+  * Spark's task-retry model).
+  *
+  * Round count is FIXED (not run-to-convergence): synchronous LPA can
+  * two-cycle on bipartite structures — a fixpoint is not guaranteed to
+  * exist, so "iterate until stable" is not a well-defined operator.
+  * Fixed rounds + deterministic ties give a total, schedule-independent
+  * semantics at any scale.
+  *
+  * Scale shape: each round is one O(|E|) equi-join + two map-side-
+  * combined aggregates ((node, label) counts, then the per-node argmax
+  * via min(struct(-count, label))); the label table is O(|V|) and
+  * per-round localCheckpoint keeps planning flat, same as the other
+  * iterative operators.
+  */
+object LabelProp {
+
+  /** (node, community) after `rounds` synchronous rounds over the
+    * symmetrized `edges` (src, dst). */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .cache()
+    var labels = e.select(col("u").as("d")).distinct()
+      .withColumn("lbl", col("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("v") === labels("d"))
+        .groupBy(e("u").as("d"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("d"))
+        .agg(min(struct((col("c") * lit(-1L)).as("nc"), col("lbl"))).as("m"))
+        .select(col("d"), col("m.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = true)
+    labels.select(col("d").as("node"), col("lbl").as("community"))
+  }
+}

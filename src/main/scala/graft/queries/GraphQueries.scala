@@ -88,6 +88,15 @@ object GraphQueries {
       graft.operators.ConnectedComponents.run(supplyEdges(s, dir))
         .orderBy("node")),
 
+    // 3-round deterministic label-propagation communities over the
+    // supply graph (LabelProp scaladoc: plurality label, ties to the
+    // smallest — fixed rounds because synchronous LPA has no guaranteed
+    // fixpoint). The oracle replays the identical rounds; the argmax is
+    // integer-exact on both engines.
+    "graph_label_prop" -> ((s, dir) =>
+      graft.operators.LabelProp.run(supplyEdges(s, dir), rounds = 3)
+        .orderBy("node")),
+
     // 3-hop multi-source BFS over the bipartite supply graph from
     // suppliers 1..5 — frontier form, so per-round work is the frontier
     // expansion, not the whole distance table (Bfs scaladoc). Hop
@@ -182,6 +191,33 @@ object GraphQueries {
        |SELECT d AS node, lbl AS comp FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** Unrolled synchronous LPA rounds — per round: (node, neighbor-label)
+    * counts, then the plurality label with ties to the smallest, exactly
+    * [[graft.operators.LabelProp]]'s min(struct(−count, label)).
+    */
+  private def lpaSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT e.src AS d, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON l.d = e.dst GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT d, lbl FROM (
+         |  SELECT d, lbl,
+         |    row_number() OVER (PARTITION BY d ORDER BY c DESC, lbl ASC) AS rk
+         |  FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT sup AS src, prt AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst FROM pairs
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS d, src AS lbl FROM edges
+       |),
+       |$roundCtes
+       |SELECT d AS node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** Unrolled frontier rounds — round i discovers the distinct
     * neighbors of the dist = i−1 frontier that are not yet visited,
     * exactly the Spark loop's semantics.
@@ -261,6 +297,8 @@ object GraphQueries {
       "graph_kcore" -> kcoreSql(k = 3, rounds = 3),
 
       "graph_cc" -> ccSql(rounds = 8),
+
+      "graph_label_prop" -> lpaSql(rounds = 3),
 
       "graph_bfs" -> bfsSql(rounds = 3),
 

@@ -272,6 +272,20 @@ class GraphSpec extends SparkSpec {
     assert(jumped == plain, "pointer-jump CC != converged hash-min CC")
   }
 
+  test("label propagation: plurality wins, ties go to the smallest label") {
+    import spark.implicits._
+    // barbell: triangles {1,2,3} and {4,5,6} bridged by 3-4. Hand replay
+    // of 3 deterministic rounds: r1 (all counts tie → min neighbor)
+    // 1→2,2→1,3→1,4→3,5→4,6→4; r2 1→1,2→1,3→1,4→4,5→3,6→3; r3 settles
+    // each triangle on one community: {1,2,3}→1, {4,5,6}→3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.LabelProp.run(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+    assert(got == want, s"got $got want $want")
+  }
+
   test("triangle counts on the fixture graph: total divisible by 3") {
     val e = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
