@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic HyperLogLog register table — the mergeable
+  * distinct-count sketch with an EXACT cross-engine gate.
+  *
+  * `q_rolling_actives_hll` uses Spark's datasketches HLL, whose binary
+  * has no cross-engine twin, so its gate pins an error-bound boolean.
+  * This sketch is the same structure built from first principles on the
+  * md5-derived 60-bit hash: register = h mod 2^p, rank = leading-zero
+  * count of the remaining 52 bits + 1 — computed via `length(bin(x))`
+  * (integer string ops, identical in Spark and DuckDB), so the whole
+  * register table hash-gates exactly and the estimate is a pure driver
+  * fold over it ([[estimate]], spec-pinned against the exact count).
+  *
+  * Scale shape: the register table is ≤ 2^p rows whatever the input
+  * volume, built by one map-side-combined max-aggregate — and register
+  * MAX is associative/commutative, so per-partition sketches merge
+  * without error: the distributed-distinct structure you keep per
+  * segment/day and union at query time (union = elementwise max,
+  * pinned in AnalyticSpec).
+  */
+object DistinctSketch {
+
+  /** Register count exponent: 2^8 = 256 registers. */
+  val P = 8
+  val Registers: Int = 1 << P
+
+  /** 52-bit suffix width (60-bit md5 hash minus the 8 register bits);
+    * rank = 53 − length(bin(suffix)), suffix 0 → 53. */
+  val MaxRank = 53
+
+  /** 60-bit deterministic hash of a key column (same md5 idiom as the
+    * shingle hashes — first 15 hex digits). */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** (reg, max_rank) register table of the key column; absent registers
+    * (no key hashed there) are absent rows — identically on both
+    * engines. */
+  def registers(rows: DataFrame, keyCol: String): DataFrame = {
+    val h = hash60(col(keyCol))
+    rows.where(col(keyCol).isNotNull)
+      // reg/suffix split via pure integer ops: Column `/` is DOUBLE
+      // division and a 60-bit hash rounds above 2^53 — shiftright is
+      // the exact `h DIV 2^p` (h is non-negative by construction)
+      .select(pmod(h, lit(Registers.toLong)).as("reg"),
+        shiftright(h, P).as("sfx"))
+      .select(col("reg"),
+        when(col("sfx") === 0, lit(MaxRank))
+          .otherwise(lit(MaxRank) - length(bin(col("sfx"))))
+          .cast("long").as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Standard HLL estimate (with the linear-counting small-range
+    * correction) from a collected register table — driver-side, for
+    * spec pins and interactive use; the distributed artifact is the
+    * register table itself. */
+  def estimate(regs: Map[Long, Long]): Double = {
+    val m = Registers.toDouble
+    val sum = (0 until Registers).map { r =>
+      math.pow(2.0, -regs.getOrElse(r.toLong, 0L).toDouble)
+    }.sum
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    val zeros = Registers - regs.size
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+}

@@ -244,6 +244,17 @@ object PipelineQueries {
             lit(0.15) * col("n_exact").cast("double")).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // ---- deterministic HLL register table (DistinctSketch scaladoc):
+    // unlike q_approx_distinct's opaque datasketches binary, this
+    // sketch's registers are integer string ops identical in both
+    // engines, so the ENTIRE sketch hash-gates exactly — the mergeable
+    // distinct-count structure you keep per segment at 100 TB
+    // (AnalyticSpec pins merge-by-max and the estimate's accuracy).
+    "q_distinct_sketch" -> ((s, dir) =>
+      graft.operators.DistinctSketch
+        .registers(Tables.events(s, dir), "user_id")
+        .orderBy("reg")),
+
     // ---- approx-quantile sketch pin: within 1% relative of the exact
     // interpolated median
     "q_approx_quantile" -> ((s, dir) =>
@@ -399,6 +410,21 @@ object PipelineQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_distinct_sketch" -> {
+      import graft.operators.DistinctSketch.{MaxRank, Registers}
+      s"""WITH h AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) AS h60
+         |  FROM events WHERE user_id IS NOT NULL
+         |), r AS (
+         |  SELECT h60 % $Registers AS reg, h60 // $Registers AS sfx FROM h
+         |)
+         |SELECT reg,
+         |  max(CAST(CASE WHEN sfx = 0 THEN $MaxRank
+         |      ELSE $MaxRank - length(bin(sfx)) END AS BIGINT)) AS max_rank
+         |FROM r GROUP BY reg ORDER BY reg""".stripMargin
+    },
 
     "q_approx_quantile" ->
       s"""SELECT l_returnflag,

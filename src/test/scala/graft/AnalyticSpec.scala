@@ -219,4 +219,29 @@ class AnalyticSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est.map(r => r.getLong(0) -> r.getLong(1)).toMap == plain)
   }
+
+  test("distinct sketch: registers merge by max, estimate tracks exact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DistinctSketch
+    val events = Tables.events(spark, sf).where(col("user_id").isNotNull)
+    def regMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      DistinctSketch.registers(df, "user_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = regMap(events)
+    assert(whole.values.forall(r => r >= 1 && r <= DistinctSketch.MaxRank))
+    // mergeability: sketch(A ∪ B) = elementwise max of sketch(A), sketch(B)
+    // — the property that lets per-partition/per-day sketches union
+    // without error at any scale
+    val a = regMap(events.where(col("event_id") % 2 === 0))
+    val b = regMap(events.where(col("event_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map { k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole, "split-and-merge sketch != whole-input sketch")
+    // the driver-side estimate lands near the exact distinct count
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    val est = DistinctSketch.estimate(whole)
+    assert(math.abs(est - exact) <= 0.15 * exact,
+      s"estimate $est vs exact $exact drifted beyond 15%")
+  }
 }
