@@ -72,7 +72,14 @@ object PlanAudit {
     "q_unpivot",
     // round 10: the registered 100-TB sweep path — per-bucket
     // partitioned window + broadcast offsets, no global funnel
-    "q_concurrency_sweep")
+    "q_concurrency_sweep",
+    // round 10 continuation: bloom prefilter (broadcast 1-row bits +
+    // narrow probe BEFORE the join exchange), CMS (narrow explode into
+    // map-side-combined grid, then broadcast grid joins), register
+    // sketch (one map-side-combined max-aggregate), blocked
+    // Jaro-Winkler linkage (block-keyed self-join, codegen'd kernel)
+    "q_join_bloom_reduce", "q_heavy_hitters_cms", "q_distinct_sketch",
+    "dedup_record_linkage")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
