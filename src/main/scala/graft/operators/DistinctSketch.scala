@@ -37,23 +37,27 @@ object DistinctSketch {
   def hash60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Register index of a key. reg/suffix splits use pure integer ops:
+    * Column `/` is DOUBLE division and a 60-bit hash rounds above 2^53 —
+    * pmod/shiftright are the exact mod/div (hash60 is non-negative). */
+  def regCol(key: Column): Column =
+    pmod(hash60(key), lit(Registers.toLong))
+
+  /** Leading-zero rank of a key's 52-bit suffix (1..MaxRank). */
+  def rankCol(key: Column): Column = {
+    val sfx = shiftright(hash60(key), P)
+    when(sfx === 0, lit(MaxRank))
+      .otherwise(lit(MaxRank) - length(bin(sfx)))
+      .cast("long")
+  }
+
   /** (reg, max_rank) register table of the key column; absent registers
     * (no key hashed there) are absent rows — identically on both
     * engines. */
-  def registers(rows: DataFrame, keyCol: String): DataFrame = {
-    val h = hash60(col(keyCol))
+  def registers(rows: DataFrame, keyCol: String): DataFrame =
     rows.where(col(keyCol).isNotNull)
-      // reg/suffix split via pure integer ops: Column `/` is DOUBLE
-      // division and a 60-bit hash rounds above 2^53 — shiftright is
-      // the exact `h DIV 2^p` (h is non-negative by construction)
-      .select(pmod(h, lit(Registers.toLong)).as("reg"),
-        shiftright(h, P).as("sfx"))
-      .select(col("reg"),
-        when(col("sfx") === 0, lit(MaxRank))
-          .otherwise(lit(MaxRank) - length(bin(col("sfx"))))
-          .cast("long").as("rank"))
+      .select(regCol(col(keyCol)).as("reg"), rankCol(col(keyCol)).as("rank"))
       .groupBy(col("reg")).agg(max(col("rank")).as("max_rank"))
-  }
 
   /** Standard HLL estimate (with the linear-counting small-range
     * correction) from a collected register table — driver-side, for

@@ -157,6 +157,7 @@ object StreamingQueries {
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
 
   private val totalsRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val sketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def runToParquet(df: DataFrame, statePartitions: Int = 0,
       stagedSrc: Option[String] = None,
@@ -263,6 +264,30 @@ object StreamingQueries {
       } finally deleteNow(tmp)
     }),
 
+    // streaming distinct-count sketch — the eighth streaming shape:
+    // the register table as keyed state (EventStream.registerSketch;
+    // one long per register, ≤ 256 state entries at ANY stream volume,
+    // where dropDuplicates-then-count state grows with the true
+    // cardinality). Register max is associative and arrival-order-free,
+    // so the drained state equals the batch sketch exactly and the
+    // oracle is q_distinct_sketch's SQL verbatim. Update mode → memory
+    // sink like stream_totals_sink; max_rank is non-decreasing per reg
+    // across updates, so the final state is the per-reg max.
+    "stream_sketch_sink" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream_skc", deferred = false)
+      stageCopies(tmp, dir, Seq("a"))
+      try {
+        val name = s"graft_sketch_${sketchRuns.incrementAndGet()}"
+        val sink = EventStream.runToMemory(s,
+          EventStream.registerSketch(
+            EventStream.readEvents(s, tmp.toString)).toDF(),
+          name, OutputMode.Update())
+        sink.groupBy(col("reg"))
+          .agg(max(col("max_rank")).as("max_rank"))
+          .orderBy("reg")
+      } finally deleteNow(tmp)
+    }),
+
     // stream-STATIC enrichment through the file sink — the sixth
     // streaming shape and the most common production one: every event
     // picks up its user's dimension row, the static side broadcast per
@@ -358,6 +383,22 @@ object StreamingQueries {
         |FROM c JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
+
+    // the drained register state equals the batch sketch verbatim
+    "stream_sketch_sink" -> {
+      import graft.operators.DistinctSketch.{MaxRank, Registers}
+      s"""WITH h AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) AS h60
+         |  FROM events WHERE user_id IS NOT NULL
+         |), r AS (
+         |  SELECT h60 % $Registers AS reg, h60 // $Registers AS sfx FROM h
+         |)
+         |SELECT reg,
+         |  max(CAST(CASE WHEN sfx = 0 THEN $MaxRank
+         |      ELSE $MaxRank - length(bin(sfx)) END AS BIGINT)) AS max_rank
+         |FROM r GROUP BY reg ORDER BY reg""".stripMargin
+    },
 
     // the final state per event_type equals the batch aggregate
     "stream_totals_sink" ->

@@ -133,6 +133,35 @@ object EventStream {
       }
   }
 
+  final case class RegState(maxRank: Long)
+  final case class RegRank(reg: Long, max_rank: Long)
+
+  /** Streaming distinct-count sketch: the [[graft.operators.DistinctSketch]]
+    * register table as keyed streaming state (mapGroupsWithState,
+    * update-mode). State is ONE long per register — ≤ 2^p entries total
+    * whatever the stream volume — where a streaming `dropDuplicates` on
+    * the raw key would grow state with the true cardinality. Register
+    * max is associative and insensitive to arrival order/batch splits,
+    * so the final state equals the batch sketch exactly and the oracle
+    * replays the same SQL as q_distinct_sketch.
+    */
+  def registerSketch(events: DataFrame): Dataset[RegRank] = {
+    import events.sparkSession.implicits._
+    import graft.operators.DistinctSketch
+    events.where(col("user_id").isNotNull)
+      .select(DistinctSketch.regCol(col("user_id")).as("reg"),
+        DistinctSketch.rankCol(col("user_id")).as("rank"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (reg: Long, rows: Iterator[(Long, Long)], state: GroupState[RegState]) =>
+          var mx = state.getOption.map(_.maxRank).getOrElse(0L)
+          rows.foreach(r => if (r._2 > mx) mx = r._2)
+          state.update(RegState(mx))
+          RegRank(reg, mx)
+      }
+  }
+
   /** Stream-STREAM inner join with event-time bounds: each click joins
     * purchases by the same user within the hour BEFORE the click
     * (`c_ts - 1h <= p_ts <= c_ts`). Both sides carry watermarks and the
