@@ -166,8 +166,11 @@ object GraphQueries {
     * [[graft.operators.ConnectedComponents]] oracle because the FIXPOINT
     * labeling (node → component min id) is the same whatever schedule
     * reaches it; `rounds` must cover the fixture graph's min-label
-    * propagation depth (checked empirically at both gate scales, with
-    * the Spark side's own convergence audit as the belt).
+    * propagation depth. Measured: fixpoint in 4 rounds at BOTH sf0.01
+    * and sf0.1 (the derived sf1.0 is 10 disjoint key-shifted copies of
+    * the sf0.1 graph, so per-copy depth is identical) — rounds = 8 is a
+    * 2× margin, and a depth overrun fails the gate LOUDLY as a hash
+    * mismatch, never silently.
     */
   private def ccSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
