@@ -47,8 +47,12 @@ object ConnectedComponents {
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .cache()
-    var labels = e.select(col("u").as("d")).distinct()
-      .withColumn("lbl", col("d"))
+    // label init FUSED with the first neighbor-min round: starting from
+    // lbl(u) = u, round one computes min(u, min N(u)) — exactly this
+    // aggregate, at the cost of the node-list distinct it replaces
+    // (one O(|E|) job saved; the fixpoint is round-schedule-free)
+    var labels = e.select(col("u").as("d"), least(col("u"), col("v")).as("lbl"))
+      .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)

@@ -33,10 +33,18 @@ object LabelProp {
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .cache()
-    var labels = e.select(col("u").as("d")).distinct()
-      .withColumn("lbl", col("d"))
+    // round 1 FUSED with init: under identity labels (lbl(v) = v) the
+    // neighbor-label counts are just the (u, v) edge multiplicities, so
+    // the O(|E|) label join is a no-op — two aggregates replace
+    // distinct-init + join + two aggregates (exact for multigraphs too:
+    // the count runs over the raw edge multiset)
+    var labels = e.groupBy(col("u").as("d"), col("v").as("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("d"))
+      .agg(min(struct((col("c") * lit(-1L)).as("nc"), col("lbl"))).as("m"))
+      .select(col("d"), col("m.lbl").as("lbl"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (_ <- 2 to rounds) {
       labels = e.join(labels, e("v") === labels("d"))
         .groupBy(e("u").as("d"), col("lbl"))
         .agg(count(lit(1)).as("c"))
