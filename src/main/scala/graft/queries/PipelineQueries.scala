@@ -255,6 +255,30 @@ object PipelineQueries {
         .registers(Tables.events(s, dir), "user_id")
         .orderBy("reg")),
 
+    // ---- KMV set algebra (KmvSketch scaladoc): per-event-type user
+    // sketches via the bounded-heap TopKPerGroup exec, then pairwise
+    // union/intersection estimates from the k-min arrays alone — the
+    // composable distinct sketch (segment-overlap analysis with no
+    // re-scan). Deterministic order statistics ⇒ exact hash gate.
+    "q_kmv_overlap" -> ((s, dir) => {
+      import graft.operators.KmvSketch
+      val sk = KmvSketch.sketches(Tables.events(s, dir), "event_type", "user_id")
+      val a = sk.select(col("grp").as("type_a"), col("ks").as("ksa"))
+      val b = sk.select(col("grp").as("type_b"), col("ks").as("ksb"))
+      val ea = KmvSketch.estimate(col("ksa"))
+      val eb = KmvSketch.estimate(col("ksb"))
+      val eu = KmvSketch.estimate(KmvSketch.unionKs(col("ksa"), col("ksb")))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          ea.as("ra"), eb.as("rb"), eu.as("ru"))
+        .select(col("type_a"), col("type_b"),
+          rnd(col("ra"), 2).as("est_a"), rnd(col("rb"), 2).as("est_b"),
+          rnd(col("ru"), 2).as("est_union"),
+          rnd(greatest(lit(0.0), col("ra") + col("rb") - col("ru")), 2)
+            .as("est_inter"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ---- approx-quantile sketch pin: within 1% relative of the exact
     // interpolated median
     "q_approx_quantile" -> ((s, dir) =>
@@ -424,6 +448,46 @@ object PipelineQueries {
          |  max(CAST(CASE WHEN sfx = 0 THEN $MaxRank
          |      ELSE $MaxRank - length(bin(sfx)) END AS BIGINT)) AS max_rank
          |FROM r GROUP BY reg ORDER BY reg""".stripMargin
+    },
+
+    "q_kmv_overlap" -> {
+      import graft.operators.KmvSketch.{K, Scale}
+      def est(n: String, k64: String) =
+        s"CASE WHEN $n < $K THEN CAST($n AS DOUBLE) ELSE $Scale / CAST($k64 AS DOUBLE) END"
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type AS grp,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM events WHERE user_id IS NOT NULL
+         |), r AS (
+         |  SELECT grp, h,
+         |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d
+         |), sk AS MATERIALIZED (SELECT grp, h FROM r WHERE rk <= $K),
+         |g AS MATERIALIZED (
+         |  SELECT grp, count(*) AS n, max(h) AS k64 FROM sk GROUP BY grp
+         |), pairs AS (
+         |  SELECT a.grp AS ta, b.grp AS tb FROM g a JOIN g b ON a.grp < b.grp
+         |), ud AS (
+         |  SELECT DISTINCT p.ta, p.tb, s.h
+         |  FROM pairs p JOIN sk s ON s.grp = p.ta OR s.grp = p.tb
+         |), ur AS (
+         |  SELECT ta, tb, h,
+         |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk FROM ud
+         |), u AS (
+         |  SELECT ta, tb, count(*) AS un, max(h) AS k64u
+         |  FROM ur WHERE rk <= $K GROUP BY 1, 2
+         |), e AS (
+         |  SELECT u.ta, u.tb,
+         |    ${est("ga.n", "ga.k64")} AS ra,
+         |    ${est("gb.n", "gb.k64")} AS rb,
+         |    ${est("u.un", "u.k64u")} AS ru
+         |  FROM u JOIN g ga ON ga.grp = u.ta JOIN g gb ON gb.grp = u.tb
+         |)
+         |SELECT ta AS type_a, tb AS type_b,
+         |  ${rndSql("ra", 2)} AS est_a, ${rndSql("rb", 2)} AS est_b,
+         |  ${rndSql("ru", 2)} AS est_union,
+         |  ${rndSql("greatest(0.0, ra + rb - ru)", 2)} AS est_inter
+         |FROM e ORDER BY type_a, type_b""".stripMargin
     },
 
     "q_approx_quantile" ->

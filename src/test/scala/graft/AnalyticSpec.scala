@@ -244,4 +244,36 @@ class AnalyticSpec extends SparkSpec {
     assert(math.abs(est - exact) <= 0.15 * exact,
       s"estimate $est vs exact $exact drifted beyond 15%")
   }
+
+  test("kmv: union sketch = sketch of union; estimates track exact overlaps") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.KmvSketch
+    val events = Tables.events(spark, sf).where(col("user_id").isNotNull)
+    val sk = KmvSketch.sketches(events, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sk.nonEmpty && sk.values.forall(ks =>
+      ks.length <= KmvSketch.K && ks == ks.sorted && ks.distinct == ks))
+    // union property: k-min of (A ∪ B) == k-min of merged sketches —
+    // the composability that makes KMV the set-algebra sketch
+    val types = sk.keySet.toSeq.sorted
+    for (ta <- types; tb <- types if ta < tb) {
+      val direct = KmvSketch.sketches(
+        events.where(col("event_type").isin(ta, tb))
+          .withColumn("one", lit("u")), "one", "user_id")
+        .collect().head.getSeq[Long](1)
+      val merged = (sk(ta) ++ sk(tb)).distinct.sorted.take(KmvSketch.K)
+      assert(merged == direct.toSeq, s"union sketch mismatch for ($ta,$tb)")
+      // inclusion-exclusion estimate vs the exact overlap
+      def estOf(ks: Seq[Long]): Double =
+        if (ks.length < KmvSketch.K) ks.length.toDouble
+        else KmvSketch.Scale / ks(KmvSketch.K - 1).toDouble
+      val exactInter = events.where(col("event_type") === ta)
+        .select("user_id").intersect(
+          events.where(col("event_type") === tb).select("user_id")).count()
+      val estInter = math.max(0.0,
+        estOf(sk(ta)) + estOf(sk(tb)) - estOf(merged))
+      assert(math.abs(estInter - exactInter) <= math.max(20.0, 0.5 * exactInter),
+        s"($ta,$tb): inter estimate $estInter vs exact $exactInter")
+    }
+  }
 }
