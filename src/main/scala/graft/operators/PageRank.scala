@@ -77,6 +77,47 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
+    * (node column) — rank measures relevance RELATIVE to the seed set
+    * (the recommendation/local-similarity primitive), not global
+    * importance. Same integer fixed-point arithmetic and scale shape as
+    * [[run]]; the seed flag rides the rank frame through iterations
+    * (one seed join at init, never re-joined per round). Nodes the
+    * mass hasn't reached carry rank 0.
+    */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      eager: Boolean = true, broadcastRanks: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    var edgesWithDeg = withDegrees(edges)
+    val s = seeds.select(col("node").as("snode"), lit(1L).as("s"))
+    var ranks = initRanks(edges)
+      .join(broadcast(s), col("node") === col("snode"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+      .withColumn("rank", col("s") * lit(1000000L))
+      .select(col("node"), col("rank"), col("s"))
+    if (eager) {
+      edgesWithDeg = edgesWithDeg.localCheckpoint(true)
+      ranks = ranks.localCheckpoint(true)
+    }
+    val doBroadcast = chooseBroadcast(broadcastRanks, eager,
+      ranks.count(), broadcastMaxNodes)
+    for (_ <- 1 to iters) {
+      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
+      val contribs = edgesWithDeg
+        .join(rankSide, edgesWithDeg("src") === rankSide("node"))
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val frame = ranks.select(col("node"), col("s"))
+      ranks = frame.join(contribs, frame("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (col("s") * lit(150000L) +
+            expr("(850 * coalesce(sc, 0L)) DIV 1000")).as("rank"),
+          col("s"))
+      if (eager) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Static per-iteration edge relation: (src, dst, outdeg). */
   private[graft] def withDegrees(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

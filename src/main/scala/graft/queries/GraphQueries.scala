@@ -59,6 +59,22 @@ object GraphQueries {
         .orderBy(col("rank").desc, col("node"))
         .limit(100)),
 
+    // personalized PageRank from suppliers 1..5 — teleport mass lands
+    // only on the seeds, so rank is relevance TO the seed set (the
+    // recommendation primitive), in the same engine-exact integer
+    // arithmetic as graph_pagerank; unreached nodes stay rank 0 and are
+    // filtered. Oracle replays the seeded iterations as unrolled CTEs.
+    "graph_ppr" -> ((s, dir) => {
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.PageRank
+        .runPersonalized(supplyEdges(s, dir), seeds, iters = 3)
+        .where(col("rank") > 0)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    }),
+
     // Per-node triangle participation over the part co-occurrence graph
     // via degree-ordered orientation (see Triangles scaladoc for the
     // O(E^1.5) wedge bound); the oracle replays the orientation-
@@ -350,6 +366,48 @@ object GraphQueries {
           |)
           |SELECT node, count(*) AS n_tri FROM nodes
           |GROUP BY node ORDER BY node""".stripMargin,
+
+      "graph_ppr" -> {
+        val iteratePpr = (1 to 3).map { i =>
+          val prev = s"p${i - 1}"
+          s"""pc$i AS MATERIALIZED (
+             |  SELECT e.dst, sum(r.rank // e.outdeg) AS sc
+             |  FROM ewd e JOIN $prev r ON e.src = r.node
+             |  GROUP BY e.dst
+             |), p$i AS MATERIALIZED (
+             |  SELECT n.node,
+             |    CAST(n.s * 150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT) AS rank,
+             |    n.s
+             |  FROM p0n n LEFT JOIN pc$i c ON n.node = c.dst
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+           |  FROM lineitem
+           |), edges AS (
+           |  SELECT sup AS src, prt AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT prt AS src, sup AS dst FROM pairs
+           |), deg AS (
+           |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+           |), ewd AS MATERIALIZED (
+           |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src
+           |), nodes AS (
+           |  SELECT DISTINCT src AS node FROM edges
+           |  UNION
+           |  SELECT DISTINCT dst AS node FROM edges
+           |), p0n AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CASE WHEN n.node IN (SELECT s_suppkey FROM supplier
+           |      WHERE s_suppkey <= 5) THEN 1 ELSE 0 END AS s
+           |  FROM nodes n
+           |), p0 AS (
+           |  SELECT node, CAST(s * 1000000 AS BIGINT) AS rank, s FROM p0n
+           |),
+           |$iteratePpr
+           |SELECT node, rank FROM p3 WHERE rank > 0
+           |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+      },
 
       "graph_pagerank" ->
         s"""WITH pairs AS (

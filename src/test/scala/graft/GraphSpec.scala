@@ -232,6 +232,37 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("ppr: all-nodes seeding collapses to global pagerank; mass stays within hop reach") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .distinct()
+    val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"))
+      .union(pairs.select(col("prt").as("src"), col("sup").as("dst")))
+    // seeding EVERY node makes the teleport vector uniform — the
+    // personalized recursion then equals global PageRank integer-exactly
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val ppr = graft.operators.PageRank
+      .runPersonalized(edges, allNodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = graft.operators.PageRank.run(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == global, "all-seeded PPR must equal global PageRank")
+    // with a small seed set, positive rank can only sit within
+    // iters hops of a seed (teleport mass propagates one edge per round)
+    val seeds = allNodes.where(col("node") <= 5)
+    val seeded = graft.operators.PageRank
+      .runPersonalized(edges, seeds, iters = 3)
+    val reached = graft.operators.Bfs.run(edges, seeds, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    val positive = seeded.where(col("rank") > 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(positive.nonEmpty && positive.subsetOf(reached),
+      s"rank mass outside the ${3}-hop seed neighborhood: ${positive -- reached}")
+  }
+
   test("cc: pointer jumping equals plain hash-min fixpoint, in fewer rounds") {
     import spark.implicits._
     // chain graph of diameter 40: worst case for hash-min (40 rounds),
