@@ -30,6 +30,8 @@ object LabelProp {
   /** (node, community) after `rounds` synchronous rounds over the
     * symmetrized `edges` (src, dst). */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"LPA needs at least one round, got $rounds" +
+      " (round 1 is fused into the label init)")
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .cache()

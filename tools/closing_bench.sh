@@ -18,10 +18,14 @@ export SPARK_GRAFT_BENCH_MODE=isolated
 colds=(); warms=(); errs=(); nq=0
 for i in $(seq 1 "$N"); do
   line=$(tools/run_main.sh graft.Bench 2>/dev/null | grep '"metric"')
-  colds+=("$(sed -E 's/.*"value":([0-9.]+).*/\1/' <<<"$line")")
-  warms+=("$(sed -E 's/.*"value_warm":([0-9.]+).*/\1/' <<<"$line")")
-  errs+=("$(sed -E 's/.*"n_errors":([0-9]+).*/\1/' <<<"$line")")
-  nq=$(sed -E 's/.*"n_queries":([0-9]+).*/\1/' <<<"$line")
+  # FIRST occurrence of each field: the line embeds the PREVIOUS
+  # closing summary (which repeats every field name), and greedy sed
+  # `.*"k":` matches the LAST occurrence — round-10 recorded the prior
+  # run's n_queries (171) for a 181-query bench before this fix
+  colds+=("$(grep -o '"value":[0-9.]*' <<<"$line" | head -1 | cut -d: -f2)")
+  warms+=("$(grep -o '"value_warm":[0-9.]*' <<<"$line" | head -1 | cut -d: -f2)")
+  errs+=("$(grep -o '"n_errors":[0-9]*' <<<"$line" | head -1 | cut -d: -f2)")
+  nq=$(grep -o '"n_queries":[0-9]*' <<<"$line" | head -1 | cut -d: -f2)
   echo "repeat $i/$N: cold=${colds[-1]} warm=${warms[-1]} errors=${errs[-1]}" >&2
 done
 join() { local IFS=,; echo "$*"; }
