@@ -260,6 +260,42 @@ object WarehouseQueries {
     // to distinct (user, day) FIRST so the explosion rides day-level
     // density, never raw event volume. Trailing partial windows are
     // trimmed at the observed max day (broadcast 1-row bound).
+    // rolling 7-day actives from per-day KMV sketches — the fully
+    // hash-gated sketch form of this query (the datasketches-HLL
+    // variant below can only pin an error-bound boolean; KMV union is
+    // deterministic order statistics, so the ESTIMATE itself gates).
+    // Per day: the k smallest distinct user hashes (bounded-heap
+    // TopKPerGroup); per window: k-min of the union = k-min of the 7
+    // merged arrays (the KMV composability AnalyticSpec pins), under
+    // the same calendar RANGE frame as the HLL form. At 100 TB the
+    // per-day sketches are the only state the window touches — 64
+    // longs/day vs the day's full user set.
+    "q_rolling_actives_kmv" -> ((s, dir) => {
+      import graft.operators.{DistinctSketch, KmvSketch}
+      val days = ev(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(timestamp_micros(ts_us)), " +
+            "DATE '1970-01-01') AS BIGINT)").as("day"))
+        .distinct()
+      val daily = days.groupBy(col("day")).agg(count(lit(1)).as("n_active_1d"))
+      val dh = days
+        .select(col("day"), DistinctSketch.hash60(col("user_id")).as("h"))
+        .distinct()
+      val sk = graft.plans
+        .TopKPerGroup(dh, Seq("day"), "h", descending = false, k = KmvSketch.K)
+        .groupBy(col("day")).agg(sort_array(collect_list(col("h"))).as("ks"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      val est = sk
+        .select(col("day"),
+          slice(array_sort(array_distinct(flatten(
+            collect_list(col("ks")).over(w)))), 1, KmvSketch.K).as("ku"))
+        .select(col("day"),
+          rnd(KmvSketch.estimate(col("ku")), 2).as("est_active_7d"))
+      daily.join(est, "day")
+        .select(col("day"), col("n_active_1d"), col("est_active_7d"))
+        .orderBy("day")
+    }),
+
     "q_rolling_actives" -> ((s, dir) => {
       val days = ev(s, dir)
         .select(col("user_id"),
@@ -649,6 +685,44 @@ object WarehouseQueries {
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_rfm" -> rfmSql,
+
+    "q_rolling_actives_kmv" -> {
+      import graft.operators.KmvSketch.{K, Scale}
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id,
+         |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+         |  FROM events
+         |), daily AS (
+         |  SELECT day, count(*) AS n_active_1d FROM days GROUP BY day
+         |), dh AS (
+         |  SELECT DISTINCT day,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM days
+         |), rk AS (
+         |  SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk FROM dh
+         |), sk AS MATERIALIZED (SELECT day, h FROM rk WHERE rk <= $K),
+         |dd AS (SELECT DISTINCT day FROM days),
+         |ud AS (
+         |  SELECT DISTINCT d.day, s.h
+         |  FROM dd d JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
+         |), ur AS (
+         |  SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rk FROM ud
+         |), u AS (
+         |  SELECT day, count(*) AS un, max(h) AS k64
+         |  FROM ur WHERE rk <= $K GROUP BY day
+         |), e AS (
+         |  SELECT day,
+         |    CASE WHEN un < $K THEN CAST(un AS DOUBLE)
+         |         ELSE $Scale / CAST(k64 AS DOUBLE) END AS ru
+         |  FROM u
+         |)
+         |SELECT d.day, d.n_active_1d, ${rndSql("e.ru", 2)} AS est_active_7d
+         |FROM daily d JOIN e ON e.day = d.day
+         |ORDER BY d.day""".stripMargin
+    },
 
     "q_rolling_actives" ->
       """WITH days AS (

@@ -219,4 +219,25 @@ class WarehouseSpec extends SparkSpec {
         s"day ${r.getLong(0)}: window widened past the calendar span")
     }
   }
+
+  test("KMV rolling actives: exact below sketch capacity, bounded above it") {
+    import org.apache.spark.sql.functions._
+    val kmv = graft.queries.WarehouseQueries
+      .queries("q_rolling_actives_kmv")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exact = graft.queries.WarehouseQueries
+      .queries("q_rolling_actives")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kmv.keySet == exact.keySet)
+    kmv.foreach { case (day, est) =>
+      val ex = exact(day)
+      if (ex < graft.operators.KmvSketch.K)
+        // the union sketch held the whole set — the estimate IS exact
+        assert(est == ex.toDouble,
+          s"day $day: sub-capacity estimate $est != exact $ex")
+      else
+        assert(math.abs(est - ex) <= 0.35 * ex,
+          s"day $day: estimate $est vs exact $ex beyond the k=64 error band")
+    }
+  }
 }
