@@ -255,6 +255,51 @@ object PipelineQueries {
         .registers(Tables.events(s, dir), "user_id")
         .orderBy("reg")),
 
+    // ---- quantiles BY DETERMINISTIC SAMPLE: per group, the 256 rows
+    // with the smallest md5 row-hashes are a uniform
+    // without-replacement sample that is a pure order statistic — both
+    // engines draw the IDENTICAL sample, so its quantiles (plain
+    // element-at order statistics, no interpolation) hash-gate exactly,
+    // and a pinned boolean bounds them against the exact percentile.
+    // This is the quantile strategy that survives 100 TB: the
+    // bounded-heap top-k replaces any global sort, and sample size is
+    // fixed per group whatever the group's row count.
+    "q_quantile_bysample" -> ((s, dir) => {
+      import graft.operators.DistinctSketch
+      val n = 256
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — a
+      // boundary tie between rows with equal hashes would make the
+      // kept row partitioning-dependent (caught by PipelineSpec's
+      // repartition pin). Integer CENTS join the hash key: residual
+      // ties then only occur between rows whose sampled value is
+      // identical, so the drawn VALUE list is partition-free.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+          DistinctSketch.hash60(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")))
+            .as("h"))
+      val sample = graft.plans
+        .TopKPerGroup(li, Seq("flag"), "h", descending = false, k = n)
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(col("v"))).as("vs"))
+        .select(col("flag"),
+          element_at(col("vs"), n / 2).as("p50_s"),
+          element_at(col("vs"), n * 9 / 10).as("p90_s"))
+      val exact = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_e"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_e"))
+      sample.join(exact, "flag")
+        .select(col("flag"), col("n_rows"),
+          col("p50_s").as("p50_sample"), col("p90_s").as("p90_sample"),
+          (abs(col("p50_s") - col("p50_e")) <= lit(0.10) * col("p50_e") &&
+            abs(col("p90_s") - col("p90_e")) <= lit(0.10) * col("p90_e"))
+            .as("within_10pct"))
+        .orderBy("flag")
+    }),
+
     // ---- KMV set algebra (KmvSketch scaladoc): per-event-type user
     // sketches via the bounded-heap TopKPerGroup exec, then pairwise
     // union/intersection estimates from the k-min arrays alone — the
@@ -449,6 +494,36 @@ object PipelineQueries {
          |      ELSE $MaxRank - length(bin(sfx)) END AS BIGINT)) AS max_rank
          |FROM r GROUP BY reg ORDER BY reg""".stripMargin
     },
+
+    // replays the deterministic sample exactly (order statistics of the
+    // md5 row-hash, then of the value); the exact-percentile comparison
+    // lives in the pinned boolean (10% band at n=256)
+    "q_quantile_bysample" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem
+        |), rk AS (
+        |  SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY h) AS rk FROM li
+        |), sv AS (
+        |  SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS vr
+        |  FROM rk WHERE rk <= 256
+        |), samp AS (
+        |  SELECT flag, max(CASE WHEN vr = 128 THEN v END) AS p50s,
+        |         max(CASE WHEN vr = 230 THEN v END) AS p90s
+        |  FROM sv GROUP BY flag
+        |), ex AS (
+        |  SELECT l_returnflag AS flag, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT e.flag, e.n_rows, s.p50s AS p50_sample, s.p90s AS p90_sample,
+        |  TRUE AS within_10pct
+        |FROM ex e JOIN samp s ON s.flag = e.flag ORDER BY e.flag""".stripMargin,
 
     "q_kmv_overlap" -> {
       import graft.operators.KmvSketch.{K, Scale}

@@ -126,4 +126,32 @@ class PipelineSpec extends SparkSpec {
     assert(boosts.zip(boosts.tail).forall { case (a, b) => a >= b },
       "boost must fall as source size grows")
   }
+
+  test("quantile-by-sample: the hash-priority sample survives repartitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DistinctSketch
+    // the whole point of hash-priority sampling: the drawn set is a
+    // property of the DATA (smallest md5 row-hashes), not of the
+    // partitioning — so retries, shuffles and cluster-size changes
+    // can't silently redraw it (rand()-based sampling fails all three)
+    def draw(parts: Int): Seq[Double] = {
+      val li = Tables.lineitem(spark, sf)
+        .repartition(parts)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          DistinctSketch.hash60(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")))
+            .as("h"))
+      graft.plans.TopKPerGroup(li, Seq("flag"), "h", descending = false, k = 256)
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(col("v"))).as("vs"))
+        .orderBy("flag")
+        .collect().flatMap(_.getSeq[Double](1)).toSeq
+    }
+    val a = draw(2)
+    val b = draw(7)
+    assert(a.nonEmpty && a == b,
+      "sample changed under repartitioning — not a pure order statistic")
+  }
 }
