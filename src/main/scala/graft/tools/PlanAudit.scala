@@ -79,7 +79,12 @@ object PlanAudit {
     // sketch (one map-side-combined max-aggregate), blocked
     // Jaro-Winkler linkage (block-keyed self-join, codegen'd kernel)
     "q_join_bloom_reduce", "q_heavy_hitters_cms", "q_distinct_sketch",
-    "dedup_record_linkage")
+    "dedup_record_linkage",
+    // round 10 continuation: KMV pair algebra (two scans of the tiny
+    // sketch frame, k-length array ops only), KMV rolling actives
+    // (bounded-heap per-day sketches + one RANGE window), sample
+    // quantiles (bounded-heap sample + broadcast exact-percentile row)
+    "q_kmv_overlap", "q_rolling_actives_kmv", "q_quantile_bysample")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
