@@ -118,6 +118,41 @@ object PageRank {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Weighted PageRank: contributions split by edge weight instead of
+    * uniformly — `rank·w DIV strength(src)` with strength = Σ out-weights
+    * (all integer, so the engine-exactness contract of [[run]] holds
+    * unchanged; `w = 1` everywhere collapses to the unweighted form
+    * integer-exactly, pinned in GraphSpec). Overflow headroom: rank is
+    * ~1e6-scaled and fixture weights are small integers, so rank·w sits
+    * orders below 2⁶³; callers with large weights should pre-normalize.
+    */
+  def runWeighted(edges: DataFrame, iters: Int, eager: Boolean = true,
+      broadcastRanks: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val strength = edges.groupBy(col("src")).agg(sum(col("w")).as("strength"))
+    var ewd = edges.join(strength, "src")
+      .select(col("src"), col("dst"), col("w"), col("strength"))
+    var ranks = initRanks(edges)
+    if (eager) {
+      ewd = ewd.localCheckpoint(true)
+      ranks = ranks.localCheckpoint(true)
+    }
+    val doBroadcast = chooseBroadcast(broadcastRanks, eager,
+      ranks.count(), broadcastMaxNodes)
+    for (_ <- 1 to iters) {
+      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
+      val contribs = ewd.join(rankSide, ewd("src") === rankSide("node"))
+        .select(col("dst"), expr("(rank * w) DIV strength").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val frame = ranks.select(col("node"))
+      ranks = frame.join(contribs, frame("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850 * coalesce(sc, 0L)) DIV 1000")).as("rank"))
+      if (eager) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Static per-iteration edge relation: (src, dst, outdeg). */
   private[graft] def withDegrees(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

@@ -59,6 +59,16 @@ object GraphQueries {
         .orderBy(col("rank").desc, col("node"))
         .limit(100)),
 
+    // weighted PageRank over the min-quantity supply graph — rank mass
+    // splits by edge weight (rank·w DIV strength, all integer, same
+    // engine-exactness contract); GraphSpec pins the integer-exact
+    // collapse to the unweighted form under uniform weights.
+    "graph_pagerank_w" -> ((s, dir) =>
+      graft.operators.PageRank
+        .runWeighted(weightedSupplyEdges(s, dir), iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)),
+
     // personalized PageRank from suppliers 1..5 — teleport mass lands
     // only on the seeds, so rank is relevance TO the seed set (the
     // recommendation primitive), in the same engine-exact integer
@@ -366,6 +376,44 @@ object GraphQueries {
           |)
           |SELECT node, count(*) AS n_tri FROM nodes
           |GROUP BY node ORDER BY node""".stripMargin,
+
+      "graph_pagerank_w" -> {
+        val iterateW = (1 to 3).map { i =>
+          val prev = s"w${i - 1}"
+          s"""wc$i AS MATERIALIZED (
+             |  SELECT e.dst, sum((r.rank * e.w) // e.strength) AS sc
+             |  FROM ews e JOIN $prev r ON e.src = r.node
+             |  GROUP BY e.dst
+             |), w$i AS MATERIALIZED (
+             |  SELECT n.node,
+             |    CAST(150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN wc$i c ON n.node = c.dst
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT l_suppkey AS sup, 100000 + l_partkey AS prt,
+           |    CAST(min(l_quantity) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2
+           |), edges AS (
+           |  SELECT sup AS src, prt AS dst, w FROM pairs
+           |  UNION ALL
+           |  SELECT prt AS src, sup AS dst, w FROM pairs
+           |), st AS (
+           |  SELECT src, sum(w) AS strength FROM edges GROUP BY src
+           |), ews AS MATERIALIZED (
+           |  SELECT e.src, e.dst, e.w, s.strength
+           |  FROM edges e JOIN st s ON e.src = s.src
+           |), nodes AS MATERIALIZED (
+           |  SELECT DISTINCT src AS node FROM edges
+           |  UNION
+           |  SELECT DISTINCT dst AS node FROM edges
+           |), w0 AS (
+           |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+           |),
+           |$iterateW
+           |SELECT node, rank FROM w3
+           |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+      },
 
       "graph_ppr" -> {
         val iteratePpr = (1 to 3).map { i =>

@@ -232,6 +232,24 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("weighted pagerank: uniform weights collapse to the unweighted form") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .distinct()
+    val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"))
+      .union(pairs.select(col("prt").as("src"), col("sup").as("dst")))
+    // w = 1 everywhere ⇒ strength = outdeg and rank·1 DIV strength is
+    // exactly the unweighted rank DIV outdeg — integer-for-integer
+    val uniform = edges.withColumn("w", lit(1L))
+    val weighted = graft.operators.PageRank.runWeighted(uniform, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = graft.operators.PageRank.run(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted == plain, "uniform-weight collapse broken")
+  }
+
   test("ppr: all-nodes seeding collapses to global pagerank; mass stays within hop reach") {
     import org.apache.spark.sql.functions.col
     val pairs = Tables.lineitem(spark, sf)
