@@ -74,6 +74,39 @@ object AnalyticQueries {
           rnd(col("freq").cast("double") / col("n_total"), 6).as("share"))
         .orderBy("user_id")),
 
+    // ---- market-basket association rules: support / confidence / lift
+    // over order baskets — the classic co-purchase mining workload.
+    // Every metric is a rational of integer counts (pair count, item
+    // counts, basket count), so the floats are single divisions of
+    // exactly-representable integers — identical IEEE results on both
+    // engines under the standard rnd(·, 6) pin. The pair space is
+    // bounded by Σ basket² (distinct (order, part) first), never
+    // |parts|²; item counts broadcast to the rule assembly.
+    "q_market_basket" -> ((s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val n = op.select(countDistinct(col("ok")).as("n_orders"))
+      val item = op.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+      val pairs = op.as("a").join(op.as("b"), col("a.ok") === col("b.ok"))
+        .where(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("cnt_ab"))
+        .where(col("cnt_ab") >= 2)
+      pairs
+        .join(broadcast(item.select(col("p").as("part_a"), col("cnt").as("ca"))),
+          "part_a")
+        .join(broadcast(item.select(col("p").as("part_b"), col("cnt").as("cb"))),
+          "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("cnt_ab"),
+          rnd(col("cnt_ab").cast("double") / col("n_orders"), 6).as("support"),
+          rnd(col("cnt_ab").cast("double") / col("ca"), 6).as("conf_ab"),
+          rnd((col("cnt_ab").cast("double") * col("n_orders")) /
+            (col("ca") * col("cb")), 6).as("lift"))
+        .orderBy("part_a", "part_b")
+    }),
+
     // ---- Count-Min sketch point-frequency estimates next to the exact
     // counts (CountMin scaladoc: fixed Depth×512 grid, deterministic
     // universal hashes → both engines build the identical sketch, so
@@ -539,6 +572,25 @@ object AnalyticQueries {
          |GROUP BY user_id, n.n_total
          |HAVING count(*) * 150 > n.n_total
          |ORDER BY user_id""".stripMargin,
+
+    "q_market_basket" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+         |), n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+         |item AS (SELECT p, count(*) AS cnt FROM op GROUP BY p),
+         |pc AS (
+         |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS cnt_ab
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT part_a, part_b, cnt_ab,
+         |  ${rndSql("CAST(cnt_ab AS DOUBLE) / n.n_orders", 6)} AS support,
+         |  ${rndSql("CAST(cnt_ab AS DOUBLE) / ia.cnt", 6)} AS conf_ab,
+         |  ${rndSql("(CAST(cnt_ab AS DOUBLE) * n.n_orders) / (ia.cnt * ib.cnt)", 6)} AS lift
+         |FROM pc, n
+         |JOIN item ia ON ia.p = pc.part_a
+         |JOIN item ib ON ib.p = pc.part_b
+         |ORDER BY part_a, part_b""".stripMargin,
 
     "q_heavy_hitters_cms" -> {
       import graft.operators.{CountMin, Dedup}

@@ -193,6 +193,29 @@ class AnalyticSpec extends SparkSpec {
     assert(got.contains(1L) && got.contains(2L))
   }
 
+  test("market basket: rules well-formed, metrics consistent with raw counts") {
+    import org.apache.spark.sql.functions._
+    val rules = graft.queries.AnalyticQueries
+      .queries("q_market_basket")(spark, sf).collect()
+    assert(rules.nonEmpty)
+    val keys = rules.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.forall { case (a, b) => a < b }, "pairs must be ordered")
+    assert(keys.distinct.length == keys.length, "duplicate rule rows")
+    // replay one rule's metrics from raw counts
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val nOrders = op.select(countDistinct(col("ok"))).head().getLong(0)
+    val r0 = rules.head
+    val (pa, pb, cab) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+    val ca = op.where(col("p") === pa).count()
+    val cb = op.where(col("p") === pb).count()
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(cab >= 2 && cab <= math.min(ca, cb))
+    assert(r0.getDouble(3) == rnd6(cab.toDouble / nOrders))
+    assert(r0.getDouble(4) == rnd6(cab.toDouble / ca))
+    assert(r0.getDouble(5) == rnd6((cab.toDouble * nOrders) / (ca * cb)))
+  }
+
   test("count-min: one-sided bound, per-row mass conservation, exact counts") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sf)
