@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperBall (Boldi & Vigna's HyperANF) — per-node neighborhood-size
+  * estimation by iterated sketch union: every node carries an HLL
+  * register set of the nodes it can reach; each round it folds in its
+  * neighbors' sketches (elementwise register MAX), so after R rounds
+  * node v's sketch describes ball(v, R). This is THE way to compute
+  * per-node reachability sizes / centralities on graphs where true
+  * per-node BFS (|V| traversals) is unthinkable — per round it is one
+  * edge join + one max-aggregate over (node, reg) rows, state ≤
+  * |V|·m rows whatever the graph.
+  *
+  * Everything gates exactly, including the float estimates:
+  *  - registers/ranks come from the md5 hash via integer string ops
+  *    (same family as [[DistinctSketch]], here p = 6 → 64 registers so
+  *    iterated state stays lean);
+  *  - the harmonic sum Σ 2^−rank is computed as `1.0 / (1L << rank)`
+  *    (integer shift, exact double cast, exact power-of-two division)
+  *    folded in REGISTER ORDER with the empty-register mass as the
+  *    fold's start value — a fully deterministic IEEE sequence both
+  *    engines replay;
+  *  - the estimate is the RAW HyperLogLog estimator α·m²/S (no
+  *    small-range ln correction: log library ulps are the one
+  *    cross-engine hazard, and for ball-size COMPARISONS the raw
+  *    estimator's small-set bias is harmless and documented).
+  */
+object HyperBall {
+
+  /** Register-count exponent: 2^6 = 64 registers per node (state is
+    * |V|·64 rows at saturation — lean enough to iterate). */
+  val P = 6
+  val Registers: Int = 1 << P
+
+  /** 54-bit suffix after the 6 register bits: rank ∈ [1, 55]. */
+  val MaxRank = 55
+
+  /** α₆₄ · m² — the raw-estimator numerator (standard α for m = 64),
+    * injected as the same double literal in oracle SQL. */
+  val AlphaM2: Double = 0.709 * 4096.0
+
+  def regCol(node: Column): Column =
+    pmod(DistinctSketch.hash60(node), lit(Registers.toLong))
+
+  def rankCol(node: Column): Column = {
+    val sfx = shiftright(DistinctSketch.hash60(node), P)
+    when(sfx === 0, lit(MaxRank))
+      .otherwise(lit(MaxRank) - length(bin(sfx)))
+      .cast("long")
+  }
+
+  /** (node, nnz, est): raw-HLL ball(v, rounds) size estimates over the
+    * symmetrized `edges` (src, dst). nnz is the node's non-empty
+    * register count (an integer that gates the sketch shape directly).
+    */
+  def neighborhoodSizes(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .cache()
+    // each node's initial sketch holds exactly itself: one row
+    var state = e.select(col("u").as("node")).distinct()
+      .select(col("node"), regCol(col("node")).as("reg"),
+        rankCol(col("node")).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val fromNbrs = e.join(state, e("v") === state("node"))
+        .select(e("u").as("node"), col("reg"), col("rank"))
+      state = state.unionAll(fromNbrs)
+        .groupBy(col("node"), col("reg")).agg(max(col("rank")).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = true)
+    // harmonic fold in register order; empty registers contribute 2^0
+    // each, folded in as the start value so the add sequence is fixed
+    val res = state.groupBy(col("node"))
+      .agg(sort_array(collect_list(struct(col("reg"), col("rank")))).as("rr"))
+      .select(col("node"), size(col("rr")).cast("long").as("nnz"),
+        aggregate(
+          transform(col("rr"), s =>
+            lit(1.0) / call_function("shiftleft", lit(1L),
+              s.getField("rank").cast("int")).cast("double")),
+          (lit(Registers.toDouble) - size(col("rr")).cast("double")),
+          (acc, x) => acc + x).as("s"))
+      .select(col("node"), col("nnz"),
+        (lit(AlphaM2) / col("s")).as("est_raw"))
+    res
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.QueryHelpers.{rnd, rndSql}
 
 /** Graph analytics over relations derived from the fixtures. Together
   * with [[graft.operators.Dedup.connectedComponents]] (label
@@ -58,6 +59,18 @@ object GraphQueries {
       graft.operators.PageRank.run(supplyEdges(s, dir), iters = 3)
         .orderBy(col("rank").desc, col("node"))
         .limit(100)),
+
+    // HyperBall 3-ball size estimates (HyperBall scaladoc): per-node
+    // reachability sketches iterated by register max — the per-node
+    // BFS-free neighborhood function. Raw-HLL estimates computed by an
+    // exact power-of-two ordered fold, so even the float column
+    // hash-gates; GraphSpec pins round monotonicity and accuracy
+    // against true ball sizes on sampled nodes.
+    "graph_ball_sketch" -> ((s, dir) =>
+      graft.operators.HyperBall
+        .neighborhoodSizes(supplyEdges(s, dir), rounds = 3)
+        .select(col("node"), col("nnz"), rnd(col("est_raw"), 2).as("est_ball3"))
+        .orderBy("node")),
 
     // weighted PageRank over the min-quantity supply graph — rank mass
     // splits by edge weight (rank·w DIV strength, all integer, same
@@ -376,6 +389,49 @@ object GraphQueries {
           |)
           |SELECT node, count(*) AS n_tri FROM nodes
           |GROUP BY node ORDER BY node""".stripMargin,
+
+      "graph_ball_sketch" -> {
+        import graft.operators.HyperBall.{AlphaM2, MaxRank, Registers}
+        val rounds = (1 to 3).map { i =>
+          s"""b$i AS MATERIALIZED (SELECT node, reg, max(rank) AS rank FROM (
+             |  SELECT node, reg, rank FROM b${i - 1}
+             |  UNION ALL
+             |  SELECT e.src AS node, s.reg, s.rank
+             |  FROM edges e JOIN b${i - 1} s ON s.node = e.dst
+             |) GROUP BY node, reg)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+           |  FROM lineitem
+           |), edges AS MATERIALIZED (
+           |  SELECT sup AS src, prt AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT prt AS src, sup AS dst FROM pairs
+           |), nh AS (
+           |  SELECT node,
+           |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
+           |      AS BIGINT) AS h
+           |  FROM (SELECT DISTINCT src AS node FROM edges)
+           |), b0 AS MATERIALIZED (
+           |  SELECT node, h % $Registers AS reg,
+           |    CAST(CASE WHEN h // $Registers = 0 THEN $MaxRank
+           |      ELSE $MaxRank - length(bin(h // $Registers)) END AS BIGINT)
+           |      AS rank
+           |  FROM nh
+           |),
+           |$rounds,
+           |folded AS (
+           |  SELECT node, count(*) AS nnz,
+           |    list_reduce(
+           |      list_prepend(CAST($Registers - count(*) AS DOUBLE),
+           |        list_transform(list(rank ORDER BY reg),
+           |          r -> 1.0 / CAST(1::BIGINT << CAST(r AS INT) AS DOUBLE))),
+           |      (a, b) -> a + b) AS s
+           |  FROM b3 GROUP BY node
+           |)
+           |SELECT node, nnz, ${rndSql(s"$AlphaM2 / s", 2)} AS est_ball3
+           |FROM folded ORDER BY node""".stripMargin
+      },
 
       "graph_pagerank_w" -> {
         val iterateW = (1 to 3).map { i =>

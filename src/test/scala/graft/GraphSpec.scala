@@ -232,6 +232,35 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("hyperball: estimates grow with radius and track true ball sizes") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .distinct()
+    val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"))
+      .union(pairs.select(col("prt").as("src"), col("sup").as("dst")))
+    def ests(r: Int): Map[Long, Double] =
+      graft.operators.HyperBall.neighborhoodSizes(edges, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val e1 = ests(1); val e3 = ests(3)
+    assert(e1.keySet == e3.keySet)
+    // ball(v,1) ⊆ ball(v,3) ⇒ registers only grow ⇒ S shrinks ⇒ est rises
+    e1.foreach { case (n, v) =>
+      assert(e3(n) >= v - 1e-9, s"node $n: est fell with radius ($v -> ${e3(n)})")
+    }
+    // accuracy against TRUE 3-ball sizes on sampled nodes (m=64 raw
+    // estimator: ~16% typical error; 50% band absorbs small-set bias)
+    val nodes = e3.keySet.toSeq.sorted.take(3)
+    nodes.foreach { n =>
+      import spark.implicits._
+      val seed = Seq(n).toDF("node")
+      val exact = graft.operators.Bfs.run(edges, seed, rounds = 3).count()
+      assert(math.abs(e3(n) - exact) <= 0.5 * exact,
+        s"node $n: est ${e3(n)} vs true 3-ball $exact outside the band")
+    }
+  }
+
   test("weighted pagerank: uniform weights collapse to the unweighted form") {
     import org.apache.spark.sql.functions.col
     val pairs = Tables.lineitem(spark, sf)
