@@ -84,7 +84,10 @@ object PlanAudit {
     // sketch frame, k-length array ops only), KMV rolling actives
     // (bounded-heap per-day sketches + one RANGE window), sample
     // quantiles (bounded-heap sample + broadcast exact-percentile row)
-    "q_kmv_overlap", "q_rolling_actives_kmv", "q_quantile_bysample")
+    "q_kmv_overlap", "q_rolling_actives_kmv", "q_quantile_bysample",
+    // round 10 continuation: association rules (basket self-join +
+    // broadcast item counts — no |parts|² pair space)
+    "q_market_basket")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
