@@ -180,6 +180,34 @@ object WarehouseQueries {
         .orderBy("event_type", "next_type")
     }),
 
+    // ---- sequential pattern mining: per-user 3-step event-type paths
+    // (the n-gram generalization of q_transition_matrix's 2-step
+    // Markov counts) with per-path support over the user population —
+    // which BEHAVIOR SEQUENCES are common, not just which single
+    // transitions. One window pass over the same user_id exchange as
+    // the other behavioral queries (two lead()s share the sort); path
+    // space is bounded by |event_types|³, so the aggregate output is
+    // tiny at any volume. The (ts, event_id) order key is total, so
+    // the sequences — and therefore every count — are deterministic.
+    "q_session_paths" -> ((s, dir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val paths = ev(s, dir)
+        .withColumn("t1", lead(col("event_type"), 1).over(byTs))
+        .withColumn("t2", lead(col("event_type"), 2).over(byTs))
+        .where(col("t1").isNotNull && col("t2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+          .as("path"), col("user_id"))
+      val total = paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+      val users = ev(s, dir).select(countDistinct(col("user_id")).as("nu"))
+      total.crossJoin(broadcast(users))
+        .select(col("path"), col("n_occurrences"), col("n_users"),
+          rnd(col("n_users").cast("double") / col("nu"), 6).as("user_support"))
+        .orderBy("path")
+    }),
+
     // ---- Strict-sequence funnel view → click → purchase: each stage's
     // entry time is the user's first qualifying event AFTER the previous
     // stage. Three window passes over ONE hash partition by user_id
@@ -534,6 +562,28 @@ object WarehouseQueries {
          |  FROM m
          |)
          |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_session_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         |  FROM events
+         |), seq AS (
+         |  SELECT user_id, event_type,
+         |    lead(event_type, 1) OVER w AS t1,
+         |    lead(event_type, 2) OVER w AS t2
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), p AS (
+         |  SELECT event_type || '>' || t1 || '>' || t2 AS path, user_id
+         |  FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         |), tot AS (
+         |  SELECT path, count(*) AS n_occurrences,
+         |    count(DISTINCT user_id) AS n_users
+         |  FROM p GROUP BY path
+         |), nu AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+         |SELECT path, n_occurrences, n_users,
+         |  ${rndSql("CAST(n_users AS DOUBLE) / nu.nu", 6)} AS user_support
+         |FROM tot, nu ORDER BY path""".stripMargin,
 
     "q_transition_matrix" ->
       s"""WITH e AS (
