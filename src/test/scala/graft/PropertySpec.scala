@@ -103,4 +103,43 @@ class PropertySpec extends SparkSpec {
       got.getDouble(0) == want && got.getDouble(1) == want
     })
   }
+
+  test("jaro-winkler kernel: bounds, symmetry, identity, on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinklerKernel.similarity(u8(a), u8(b))
+    val sGen = Gen.listOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.length <= 30)
+    check(Prop.forAll(sGen, sGen) { (a, b) =>
+      val v = jw(a, b)
+      val bounds = v >= 0.0 && v <= 1.0
+      val sym = v == jw(b, a)
+      val ident = a.isEmpty || jw(a, a) == 1.0
+      // the Winkler boost only raises similarity and only above 0.7
+      bounds && sym && ident
+    })
+  }
+
+  test("bloom: no false negatives for any inserted key set") {
+    import spark.implicits._
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, Dedup.MinhashP - 1))
+    check(Prop.forAll(keysGen) { ks =>
+      val df = ks.toDF("hm")
+      val bits = Bloom.buildBits(df, mBits = 1024)
+      df.crossJoin(broadcast(bits))
+        .where(!Bloom.mightContain(col("bits"), col("hm"), 1024))
+        .count() == 0L
+    })
+  }
+
+  test("kmv: merged k-mins = k-mins of the union, any two hash sets") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 1L << 59)).map(_.distinct)
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val k = KmvSketch.K
+      val ska = a.sorted.take(k)
+      val skb = b.sorted.take(k)
+      val merged = (ska ++ skb).distinct.sorted.take(k)
+      val direct = (a ++ b).distinct.sorted.take(k)
+      merged == direct
+    })
+  }
 }
