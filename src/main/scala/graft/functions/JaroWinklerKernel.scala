@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler similarity as a codegen'd Catalyst expression — the
@@ -31,6 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // analysis-time type gate: a non-string operand must fail in the
+  // analyzer, not as a runtime ClassCastException inside codegen.
+  // (ExpectsInputTypes would be idiomatic, but AbstractDataType is
+  // private[sql], so the check is spelled out.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
   override def prettyName: String = "graft_jaro_winkler"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -44,10 +44,17 @@ object Bloom {
     * filter. Pure integer Column arithmetic — the Spark twin of
     * [[positionSql]].
     */
-  def positions(h: Column, mBits: Int): Seq[Column] =
+  def positions(h: Column, mBits: Int): Seq[Column] = {
+    // normalize into [0, P) FIRST: a raw 60-bit hash would overflow a·h
+    // in 64-bit and element_at's negative-index read-from-the-END would
+    // silently break the no-false-negative contract. pmod is identity
+    // for in-domain callers, so the SQL twin (whose callers all pass
+    // pre-reduced hashes) stays in exact sync.
+    val hm = pmod(h, lit(Dedup.MinhashP))
     coeffs.map { case (a, b) =>
-      (lit(a) * h + lit(b)) % lit(Dedup.MinhashP) % lit(mBits.toLong)
+      (lit(a) * hm + lit(b)) % lit(Dedup.MinhashP) % lit(mBits.toLong)
     }
+  }
 
   /** SQL twin of [[positions]] for hash expression `h` — keep in exact
     * sync. */

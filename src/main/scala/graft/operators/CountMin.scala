@@ -64,7 +64,11 @@ object CountMin {
     */
   def estimates(rows: DataFrame, keyCol: String, w: Int): DataFrame = {
     val clean = rows.where(col(keyCol).isNotNull)
-    val cms = sketch(clean, keyCol, w)
+    // materialize the grid once: the foldLeft below joins it Depth
+    // times, and without a checkpoint each broadcast re-runs the full
+    // input scan + explode + count (the cache-release discipline used
+    // by the staged layouts)
+    val cms = sketch(clean, keyCol, w).localCheckpoint(true)
     val keys = clean.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_cnt"))
     val h = pmod(col(keyCol), lit(Dedup.MinhashP))
     val withPos = keys.select(

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * node v's sketch describes ball(v, R). This is THE way to compute
   * per-node reachability sizes / centralities on graphs where true
   * per-node BFS (|V| traversals) is unthinkable — per round it is one
-  * edge join + one max-aggregate over (node, reg) rows, state ≤
-  * |V|·m rows whatever the graph.
+  * |E|-row edge join + one elementwise register-max aggregate; state is
+  * exactly |V| rows of packed 64-register arrays whatever the graph.
   *
   * Everything gates exactly, including the float estimates:
   *  - registers/ranks come from the md5 hash via integer string ops
@@ -59,28 +59,46 @@ object HyperBall {
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .cache()
-    // each node's initial sketch holds exactly itself: one row
+    // PACKED state layout: ONE row per node carrying all 64 registers
+    // as array<long> (index i = register i, 0 = empty; real ranks are
+    // ≥ 1). The r10 (node, reg, rank) layout materialized |E|·64 rows
+    // per round-join and shuffled 64× the rows it needed to — the one
+    // plan flagged weak in round 10. Packed, the per-round join is |E|
+    // rows and the merge is 64 codegen'd MAX aggregates (map-side
+    // combined, constant-size buffer — the KMeansND aggregation shape).
     var state = e.select(col("u").as("node")).distinct()
       .select(col("node"), regCol(col("node")).as("reg"),
         rankCol(col("node")).as("rank"))
+      .select(col("node"),
+        transform(sequence(lit(0L), lit(Registers - 1L)),
+          i => when(i === col("reg"), col("rank")).otherwise(lit(0L)))
+          .as("ranks"))
       .localCheckpoint(true)
+    // elementwise zip-max across a node's group, as 64 independent
+    // long-MAX aggregates reassembled into the array — stays inside
+    // whole-stage codegen, partial-aggregates before the shuffle
+    val zipMax = array((1 to Registers).map(i =>
+      max(element_at(col("ranks"), i))): _*).as("ranks")
     for (_ <- 1 to rounds) {
       val fromNbrs = e.join(state, e("v") === state("node"))
-        .select(e("u").as("node"), col("reg"), col("rank"))
+        .select(e("u").as("node"), col("ranks"))
       state = state.unionAll(fromNbrs)
-        .groupBy(col("node"), col("reg")).agg(max(col("rank")).as("rank"))
+        .groupBy(col("node")).agg(zipMax)
         .localCheckpoint(true)
     }
     e.unpersist(blocking = true)
-    // harmonic fold in register order; empty registers contribute 2^0
-    // each, folded in as the start value so the add sequence is fixed
-    val res = state.groupBy(col("node"))
-      .agg(sort_array(collect_list(struct(col("reg"), col("rank")))).as("rr"))
+    // harmonic fold over the non-empty registers in register order
+    // (filter() preserves array order), empty-register mass 2^0 each
+    // folded in as the start value — the IDENTICAL IEEE add sequence
+    // the r10 row layout produced, so the oracle row is unchanged
+    val nonEmpty = filter(col("ranks"), r => r > 0)
+    val res = state
+      .select(col("node"), nonEmpty.as("rr"))
       .select(col("node"), size(col("rr")).cast("long").as("nnz"),
         aggregate(
-          transform(col("rr"), s =>
+          transform(col("rr"), r =>
             lit(1.0) / call_function("shiftleft", lit(1L),
-              s.getField("rank").cast("int")).cast("double")),
+              r.cast("int")).cast("double")),
           (lit(Registers.toDouble) - size(col("rr")).cast("double")),
           (acc, x) => acc + x).as("s"))
       .select(col("node"), col("nnz"),

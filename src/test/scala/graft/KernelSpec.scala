@@ -125,6 +125,20 @@ class KernelSpec extends SparkSpec {
           org.apache.spark.unsafe.types.UTF8String.fromString("DIXON")))
   }
 
+  test("jaro-winkler rejects non-string inputs at analysis time") {
+    import spark.implicits._
+    import graft.functions.JaroWinklerKernel.jaroWinkler
+    // the checkInputDataTypes gate: a long operand must fail in the
+    // analyzer (AnalysisException), not as a ClassCastException deep in
+    // codegen at execution time
+    val df = Seq((1L, "x")).toDF("n", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(jaroWinkler(col("n"), col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
+
   test("the kernel runs inside whole-stage codegen") {
     val df = Dedup.minhashSignatureFast(Tables.documents(spark, sf), 8, 12)
     df.collect() // finalize the adaptive plan so codegen markers appear
