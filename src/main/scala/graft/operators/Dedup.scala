@@ -606,4 +606,66 @@ object Dedup {
           "component diameter exceeds the bound; raise maxIters")
     labels
   }
+
+  /** Exact substring-span dedup — the C4/RefinedWeb "remove any W-token
+    * span seen before" pass, the sub-record granularity the doc-level
+    * ladder (exact/near/containment/contamination) cannot reach: on
+    * real crawls boilerplate spans survive every doc-level pass.
+    * (Reference analogue: S1's full-scan shape applied below record
+    * granularity — `/root/reference/mapper.py:60-68` streams whole
+    * records; this streams their token windows.)
+    *
+    * Three narrow/bounded stages, all 100-TB-shaped:
+    *  1. window generation: per-doc sliding W-token windows as one
+    *     `explode(transform(sequence(...)))` — a narrow map, ≤ one
+    *     window per token of corpus;
+    *  2. duplicate detection: groupBy on the window's 60-bit md5 hash
+    *     (the shuffle carries (doc, start, hash8B) — never text), then
+    *     a hash-keyed join back to window positions. Window hashes that
+    *     occur at ≥2 (doc, start) positions corpus-wide are "seen
+    *     elsewhere" (within-doc repeats count — the C4 rule);
+    *  3. span merge: per-doc gaps-and-islands over the duplicated
+    *     window starts (fixed width ⇒ ends are monotone in starts, so
+    *     a lag-gap island break is exact interval merge). Per-doc
+    *     window state is bounded by doc length — partition-safe at any
+    *     corpus size.
+    *
+    * Output: one row per maximal duplicated span —
+    * (doc_id, span_start, span_end, n_windows), token offsets 1-based
+    * inclusive. All-integer columns, so the oracle gates by hash.
+    *
+    * `w` is the span width in whitespace tokens: 50 in the C4 paper;
+    * the fixture queries use 8 (fixture docs average ~50 tokens).
+    */
+  def substringSpans(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts")))
+      .where(size(col("ts")) >= w)
+    val wins = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - (w - 1)),
+          i => struct(i.cast("long").as("start"),
+            DistinctSketch.hash60(concat_ws(" ", slice(col("ts"), i, lit(w))))
+              .as("h")))).as("wn"))
+      .select(col("doc_id"), col("wn.start").as("start"), col("wn.h").as("h"))
+      .localCheckpoint(true) // scanned twice: dup-hash agg + join back
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("h"))
+    val dup = wins.join(dupHashes, "h").select(col("doc_id"), col("start"))
+    // gaps-and-islands: same-width intervals sorted by start have
+    // monotone ends, so "gap > w" via lag is exact overlap/adjacency
+    // merge (first row's null diff falls to otherwise(1) = new island)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    dup
+      .withColumn("brk",
+        when(col("start") - lag(col("start"), 1).over(wd) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(w - 1L)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 }

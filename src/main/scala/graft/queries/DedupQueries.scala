@@ -143,6 +143,15 @@ object DedupQueries {
           rnd(col("n_hits").cast("double") / col("nsh"), 6))
         .orderBy("doc_id")),
 
+    // exact substring-span dedup (Dedup.substringSpans scaladoc): the
+    // C4 "W-token span seen before" pass at sub-record granularity —
+    // maximal merged spans of 8-token windows whose exact text occurs
+    // at ≥2 (doc, start) positions corpus-wide. All-integer offsets,
+    // exact hash gate; PipelineSpec audits the span-merge invariants.
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringSpans(docs(s, dir), w = 8)
+        .orderBy("doc_id", "span_start")),
+
     // asymmetric containment |A∩B|/|A| over df-capped rare 5-gram
     // shingles — flags doc-in-doc swallowing that Jaccard/MinHash miss
     // by construction (see Dedup.containmentPairs). Directed output:
@@ -405,6 +414,44 @@ object DedupQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // window hash = the 60-bit md5 idiom (hash60 twin); duplicate test
+    // is count over the hash, span merge is the same lag-gap
+    // gaps-and-islands (fixed-width windows ⇒ monotone ends ⇒ exact)
+    "dedup_substring" -> {
+      val w = 8
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> t <> '') AS ts
+         |  FROM documents
+         |), wins AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |    CAST(('0x' || substr(md5(array_to_string(ts[i:i+$w-1], ' ')),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM toks, unnest(range(1, len(ts) - $w + 2)) u(i)
+         |  WHERE len(ts) >= $w
+         |), dup AS (
+         |  SELECT doc_id, start FROM (
+         |    SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c
+         |    FROM wins)
+         |  WHERE c > 1
+         |), isl AS (
+         |  SELECT doc_id, start,
+         |    CASE WHEN start - lag(start)
+         |        OVER (PARTITION BY doc_id ORDER BY start) <= $w
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM dup
+         |), grp AS (
+         |  SELECT doc_id, start,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS g
+         |  FROM isl
+         |)
+         |SELECT doc_id, min(start) AS span_start,
+         |  max(start) + $w - 1 AS span_end,
+         |  count(*) AS n_windows
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
+
     "dedup_cluster" -> clusterSql(6),
 
     "dedup_canonical" -> canonicalSql(6),

@@ -154,4 +154,60 @@ class PipelineSpec extends SparkSpec {
     assert(a.nonEmpty && a == b,
       "sample changed under repartitioning — not a pure order statistic")
   }
+
+  test("dedup_substring: spans are maximal, disjoint, and truly duplicated") {
+    val W = 8
+    val spans = graft.queries.DedupQueries.queries("dedup_substring")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "fixture corpus must contain duplicated spans")
+    // per-doc invariants of the gaps-and-islands merge
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, s, e, nw) =>
+        assert(e >= s + W - 1, s"doc $doc: span [$s,$e] shorter than a window")
+        // fixed-width windows: n contiguous duplicated starts span
+        // exactly e - s - W + 2 windows
+        assert(nw == e - s - W + 2,
+          s"doc $doc: span [$s,$e] claims $nw windows, merge arithmetic broken")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // maximality: merged spans are separated by a real gap (> 1
+          // token between a span end and the next span start would have
+          // merged if the windows overlapped or touched)
+          assert(s2 > e1 + 1, s"doc $doc: spans [$e1] and [$s2] should have merged")
+        case _ =>
+      }
+    }
+    // ground truth: recompute duplicated windows naively on the driver
+    // and check every reported span is wall-to-wall covered by them
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)).toMap
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach { case (_, ts) =>
+      ts.sliding(W).filter(_.length == W)
+        .foreach(win => occ.updateWith(win.mkString(" "))(c => Some(c.getOrElse(0) + 1)))
+    }
+    val dupStarts = docs.map { case (d, ts) =>
+      d -> ts.sliding(W).zipWithIndex.collect {
+        case (win, i) if win.length == W && occ(win.mkString(" ")) > 1 => i + 1L
+      }.toSet
+    }
+    spans.foreach { case (doc, s, e, _) =>
+      (s to (e - W + 1)).foreach { i =>
+        assert(dupStarts(doc).contains(i),
+          s"doc $doc: window at $i inside span [$s,$e] is not duplicated")
+      }
+    }
+    // completeness: every duplicated window lands inside some span
+    val covered = spans.groupBy(_._1).map { case (d, ss) =>
+      d -> ss.flatMap { case (_, s, e, _) => s to (e - W + 1) }.toSet
+    }
+    dupStarts.foreach { case (d, starts) =>
+      assert(starts.subsetOf(covered.getOrElse(d, Set.empty[Long])),
+        s"doc $d: duplicated windows ${starts -- covered.getOrElse(d, Set.empty[Long])} missing from spans")
+    }
+  }
 }
