@@ -98,7 +98,17 @@ object TextQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)
-    }))
+    }),
+
+    // BPE merge-table training, 8 merges (BpeTrain scaladoc): the
+    // iterated pair-count + greedy-merge loop over the word-frequency
+    // dict. Oracle replays the fixed 8 rounds as unrolled CTEs with the
+    // merge rewrite in its relational run-parity form (provably ≡ the
+    // Spark fold); integer counts + binary-order tie-breaks ⇒ exact
+    // hash gate. TextOpsSpec pins the fold on hand-computed traces.
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.operators.BpeTrain.merges(docs(s, dir), iters = 8)
+        .orderBy("rank")))
 
   private def langidSql: String = {
     val scores = TextAnalysis.markers.map { case (l, ms) =>
@@ -161,7 +171,64 @@ object TextQueries {
        |FROM t2 CROSS JOIN st ORDER BY doc_id""".stripMargin
   }
 
+  /** Unrolled-CTE replay of `iters` BPE training rounds (the
+    * `kmeans_fit_unrolled` pattern). The merge rewrite is the
+    * relational run-parity form: mark matched positions, island
+    * consecutive matches (i − row_number over matches), apply every
+    * other match per island starting at its first (≡ the greedy
+    * left-to-right fold), drop each applied match's second position,
+    * re-list. MATERIALIZED on every round CTE — DuckDB re-executes
+    * multiply-referenced CTEs otherwise (verify skill note).
+    */
+  private def bpeMergesSql(iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""v0 AS MATERIALIZED (
+       |  SELECT word, freq, list_transform(range(1, length(word)+1),
+       |      i -> substr(word, CAST(i AS INT), 1)) AS syms
+       |  FROM (SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+       |        FROM (SELECT unnest(list_filter(
+       |            string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+       |          FROM documents)
+       |        GROUP BY t))""".stripMargin
+    for (it <- 1 to iters) {
+      val p = it - 1
+      ctes += s"""pc$it AS (
+         |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i+1 AS INT)] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS f
+         |  FROM v$p, unnest(range(1, len(syms))) u(i)
+         |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""best$it AS MATERIALIZED (
+         |  SELECT l, r, f FROM pc$it ORDER BY f DESC, l, r LIMIT 1)""".stripMargin
+      ctes += s"""pos$it AS (
+         |  SELECT word, freq, CAST(i AS BIGINT) AS i, syms[CAST(i AS INT)] AS s,
+         |    syms[CAST(i+1 AS INT)] AS s2, len(syms) AS n
+         |  FROM v$p, unnest(range(1, len(syms)+1)) u(i))""".stripMargin
+      ctes += s"""act$it AS (
+         |  SELECT word, freq, i, s, s2,
+         |    mt AND ((i - min(i) OVER (PARTITION BY word, g)) % 2 = 0) AS active
+         |  FROM (
+         |    SELECT *, CASE WHEN mt
+         |        THEN i - row_number() OVER (PARTITION BY word, mt ORDER BY i)
+         |      END AS g
+         |    FROM (SELECT p.*, (p.i < p.n AND p.s = b.l AND p.s2 = b.r) AS mt
+         |          FROM pos$it p CROSS JOIN best$it b)))""".stripMargin
+      ctes += s"""v$it AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list(CASE WHEN active THEN s || s2 ELSE s END ORDER BY i) AS syms
+         |  FROM (SELECT *, lag(active) OVER (PARTITION BY word ORDER BY i) AS pact
+         |        FROM act$it)
+         |  WHERE NOT coalesce(pact, false)
+         |  GROUP BY word, freq)""".stripMargin
+    }
+    val sel = (1 to iters).map(i =>
+      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, f AS pair_freq FROM best$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.result().mkString(",\n")}\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeMergesSql(8),
+
     "text_langid" -> langidSql,
 
     // same 60-bit md5 token hash as the Spark side, so vocabulary and

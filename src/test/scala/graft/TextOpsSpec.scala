@@ -188,4 +188,34 @@ class TextOpsSpec extends SparkSpec {
     assert(all.forall(r => r.getLong(2) == r.getLong(1)),
       "with v >= |alphabet| every distinct token is in-vocab")
   }
+
+  test("bpe merge fold: greedy leftmost non-overlap on adversarial traces") {
+    import graft.operators.BpeTrain
+    def fold(syms: Seq[String], l: String, r: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(BpeTrain.mergeFold(col("syms"), l, r).as("m"))
+        .head().getSeq[String](0)
+    // hand-computed traces — runs of a repeated char are where greedy
+    // left-to-right and naive "merge every match" diverge
+    assert(fold(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(fold(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(fold(Seq("a", "a", "a", "a", "a"), "a", "a") == Seq("aa", "aa", "a"))
+    // overlapping different-pair candidates: only the leftmost fires
+    assert(fold(Seq("a", "b", "a", "b"), "b", "a") == Seq("a", "ba", "b"))
+    // no match / single symbol / merged symbol participates next round
+    assert(fold(Seq("x"), "a", "b") == Seq("x"))
+    assert(fold(Seq("a", "b", "c"), "b", "c") == Seq("a", "bc"))
+    assert(fold(Seq("a", "bc"), "a", "bc") == Seq("abc"))
+  }
+
+  test("bpe training: hand-computed merge table on a tiny corpus") {
+    import graft.operators.BpeTrain
+    // words: ab freq 3, cd freq 3 -> pairs (a,b):3 and (c,d):3 tie;
+    // lexicographic tie-break picks (a,b) first, then (c,d)
+    val d = docsOf(1L -> "ab ab cd", 2L -> "ab cd cd")
+    val got = BpeTrain.merges(d, iters = 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 3L), (2, "c", "d", 3L)),
+      s"merge table diverged: ${got.toSeq}")
+  }
 }
