@@ -236,6 +236,27 @@ object StreamingQueries {
         .orderBy("c_event", "p_event")
     }),
 
+    // stream-STREAM LEFT OUTER interval join — the ninth gated shape
+    // (EventStream.clickPurchaseLeftJoin scaladoc): null-extended rows
+    // exist only because watermark eviction proved no match can still
+    // arrive, which is the semantics the inner join never exercises.
+    // p_event is coalesced to −1 on BOTH engines so the null-extension
+    // sits under the exact hash gate without cross-engine null-ordering
+    // hazards; marker rows (user_id < 0) are dropped on sink read.
+    // StreamingHygieneSpec pins that the null rows were emitted strictly
+    // after every match emission (eviction, not batch-end flush).
+    "stream_left_join_sink" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
+      val sink = runToParquet(EventStream.clickPurchaseLeftJoin(
+        EventStream.readEvents(s, staged)),
+        statePartitions = defaultStateParts, stagedSrc = Some(staged))
+      s.read.parquet(sink)
+        .where(col("user_id") >= 0)
+        .select(col("c_event"),
+          coalesce(col("p_event"), lit(-1L)).as("p_event"), col("user_id"))
+        .orderBy("c_event", "p_event")
+    }),
+
     // mapGroupsWithState running totals under the oracle gate — the
     // last stateful-API surface (update-mode custom keyed state; the
     // others: stateless window agg, dropDuplicates, stream-stream join,
@@ -381,6 +402,18 @@ object StreamingQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT c_event, p_event, user_id
         |FROM c JOIN p ON user_id = p_user
+        |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
+        |ORDER BY c_event, p_event""".stripMargin,
+
+    // the batch LEFT interval join; unmatched → p_event −1 (same
+    // coalesce on the Spark side — no null-ordering hazard)
+    "stream_left_join_sink" ->
+      """WITH c AS (SELECT event_id AS c_event, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c_event, coalesce(p_event, -1) AS p_event, user_id
+        |FROM c LEFT JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
 

@@ -183,6 +183,36 @@ object EventStream {
       .select(col("c_event"), col("p_event"), col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the shape that actually
+    * exercises watermark-eviction semantics: a click with no purchase
+    * in its preceding hour can only be emitted (null-extended) once the
+    * watermark proves no matching purchase can still arrive, i.e. when
+    * the right-side state for its interval is evicted. Inner joins
+    * (clickPurchaseJoin) never wait on the watermark to EMIT — only to
+    * evict — so this is the ninth gated streaming shape, not a variant
+    * of the eighth.
+    *
+    * The `_mark` far-future row is KEPT in both side streams (the
+    * windowedAgg pattern): it advances both event-time watermarks past
+    * every real click's match deadline, so the drained sink provably
+    * holds every null-extended row. Marker rows carry user_id −1 and
+    * only match each other (real user_ids are non-negative); callers
+    * drop them on sink read.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type").isin("click", "_mark"))
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type").isin("purchase", "_mark"))
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases, expr(
+      "user_id = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+      "leftOuter")
+      .select(col("c_event"), col("p_event"), col("user_id"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * user's dimension row (here: the user's total order count from the
     * batch `customer`-keyed aggregate). The static side is planned as a

@@ -66,6 +66,64 @@ class StreamingHygieneSpec extends SparkSpec {
       "duplicate event_ids in the sink after restart")
   }
 
+  test("left-outer join null-extension comes from watermark eviction, not flush") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    // stage fixture + far-future marker (the stream_left_join_sink
+    // staging, inlined): the marker advances both side watermarks past
+    // every click's match deadline
+    val src = Files.createTempDirectory("lj_src")
+    val cp = Files.createTempDirectory("lj_cp").toString
+    val ev = Tables.events(spark, sf)
+    ev.select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val markNs = ev.agg(max(col("ts_ns"))).head().getLong(0) +
+      30L * 24 * 3600 * 1000000000L
+    import spark.implicits._
+    Seq((-1L, markNs, -1L, "_mark", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    // per-micro-batch (batchId, matched rows, null-extended rows)
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = EventStream.clickPurchaseLeftJoin(
+        EventStream.readEvents(spark, src.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val real = df.where(col("user_id") >= 0).cache()
+        val m = real.where(col("p_event").isNotNull).count()
+        val n = real.where(col("p_event").isNull).count()
+        real.unpersist()
+        batches.synchronized { batches += ((id, m, n)) }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nullBatches = batches.filter(_._3 > 0).map(_._1)
+    val matchBatches = batches.filter(_._2 > 0).map(_._1)
+    assert(matchBatches.nonEmpty, "no matched rows emitted")
+    assert(nullBatches.nonEmpty, "no null-extended rows emitted at all")
+    // eviction semantics: every null-extension lands strictly AFTER the
+    // last match emission — a batch-end flush would emit them together
+    assert(nullBatches.min > matchBatches.max,
+      s"null rows emitted in/before a match batch: $batches")
+    // completeness: eviction released exactly the batch answer's
+    // unmatched clicks
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"),
+        col("ts").as("c_ts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val expUnmatched = clicks.join(purch, expr(
+        "user_id = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+        "left_anti").count()
+    assert(batches.map(_._3).sum == expUnmatched,
+      s"eviction emitted ${batches.map(_._3).sum} nulls, batch says $expUnmatched")
+  }
+
   test("staging and checkpoint dirs are removed eagerly, sinks deferred to shutdown") {
     val before = Map(
       "graft_stream_src" -> tmpDirs("graft_stream_src"),
