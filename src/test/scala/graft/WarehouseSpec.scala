@@ -240,4 +240,39 @@ class WarehouseSpec extends SparkSpec {
           s"day $day: estimate $est vs exact $ex beyond the k=64 error band")
     }
   }
+
+  test("quantile sketch summaries merge losslessly (bottom-K composability)") {
+    import graft.operators.DistinctSketch
+    // small K so per-day truncation actually bites at fixture scale
+    // (the registered K=2048 exceeds sf0.01's per-day pair count)
+    val K = 16
+    val e = Tables.events(spark, sf).select(
+      expr("CAST(datediff(to_date(timestamp_micros(ts_ns DIV 1000)), " +
+        "DATE '1970-01-01') AS BIGINT)").as("day"),
+      DistinctSketch.hash60(col("event_id")).as("pr"),
+      col("value").as("v"))
+    val pairs = e.groupBy(col("day"), col("pr")).agg(min(col("v")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDay = pairs.groupBy(_._1)
+    val days = byDay.keys.toSeq.sorted
+    days.foreach { d =>
+      val window = (d - 6) to d
+      // union-of-summaries path: per-day bottom-K by priority, merged,
+      // re-truncated to K
+      val merged = window.flatMap(wd =>
+          byDay.getOrElse(wd, Array.empty[(Long, Long, Double)])
+            .sortBy(p => (p._2, p._3)).take(K))
+        .sortBy(p => (p._2, p._3)).take(K).map(p => (p._2, p._3))
+      // direct path: bottom-K over the window's raw pairs
+      val direct = window.flatMap(wd =>
+          byDay.getOrElse(wd, Array.empty[(Long, Long, Double)]))
+        .sortBy(p => (p._2, p._3)).take(K).map(p => (p._2, p._3))
+      assert(merged == direct,
+        s"day $d: merged summary diverged from the direct bottom-$K")
+    }
+    // and the registered query's accuracy boolean is true on every row
+    val rows = q("q_quantile_sketch").collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)),
+      "within_10pct must hold on every day at fixture scale")
+  }
 }
