@@ -90,12 +90,10 @@ object BpeTrain {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("f"))
 
-  /** Train `iters` merges; returns the merge table
-    * (rank, left_sym, right_sym, pair_freq), rank 1-based in merge
-    * order — the artifact a tokenizer consumes.
+  /** The training loop: `iters` rounds of argmax-pair + greedy rewrite.
+    * Returns (merge table rows, final symbolized vocab).
     */
-  def merges(docs: DataFrame, iters: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def fit(docs: DataFrame, iters: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = initVocab(docs).localCheckpoint(true)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to iters) {
@@ -109,8 +107,34 @@ object BpeTrain {
       vocab.unpersist(blocking = false)
       vocab = next
     }
+    (out.result(), vocab)
+  }
+
+  /** Train `iters` merges; returns the merge table
+    * (rank, left_sym, right_sym, pair_freq), rank 1-based in merge
+    * order — the artifact a tokenizer consumes.
+    */
+  def merges(docs: DataFrame, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (table, vocab) = fit(docs, iters)
     vocab.unpersist(blocking = false)
     import spark.implicits._
-    out.result().toDF("rank", "left_sym", "right_sym", "pair_freq")
+    table.toDF("rank", "left_sym", "right_sym", "pair_freq")
+  }
+
+  /** Train-then-ENCODE: the trained table applied back to the dict —
+    * per distinct word its post-merge subword count, plus the corpus
+    * token total it implies (freq-weighted). This is the number every
+    * pipeline actually budgets by ("how many BPE tokens is this
+    * corpus"), computed with a REAL learned tokenizer instead of the
+    * whitespace/regex proxies in TextAnalysis.tokenReport. ENCODING a
+    * new corpus at 100 TB is then one broadcast of the merge table +
+    * the same per-row fold — no training-loop cost.
+    */
+  def encode(docs: DataFrame, iters: Int): DataFrame = {
+    val (_, vocab) = fit(docs, iters)
+    val res = vocab.select(col("word"), col("freq"),
+      size(col("syms")).cast("long").as("n_subwords"))
+    res
   }
 }

@@ -637,18 +637,20 @@ object Dedup {
     * `w` is the span width in whitespace tokens: 50 in the C4 paper;
     * the fixture queries use 8 (fixture docs average ~50 tokens).
     */
-  def substringSpans(docs: DataFrame, w: Int): DataFrame = {
+  def substringSpans(docs: DataFrame, w: Int, eager: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = spread(docs.select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts")))
       .where(size(col("ts")) >= w)
-    val wins = toks.select(col("doc_id"),
+    val wins0 = toks.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ts")) - (w - 1)),
           i => struct(i.cast("long").as("start"),
             DistinctSketch.hash60(concat_ws(" ", slice(col("ts"), i, lit(w))))
               .as("h")))).as("wn"))
       .select(col("doc_id"), col("wn.start").as("start"), col("wn.h").as("h"))
-      .localCheckpoint(true) // scanned twice: dup-hash agg + join back
+    // scanned twice (dup-hash agg + join back) — materialize once;
+    // eager = false is the PlanAudit path (TopKPerGroup pattern)
+    val wins = if (eager) wins0.localCheckpoint(true) else wins0
     val dupHashes = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("h"))
     val dup = wins.join(dupHashes, "h").select(col("doc_id"), col("start"))

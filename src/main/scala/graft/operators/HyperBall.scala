@@ -55,7 +55,15 @@ object HyperBall {
     * symmetrized `edges` (src, dst). nnz is the node's non-empty
     * register count (an integer that gates the sketch shape directly).
     */
-  def neighborhoodSizes(edges: DataFrame, rounds: Int): DataFrame = {
+  /** `eager = false` (plan audit only) skips the per-round
+    * localCheckpoints so `.explain` shows the real round tree; the
+    * production path materializes eagerly to truncate iteration
+    * lineage (the standard iterative-operator discipline here).
+    */
+  def neighborhoodSizes(edges: DataFrame, rounds: Int,
+      eager: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (eager) df.localCheckpoint(true) else df
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .cache()
@@ -66,14 +74,13 @@ object HyperBall {
     // plan flagged weak in round 10. Packed, the per-round join is |E|
     // rows and the merge is 64 codegen'd MAX aggregates (map-side
     // combined, constant-size buffer — the KMeansND aggregation shape).
-    var state = e.select(col("u").as("node")).distinct()
+    var state = mat(e.select(col("u").as("node")).distinct()
       .select(col("node"), regCol(col("node")).as("reg"),
         rankCol(col("node")).as("rank"))
       .select(col("node"),
         transform(sequence(lit(0L), lit(Registers - 1L)),
           i => when(i === col("reg"), col("rank")).otherwise(lit(0L)))
-          .as("ranks"))
-      .localCheckpoint(true)
+          .as("ranks")))
     // elementwise zip-max across a node's group, as 64 independent
     // long-MAX aggregates reassembled into the array — stays inside
     // whole-stage codegen, partial-aggregates before the shuffle
@@ -82,9 +89,8 @@ object HyperBall {
     for (_ <- 1 to rounds) {
       val fromNbrs = e.join(state, e("v") === state("node"))
         .select(e("u").as("node"), col("ranks"))
-      state = state.unionAll(fromNbrs)
-        .groupBy(col("node")).agg(zipMax)
-        .localCheckpoint(true)
+      state = mat(state.unionAll(fromNbrs)
+        .groupBy(col("node")).agg(zipMax))
     }
     e.unpersist(blocking = true)
     // harmonic fold over the non-empty registers in register order

@@ -152,6 +152,27 @@ object DedupQueries {
       Dedup.substringSpans(docs(s, dir), w = 8)
         .orderBy("doc_id", "span_start")),
 
+    // per-doc duplicated-token coverage — the span table reduced to the
+    // filter signal pipelines actually threshold on ("drop docs that
+    // are >X% previously-seen text"). Merged spans are disjoint
+    // (PipelineSpec), so summing their lengths IS the covered-token
+    // count; docs with no duplicated span appear with 0.
+    "dedup_substring_ratio" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nt = d.select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      val cov = Dedup.substringSpans(d, w = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("dt"))
+      nt.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dt"), lit(0L)).as("dup_tokens"),
+          rnd(coalesce(col("dt"), lit(0L)).cast("double") / col("n_tokens"),
+            6).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // asymmetric containment |A∩B|/|A| over df-capped rare 5-gram
     // shingles — flags doc-in-doc swallowing that Jaccard/MinHash miss
     // by construction (see Dedup.containmentPairs). Directed output:
@@ -413,43 +434,76 @@ object DedupQueries {
        |FROM lab ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CTE chain for the substring-span oracles: W-token windows,
+    * 60-bit window hashes, corpus-wide duplicate marking, per-doc
+    * lag-gap island merge → `spans`(doc_id, span_start, span_end,
+    * n_windows). Twin of [[graft.operators.Dedup.substringSpans]].
+    */
+  private def substringCtes(w: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS ts
+       |  FROM documents
+       |), wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+       |    CAST(('0x' || substr(md5(array_to_string(ts[i:i+$w-1], ' ')),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM toks, unnest(range(1, len(ts) - $w + 2)) u(i)
+       |  WHERE len(ts) >= $w
+       |), dup AS (
+       |  SELECT doc_id, start FROM (
+       |    SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c
+       |    FROM wins)
+       |  WHERE c > 1
+       |), isl AS (
+       |  SELECT doc_id, start,
+       |    CASE WHEN start - lag(start)
+       |        OVER (PARTITION BY doc_id ORDER BY start) <= $w
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM dup
+       |), grp AS (
+       |  SELECT doc_id, start,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS g
+       |  FROM isl
+       |), spans AS MATERIALIZED (
+       |  SELECT doc_id, min(start) AS span_start,
+       |    max(start) + $w - 1 AS span_end,
+       |    count(*) AS n_windows
+       |  FROM grp GROUP BY doc_id, g
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // window hash = the 60-bit md5 idiom (hash60 twin); duplicate test
     // is count over the hash, span merge is the same lag-gap
     // gaps-and-islands (fixed-width windows ⇒ monotone ends ⇒ exact)
     "dedup_substring" -> {
       val w = 8
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-         |    t -> t <> '') AS ts
-         |  FROM documents
-         |), wins AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS start,
-         |    CAST(('0x' || substr(md5(array_to_string(ts[i:i+$w-1], ' ')),
-         |      1, 15)) AS BIGINT) AS h
-         |  FROM toks, unnest(range(1, len(ts) - $w + 2)) u(i)
-         |  WHERE len(ts) >= $w
-         |), dup AS (
-         |  SELECT doc_id, start FROM (
-         |    SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c
-         |    FROM wins)
-         |  WHERE c > 1
-         |), isl AS (
-         |  SELECT doc_id, start,
-         |    CASE WHEN start - lag(start)
-         |        OVER (PARTITION BY doc_id ORDER BY start) <= $w
-         |      THEN 0 ELSE 1 END AS brk
-         |  FROM dup
-         |), grp AS (
-         |  SELECT doc_id, start,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS g
-         |  FROM isl
-         |)
-         |SELECT doc_id, min(start) AS span_start,
-         |  max(start) + $w - 1 AS span_end,
-         |  count(*) AS n_windows
-         |FROM grp GROUP BY doc_id, g
+      s"""WITH ${substringCtes(w)}
+         |SELECT doc_id, span_start, span_end, n_windows FROM spans
          |ORDER BY doc_id, span_start""".stripMargin
+    },
+
+    // spans reduced to per-doc covered-token counts; LEFT join keeps
+    // span-free docs at 0
+    "dedup_substring_ratio" -> {
+      val w = 8
+      s"""WITH ${substringCtes(w)},
+         |nt AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), cov AS (
+         |  SELECT doc_id,
+         |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dt
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT n.doc_id, n.n_tokens,
+         |  coalesce(c.dt, 0) AS dup_tokens,
+         |  ${rndSql("CAST(coalesce(c.dt, 0) AS DOUBLE) / n.n_tokens", 6)}
+         |    AS dup_ratio
+         |FROM nt n LEFT JOIN cov c ON c.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin
     },
 
     "dedup_cluster" -> clusterSql(6),

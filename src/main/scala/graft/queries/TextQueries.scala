@@ -108,7 +108,15 @@ object TextQueries {
     // hash gate. TextOpsSpec pins the fold on hand-computed traces.
     "text_bpe_merges" -> ((s, dir) =>
       graft.operators.BpeTrain.merges(docs(s, dir), iters = 8)
-        .orderBy("rank")))
+        .orderBy("rank")),
+
+    // the trained table applied back: per-word subword counts (the
+    // corpus token budget under the REAL learned tokenizer — what
+    // tokenReport's whitespace/regex counts approximate). Oracle = the
+    // same unrolled chain, read out at v8 instead of the merge list.
+    "text_bpe_encode" -> ((s, dir) =>
+      graft.operators.BpeTrain.encode(docs(s, dir), iters = 8)
+        .orderBy("word")))
 
   private def langidSql: String = {
     val scores = TextAnalysis.markers.map { case (l, ms) =>
@@ -181,6 +189,20 @@ object TextQueries {
     * multiply-referenced CTEs otherwise (verify skill note).
     */
   private def bpeMergesSql(iters: Int): String = {
+    val sel = (1 to iters).map(i =>
+      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, f AS pair_freq FROM best$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(iters)}\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** Same chain, read out at the final vocab state: per-word subword
+    * counts (the text_bpe_encode oracle). */
+  private def bpeEncodeSql(iters: Int): String =
+    s"""WITH ${bpeCtes(iters)}
+       |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_subwords
+       |FROM v$iters ORDER BY word""".stripMargin
+
+  private def bpeCtes(iters: Int): String = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""v0 AS MATERIALIZED (
        |  SELECT word, freq, list_transform(range(1, length(word)+1),
@@ -220,14 +242,12 @@ object TextQueries {
          |  WHERE NOT coalesce(pact, false)
          |  GROUP BY word, freq)""".stripMargin
     }
-    val sel = (1 to iters).map(i =>
-      s"SELECT $i AS rank, l AS left_sym, r AS right_sym, f AS pair_freq FROM best$i")
-      .mkString(" UNION ALL ")
-    s"WITH ${ctes.result().mkString(",\n")}\nSELECT * FROM ($sel) ORDER BY rank"
+    ctes.result().mkString(",\n")
   }
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSql(8),
+    "text_bpe_encode" -> bpeEncodeSql(8),
 
     "text_langid" -> langidSql,
 

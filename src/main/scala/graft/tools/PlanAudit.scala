@@ -87,7 +87,12 @@ object PlanAudit {
     "q_kmv_overlap", "q_rolling_actives_kmv", "q_quantile_bysample",
     // round 10 continuation: association rules (basket self-join +
     // broadcast item counts — no |parts|² pair space)
-    "q_market_basket")
+    "q_market_basket",
+    // round 11: mergeable quantile sketch (bounded-heap per-day pair
+    // summaries + one RANGE window over 2048-struct arrays; the exact
+    // arm's explode exists only to feed the within_10pct pin),
+    // substring-ratio (span table + one doc-keyed left join)
+    "q_quantile_sketch", "dedup_substring_ratio")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
@@ -185,6 +190,26 @@ object PlanAudit {
       graft.operators.PageRank.step(
         graft.operators.PageRank.withDegrees(edges),
         graft.operators.PageRank.initRanks(edges), doBroadcast = false)
+    }),
+    // round 11: one narrow window explode (hash-keyed, 8-byte shuffle
+    // values), dup-hash aggregate + join back, per-doc lag/sum window
+    // over duplicated starts only
+    "dedup_substring (pre-checkpoint pipeline)" -> ((s, dir) =>
+      graft.operators.Dedup.substringSpans(
+        graft.Tables.documents(s, dir), w = 8, eager = false)),
+    // round 11: packed HyperBall round — ONE |E|-row join + 64
+    // map-side-combined long-MAX aggregates reassembled into the
+    // register array (the r10 (node, reg) layout shuffled 64x this)
+    "graph_ball_sketch (one packed round)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = graft.Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sup"),
+          (lit(100000L) + col("l_partkey")).as("prt"))
+        .distinct()
+      val edges = pairs.selectExpr("sup AS src", "prt AS dst")
+        .union(pairs.selectExpr("prt AS src", "sup AS dst"))
+      graft.operators.HyperBall.neighborhoodSizes(edges, rounds = 1,
+        eager = false)
     }))
 
   def main(args: Array[String]): Unit = {

@@ -217,5 +217,10 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "b", 3L), (2, "c", "d", 3L)),
       s"merge table diverged: ${got.toSeq}")
+    // encoding under the trained table: both words collapse to 1 subword
+    val enc = BpeTrain.encode(d, iters = 2).orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq(("ab", 3L, 1L), ("cd", 3L, 1L)),
+      s"encode diverged: ${enc.toSeq}")
   }
 }
