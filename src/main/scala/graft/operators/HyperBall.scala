@@ -59,9 +59,21 @@ object HyperBall {
     * localCheckpoints so `.explain` shows the real round tree; the
     * production path materializes eagerly to truncate iteration
     * lineage (the standard iterative-operator discipline here).
+    *
+    * `broadcastSketches` is the [[PageRank.run]] two-regime gate
+    * applied to the sketch frame: when the |V|-row packed state fits
+    * an executor, broadcasting it makes the per-round join a narrow
+    * pass over the edges (no edge shuffle/sort per round — only the
+    * register-merge aggregate shuffles); for billion-node graphs the
+    * default self-selects OFF by a measured node count. The cap is
+    * node-count-scaled for the FAT state row (~600 B: node + 64-long
+    * array ≈ 40× PageRank's (node, rank)), so 150k nodes ≈ the same
+    * executor budget PageRank's 5M-node cap implies.
     */
   def neighborhoodSizes(edges: DataFrame, rounds: Int,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      broadcastSketches: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 150000L): DataFrame = {
     def mat(df: DataFrame): DataFrame =
       if (eager) df.localCheckpoint(true) else df
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -86,8 +98,11 @@ object HyperBall {
     // whole-stage codegen, partial-aggregates before the shuffle
     val zipMax = array((1 to Registers).map(i =>
       max(element_at(col("ranks"), i))): _*).as("ranks")
+    val doBroadcast = PageRank.chooseBroadcast(broadcastSketches, eager,
+      state.count(), broadcastMaxNodes)
     for (_ <- 1 to rounds) {
-      val fromNbrs = e.join(state, e("v") === state("node"))
+      val stateSide = if (doBroadcast) broadcast(state) else state
+      val fromNbrs = e.join(stateSide, e("v") === stateSide("node"))
         .select(e("u").as("node"), col("ranks"))
       state = mat(state.unionAll(fromNbrs)
         .groupBy(col("node")).agg(zipMax))

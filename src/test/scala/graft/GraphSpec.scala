@@ -232,6 +232,44 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("hyperball broadcast gate: regimes agree bit-for-bit, cap refuses big graphs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.HyperBall
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("sup"),
+        (lit(100000L) + col("l_partkey")).as("prt"))
+      .distinct()
+    val edges = pairs.select(col("sup").as("src"), col("prt").as("dst"))
+      .union(pairs.select(col("prt").as("src"), col("sup").as("dst")))
+    def sizesOf(bc: Option[Boolean]): Map[Long, (Long, Double)] =
+      HyperBall.neighborhoodSizes(edges, rounds = 2, broadcastSketches = bc)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // register max is order/placement-free, so the shuffle regime (the
+    // billion-node path) must equal the broadcast regime exactly —
+    // including the IEEE harmonic folds
+    assert(sizesOf(Some(false)) == sizesOf(Some(true)),
+      "shuffle and broadcast sketch regimes diverged")
+    // the plan really flips: the pinned broadcast round joins by BHJ,
+    // the pinned shuffle round must not. Auto-broadcast thresholds are
+    // killed in an isolated session so fixture-scale stats can't mask
+    // the gate (the pagerank shuffle-regime pattern)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import sess.implicits._
+    val sEdges = (0L until 20L)
+      .flatMap(i => Seq((i, (i + 1) % 20), (i, (i + 5) % 20)))
+      .toDF("src", "dst")
+    def roundPlan(bc: Boolean): String =
+      HyperBall.neighborhoodSizes(sEdges, rounds = 1,
+        eager = false, broadcastSketches = Some(bc))
+        .queryExecution.executedPlan.toString
+    assert(roundPlan(true).contains("BroadcastHashJoin"),
+      "pinned broadcast regime lost its broadcast join")
+    assert(!roundPlan(false).contains("BroadcastHashJoin"),
+      "sketch state must not broadcast above the cap")
+  }
+
   test("hyperball: estimates grow with radius and track true ball sizes") {
     import org.apache.spark.sql.functions.col
     val pairs = Tables.lineitem(spark, sf)
