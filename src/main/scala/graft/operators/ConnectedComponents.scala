@@ -43,7 +43,16 @@ object ConnectedComponents {
     * uses to prove the jump form converges in fewer rounds than plain
     * hash-min on the same graph.
     */
-  def runWithRounds(edges: DataFrame, maxIters: Int = 32): (DataFrame, Int) = {
+  /** `broadcastLabels`: [[PageRank.run]]'s two-regime gate on the
+    * |V|-row label table — when vertex state fits an executor, BOTH
+    * per-round joins (the |E|-row neighbor-min and the |V|-row pointer
+    * jump) become narrow broadcast passes; billion-node graphs
+    * self-select the shuffle joins by the measured node count. Min is
+    * placement-free, so regimes are bit-identical.
+    */
+  def runWithRounds(edges: DataFrame, maxIters: Int = 32,
+      broadcastLabels: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 5000000L): (DataFrame, Int) = {
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .cache()
@@ -59,11 +68,14 @@ object ConnectedComponents {
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
+    val doBroadcast = PageRank.chooseBroadcast(broadcastLabels,
+      eager = true, labels.count(), broadcastMaxNodes)
     while (!converged && round < maxIters) {
       round += 1
       // neighbor-min: each node takes the min of its own and its
       // neighbors' labels — one O(|E|) equi-join + min-aggregate
-      val viaNbr = e.join(labels, e("v") === labels("d"))
+      val labelSide = if (doBroadcast) broadcast(labels) else labels
+      val viaNbr = e.join(labelSide, e("v") === labelSide("d"))
         .select(e("u").as("d"), col("lbl"))
       val l1 = labels.unionAll(viaNbr)
         .groupBy(col("d")).agg(min(col("lbl")).as("lbl"))
@@ -71,7 +83,8 @@ object ConnectedComponents {
       // pointer jump: lbl ← min(lbl, lbl(lbl)) — every label is itself a
       // node id present in the table, so this is an O(|V|) self-join
       // that halves the remaining pointer-chain depth
-      val p = l1.select(col("d").as("pd"), col("lbl").as("plbl"))
+      val p0 = l1.select(col("d").as("pd"), col("lbl").as("plbl"))
+      val p = if (doBroadcast) broadcast(p0) else p0
       labels = l1.join(p, l1("lbl") === p("pd"), "left")
         .select(l1("d").as("d"),
           least(l1("lbl"), coalesce(col("plbl"), l1("lbl"))).as("lbl"))

@@ -28,8 +28,18 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** (node, community) after `rounds` synchronous rounds over the
-    * symmetrized `edges` (src, dst). */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    * symmetrized `edges` (src, dst).
+    *
+    * `broadcastLabels` is [[PageRank.run]]'s two-regime gate on the
+    * |V|-row label table: when vertex state fits an executor the
+    * per-round join is a narrow broadcast pass over the edges (no edge
+    * shuffle/sort per round); billion-node graphs self-select the
+    * shuffle join by the measured node count. Plurality/min-label
+    * argmax is placement-free, so both regimes are bit-identical.
+    */
+  def run(edges: DataFrame, rounds: Int,
+      broadcastLabels: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     require(rounds >= 1, s"LPA needs at least one round, got $rounds" +
       " (round 1 is fused into the label init)")
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -46,8 +56,11 @@ object LabelProp {
       .agg(min(struct((col("c") * lit(-1L)).as("nc"), col("lbl"))).as("m"))
       .select(col("d"), col("m.lbl").as("lbl"))
       .localCheckpoint(true)
+    val doBroadcast = PageRank.chooseBroadcast(broadcastLabels,
+      eager = true, labels.count(), broadcastMaxNodes)
     for (_ <- 2 to rounds) {
-      labels = e.join(labels, e("v") === labels("d"))
+      val labelSide = if (doBroadcast) broadcast(labels) else labels
+      labels = e.join(labelSide, e("v") === labelSide("d"))
         .groupBy(e("u").as("d"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("d"))

@@ -232,6 +232,26 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("label-prop and cc broadcast gates: regimes agree bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, LabelProp}
+    // two triangles bridged by one edge + an isolated pair — exercises
+    // plurality ties, the pointer jump, and multi-component labeling
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    def lpa(bc: Boolean) = LabelProp.run(edges, rounds = 3,
+        broadcastLabels = Some(bc))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(true) == lpa(false), "LPA regimes diverged")
+    def cc(bc: Boolean) = ConnectedComponents.runWithRounds(edges,
+        maxIters = 32, broadcastLabels = Some(bc))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cB, cS) = (cc(true), cc(false))
+    assert(cB == cS, "CC regimes diverged")
+    // sanity: the bridge merges the triangles; the pair stays apart
+    assert(cB(6L) == cB(1L) && cB(10L) != cB(1L))
+  }
+
   test("hyperball broadcast gate: regimes agree bit-for-bit, cap refuses big graphs") {
     import org.apache.spark.sql.functions.col
     import graft.operators.HyperBall
