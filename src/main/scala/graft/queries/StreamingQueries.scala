@@ -370,6 +370,24 @@ object StreamingQueries {
     // closed by in-batch gaps emit immediately, trailing ones by the
     // marker-advanced watermark; oracle = the batch lag/running-sum
     // sessionizer on millisecond timestamps
+    // native session_window aggregation — the tenth gated shape
+    // (EventStream.sessionWindowAgg scaladoc): engine-managed merging
+    // window state vs sessionize's hand-rolled
+    // flatMapGroupsWithState. 30-min gap (vs 120) so the two session
+    // queries also differ observably; oracle encodes the native
+    // half-open split rule (diff >= gap ⇒ new session) and the
+    // last+gap window end.
+    "stream_session_window_sink" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
+      val sink = runToParquet(EventStream.sessionWindowAgg(
+        EventStream.readEvents(s, staged), gapMinutes = 30),
+        statePartitions = defaultStateParts, stagedSrc = Some(staged))
+      s.read.parquet(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     "stream_sessionize_sink" -> ((s, dir) => {
       val staged = stageEvents(s, dir)
       val sink = runToParquet(EventStream.sessionize(
@@ -463,6 +481,33 @@ object StreamingQueries {
 
     // batch sessionizer on ms granularity (streaming state keeps
     // java.sql.Timestamp.getTime = epoch_us // 1000; 120 min = 7200000 ms)
+    // native rule: split at diff >= gap (half-open window), end = last
+    // event + gap. The split MUST compare at MICROsecond precision (the
+    // engine's; fixture ts carry sub-ms micros) — only the OUTPUT
+    // truncates to ms, and the +gap distributes over the truncation
+    // because the gap is a whole number of ms
+    "stream_session_window_sink" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN ts_us - lag(ts_us, 1) OVER w >= 1800000000 THEN 1
+        |         WHEN lag(ts_us, 1) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) // 1000 AS start_ms,
+        |  (max(ts_us) + 1800000000) // 1000 AS end_ms
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
+
     "stream_sessionize_sink" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id FROM events

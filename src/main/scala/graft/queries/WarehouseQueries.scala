@@ -403,6 +403,8 @@ object WarehouseQueries {
         .groupBy(col("day"))
         .agg(sort_array(collect_list(struct(col("pr"), col("v")))).as("ks"))
       val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      // any quantile reads off the SAME merged summary: lower order
+      // statistic at rank ceil(q·n) (p50 spelled (n+1)/2 ≡ ceil(n/2))
       val est = sk
         .select(col("day"),
           slice(array_sort(flatten(collect_list(col("ks")).over(w))),
@@ -411,7 +413,11 @@ object WarehouseQueries {
           array_sort(transform(col("mp"), p => p.getField("v"))).as("sv"))
         .select(col("day"),
           element_at(col("sv"),
-            ((size(col("sv")) + 1) / 2).cast("int")).as("est_p50_7d"))
+            (((size(col("sv")) + 9) * 1) / 10).cast("int")).as("est_p10_7d"),
+          element_at(col("sv"),
+            ((size(col("sv")) + 1) / 2).cast("int")).as("est_p50_7d"),
+          element_at(col("sv"),
+            (((size(col("sv")) * 9) + 9) / 10).cast("int")).as("est_p90_7d"))
       val mx = e.agg(max(col("day")).as("mxd"))
       val exact = e
         .select(col("v"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
@@ -421,7 +427,8 @@ object WarehouseQueries {
           element_at(col("av"),
             ((size(col("av")) + 1) / 2).cast("int")).as("exact_p50"))
       daily.join(est, "day").join(exact, col("day") === col("wday"))
-        .select(col("day"), col("n_1d"), col("est_p50_7d"),
+        .select(col("day"), col("n_1d"), col("est_p10_7d"),
+          col("est_p50_7d"), col("est_p90_7d"),
           (abs(col("est_p50_7d") - col("exact_p50")) <=
             lit(0.10) * col("exact_p50")).as("within_10pct"))
         .orderBy("day")
@@ -820,12 +827,16 @@ object WarehouseQueries {
          |    row_number() OVER (PARTITION BY d.day ORDER BY s.pr, s.v) AS rk
          |  FROM dd d JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
          |), est AS (
-         |  SELECT day, v AS est_p50_7d FROM (
+         |  SELECT day,
+         |    max(CASE WHEN vr = (n + 9) // 10 THEN v END) AS est_p10_7d,
+         |    max(CASE WHEN vr = (n + 1) // 2 THEN v END) AS est_p50_7d,
+         |    max(CASE WHEN vr = (n * 9 + 9) // 10 THEN v END) AS est_p90_7d
+         |  FROM (
          |    SELECT day, v,
          |      row_number() OVER (PARTITION BY day ORDER BY v) AS vr,
          |      count(*) OVER (PARTITION BY day) AS n
          |    FROM ur WHERE rk <= $k)
-         |  WHERE vr = (n + 1) // 2
+         |  GROUP BY day
          |), ex AS (
          |  SELECT wday, v_ex FROM (
          |    SELECT wday, v AS v_ex,
@@ -836,7 +847,7 @@ object WarehouseQueries {
          |    WHERE wday <= (SELECT max(day) FROM ev))
          |  WHERE vr = (n + 1) // 2
          |)
-         |SELECT d.day, d.n_1d, e.est_p50_7d,
+         |SELECT d.day, d.n_1d, e.est_p10_7d, e.est_p50_7d, e.est_p90_7d,
          |  abs(e.est_p50_7d - x.v_ex) <= 0.10 * x.v_ex AS within_10pct
          |FROM daily d JOIN est e ON e.day = d.day
          |JOIN ex x ON x.wday = d.day

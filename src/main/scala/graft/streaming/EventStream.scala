@@ -183,6 +183,26 @@ object EventStream {
       .select(col("c_event"), col("p_event"), col("user_id"))
   }
 
+  /** Native `session_window` aggregation — the built-in merging-state
+    * session operator, a DIFFERENT stateful surface from the custom
+    * flatMapGroupsWithState sessionize (the engine merges adjacent
+    * window state under the hood; no user state class). Semantics
+    * divergence from [[sessionize]] worth pinning: the native window is
+    * half-open [start, last + gap), so an event at EXACTLY gap distance
+    * starts a NEW session (split at diff >= gap), where the custom
+    * operator's `> gap` test merges it — the oracle encodes the native
+    * rule. end_ms is last-event + gap (the window end), not last-event.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"))
+
   /** Stream-stream LEFT OUTER interval join — the shape that actually
     * exercises watermark-eviction semantics: a click with no purchase
     * in its preceding hour can only be emitted (null-extended) once the

@@ -272,7 +272,13 @@ class WarehouseSpec extends SparkSpec {
     }
     // and the registered query's accuracy boolean is true on every row
     val rows = q("q_quantile_sketch").collect()
-    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)),
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("within_10pct")),
       "within_10pct must hold on every day at fixture scale")
+    // the same summary serves every quantile: p10 <= p50 <= p90
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_p10_7d") <= r.getAs[Double]("est_p50_7d") &&
+        r.getAs[Double]("est_p50_7d") <= r.getAs[Double]("est_p90_7d"),
+        s"quantile order violated on day ${r.getAs[Long]("day")}")
+    }
   }
 }
