@@ -637,8 +637,12 @@ object Dedup {
     * `w` is the span width in whitespace tokens: 50 in the C4 paper;
     * the fixture queries use 8 (fixture docs average ~50 tokens).
     */
-  def substringSpans(docs: DataFrame, w: Int, eager: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The sliding W-token window stream (doc_id, start, h) — shared by
+    * the substring-dedup family. `eager` materializes it once (it is
+    * always scanned at least twice downstream).
+    */
+  private def substringWindows(docs: DataFrame, w: Int,
+      eager: Boolean): DataFrame = {
     val toks = spread(docs.select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts")))
       .where(size(col("ts")) >= w)
@@ -648,17 +652,19 @@ object Dedup {
             DistinctSketch.hash60(concat_ws(" ", slice(col("ts"), i, lit(w))))
               .as("h")))).as("wn"))
       .select(col("doc_id"), col("wn.start").as("start"), col("wn.h").as("h"))
-    // scanned twice (dup-hash agg + join back) — materialize once;
-    // eager = false is the PlanAudit path (TopKPerGroup pattern)
-    val wins = if (eager) wins0.localCheckpoint(true) else wins0
-    val dupHashes = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("h"))
-    val dup = wins.join(dupHashes, "h").select(col("doc_id"), col("start"))
-    // gaps-and-islands: same-width intervals sorted by start have
-    // monotone ends, so "gap > w" via lag is exact overlap/adjacency
-    // merge (first row's null diff falls to otherwise(1) = new island)
+    if (eager) wins0.localCheckpoint(true) else wins0
+  }
+
+  /** Merge a (doc_id, start) window-position stream into maximal
+    * per-doc spans: gaps-and-islands — same-width intervals sorted by
+    * start have monotone ends, so "gap > w" via lag is exact
+    * overlap/adjacency merge (first row's null diff falls to
+    * otherwise(1) = new island).
+    */
+  private def mergeSpans(positions: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    dup
+    positions
       .withColumn("brk",
         when(col("start") - lag(col("start"), 1).over(wd) <= w, lit(0L))
           .otherwise(lit(1L)))
@@ -669,5 +675,49 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
+  }
+
+  def substringSpans(docs: DataFrame, w: Int, eager: Boolean = true): DataFrame = {
+    val wins = substringWindows(docs, w, eager)
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("h"))
+    mergeSpans(wins.join(dupHashes, "h").select(col("doc_id"), col("start")), w)
+  }
+
+  /** First-occurrence-retention removal stats — the cleaning pass the
+    * span table implies: of every duplicated W-token window, the
+    * occurrence with the globally smallest (doc_id, start) is KEPT and
+    * every other occurrence is removed. Semantics are positional-cover:
+    * a token is removed iff some non-first duplicated window covers it
+    * (so a kept first occurrence can still lose tokens to an
+    * overlapping later window in the same doc — the classic wrinkle of
+    * span-removal cleaners, documented rather than hidden).
+    *
+    * Returns per doc (ALL docs): (doc_id, n_tokens, removed_tokens,
+    * kept_tokens). All-integer ⇒ exact hash gate. One extra
+    * hash-keyed aggregate vs [[substringSpans]] (the per-hash
+    * first-occurrence min(struct)) — same shuffle bounds.
+    */
+  def substringRemovalStats(docs: DataFrame, w: Int,
+      eager: Boolean = true): DataFrame = {
+    val wins = substringWindows(docs, w, eager)
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("f"),
+        count(lit(1)).as("c"))
+      .where(col("c") > 1)
+    val removable = wins.join(firsts, "h")
+      .where(!(col("doc_id") === col("f.doc_id") &&
+        col("start") === col("f.start")))
+      .select(col("doc_id"), col("start"))
+    val removed = mergeSpans(removable, w)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("rt"))
+    val nt = docs.select(col("doc_id"),
+      size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    nt.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("rt"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("rt"), lit(0L))).as("kept_tokens"))
   }
 }

@@ -173,6 +173,15 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // first-occurrence-retention cleaning stats
+    // (Dedup.substringRemovalStats scaladoc): every duplicated window's
+    // globally-first occurrence is kept, all others removed
+    // (positional-cover semantics); per-doc removed/kept token counts
+    // over ALL docs — what a C4-style cleaner actually deletes.
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.substringRemovalStats(docs(s, dir), w = 8)
+        .orderBy("doc_id")),
+
     // asymmetric containment |A∩B|/|A| over df-capped rare 5-gram
     // shingles — flags doc-in-doc swallowing that Jaccard/MinHash miss
     // by construction (see Dedup.containmentPairs). Directed output:
@@ -439,18 +448,22 @@ object DedupQueries {
     * lag-gap island merge → `spans`(doc_id, span_start, span_end,
     * n_windows). Twin of [[graft.operators.Dedup.substringSpans]].
     */
-  private def substringCtes(w: Int): String =
+  /** toks + wins — the shared window stream of the substring family. */
+  private def substringWinsCtes(w: Int): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    t -> t <> '') AS ts
        |  FROM documents
-       |), wins AS (
+       |), wins AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS BIGINT) AS start,
        |    CAST(('0x' || substr(md5(array_to_string(ts[i:i+$w-1], ' ')),
        |      1, 15)) AS BIGINT) AS h
        |  FROM toks, unnest(range(1, len(ts) - $w + 2)) u(i)
        |  WHERE len(ts) >= $w
-       |), dup AS (
+       |)""".stripMargin
+
+  private def substringCtes(w: Int): String =
+    s"""${substringWinsCtes(w)}, dup AS (
        |  SELECT doc_id, start FROM (
        |    SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c
        |    FROM wins)
@@ -472,7 +485,56 @@ object DedupQueries {
        |  FROM grp GROUP BY doc_id, g
        |)""".stripMargin
 
+  /** First-occurrence-retention removal chain (Dedup.substringRemovalStats
+    * twin): removable = occurrences of duplicated windows other than the
+    * global (doc_id, start)-min, merged per doc, summed per doc.
+    */
+  private def substringCleanSql(w: Int): String =
+    s"""WITH ${substringWinsCtes(w)},
+       |firsts AS (
+       |  SELECT h, min(struct_pack(doc_id := doc_id, start := start)) AS f,
+       |    count(*) AS c
+       |  FROM wins GROUP BY h
+       |), removable AS (
+       |  SELECT w.doc_id, w.start
+       |  FROM wins w JOIN firsts fs ON fs.h = w.h
+       |  WHERE fs.c > 1 AND NOT (w.doc_id = fs.f.doc_id
+       |    AND w.start = fs.f.start)
+       |), isl AS (
+       |  SELECT doc_id, start,
+       |    CASE WHEN start - lag(start)
+       |        OVER (PARTITION BY doc_id ORDER BY start) <= $w
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM removable
+       |), grp AS (
+       |  SELECT doc_id, start,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS g
+       |  FROM isl
+       |), rem AS (
+       |  SELECT doc_id,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS rt
+       |  FROM (
+       |    SELECT doc_id, min(start) AS span_start,
+       |      max(start) + $w - 1 AS span_end
+       |    FROM grp GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |), nt AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT n.doc_id, n.n_tokens,
+       |  coalesce(r.rt, 0) AS removed_tokens,
+       |  n.n_tokens - coalesce(r.rt, 0) AS kept_tokens
+       |FROM nt n LEFT JOIN rem r ON r.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // first-occurrence retention: the cleaning pass dedup_substring's
+    // span table implies (Dedup.substringRemovalStats scaladoc)
+    "dedup_substring_clean" -> substringCleanSql(8),
+
     // window hash = the 60-bit md5 idiom (hash60 twin); duplicate test
     // is count over the hash, span merge is the same lag-gap
     // gaps-and-islands (fixed-width windows ⇒ monotone ends ⇒ exact)

@@ -210,4 +210,51 @@ class PipelineSpec extends SparkSpec {
         s"doc $d: duplicated windows ${starts -- covered.getOrElse(d, Set.empty[Long])} missing from spans")
     }
   }
+
+  test("dedup_substring_clean: removal equals the naive first-occurrence replay") {
+    val W = 8
+    val got = graft.queries.DedupQueries.queries("dedup_substring_clean")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)).toMap
+    assert(got.keySet == docs.keySet, "every doc must appear in the stats")
+    // naive replay: first (doc, start) per duplicated window is kept,
+    // every other occurrence's token range is removed (positional cover)
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Long)]]
+    docs.toSeq.sortBy(_._1).foreach { case (d, ts) =>
+      ts.sliding(W).zipWithIndex.foreach { case (win, i) =>
+        if (win.length == W) {
+          val k = win.mkString(" ")
+          occ.updateWith(k)(l => Some((d, i + 1L) :: l.getOrElse(Nil)))
+        }
+      }
+    }
+    val removedPos = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    occ.values.filter(_.size > 1).foreach { os =>
+      val first = os.min
+      os.filter(_ != first).foreach { case (d, s) =>
+        val set = removedPos.getOrElseUpdate(d, scala.collection.mutable.Set.empty)
+        (s until s + W).foreach(set += _)
+      }
+    }
+    docs.keys.foreach { d =>
+      val (nt, rt, kt) = got(d)
+      assert(nt == docs(d).length.toLong, s"doc $d token count")
+      assert(rt == removedPos.get(d).map(_.size.toLong).getOrElse(0L),
+        s"doc $d removed-token count diverged from the naive replay")
+      assert(kt == nt - rt, s"doc $d kept+removed must partition the tokens")
+    }
+    // the pass is a real dedup on this corpus — something is removed —
+    // but not a shredder: the corpus keeps most of its tokens. (A
+    // per-doc floor would be WRONG: a doc that is wall-to-wall
+    // duplicated spans of earlier docs legitimately loses everything —
+    // that is the entire point of the cleaner.)
+    val (totalN, totalR) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(totalR > 0, "corpus has duplicated spans; removal must be non-zero")
+    assert(totalN - totalR > totalN / 2,
+      s"cleaner removed $totalR of $totalN tokens — more than half the corpus")
+  }
 }
