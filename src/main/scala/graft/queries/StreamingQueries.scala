@@ -158,6 +158,7 @@ object StreamingQueries {
 
   private val totalsRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val sketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val qsketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def runToParquet(df: DataFrame, statePartitions: Int = 0,
       stagedSrc: Option[String] = None,
@@ -282,6 +283,31 @@ object StreamingQueries {
           .select(col("event_type"), col("m.n").as("n"),
             rnd(col("m.total"), 4).as("total"))
           .orderBy("event_type")
+      } finally deleteNow(tmp)
+    }),
+
+    // streaming QUANTILE summary — the eleventh gated shape
+    // (EventStream.quantileSketchStream scaladoc): the q_quantile_sketch
+    // bottom-K pair summary as per-day keyed state (≤ 2048 pairs at any
+    // volume). Bottom-K by hash priority is arrival-order-free, so the
+    // drained state equals the batch per-day summary exactly — the
+    // estimate itself hash-gates. Final state per day selected by the
+    // monotone update counter (at capacity n stays K while content
+    // changes). Update mode → memory sink, the stream_totals pattern.
+    "stream_quantile_sink" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream_qsk", deferred = false)
+      stageCopies(tmp, dir, Seq("a"))
+      try {
+        val name = s"graft_qsk_${qsketchRuns.incrementAndGet()}"
+        val sink = EventStream.runToMemory(s,
+          EventStream.quantileSketchStream(
+            EventStream.readEvents(s, tmp.toString), k = 2048).toDF(),
+          name, OutputMode.Update())
+        sink.groupBy(col("day"))
+          .agg(max(struct(col("seq"), col("n_pairs"), col("est_p50"))).as("m"))
+          .select(col("day"), col("m.n_pairs").as("n_pairs"),
+            col("m.est_p50").as("est_p50_1d"))
+          .orderBy("day")
       } finally deleteNow(tmp)
     }),
 
@@ -434,6 +460,31 @@ object StreamingQueries {
         |FROM c LEFT JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
+
+    // the drained per-day bottom-K state equals the batch summary
+    // verbatim — same pair dedup, same priority cut, same lower median
+    "stream_quantile_sink" -> {
+      val k = 2048
+      s"""WITH ev AS (
+         |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS pr,
+         |    value AS v
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+         |), pairs AS (
+         |  SELECT day, pr, min(v) AS v FROM ev GROUP BY day, pr
+         |), rk AS (
+         |  SELECT day, pr, v,
+         |    row_number() OVER (PARTITION BY day ORDER BY pr, v) AS rk
+         |  FROM pairs
+         |), sk AS (SELECT day, v FROM rk WHERE rk <= $k)
+         |SELECT day, n AS n_pairs, v AS est_p50_1d FROM (
+         |  SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY day) AS n
+         |  FROM sk)
+         |WHERE vr = (n + 1) // 2
+         |ORDER BY day""".stripMargin
+    },
 
     // the drained register state equals the batch sketch verbatim
     "stream_sketch_sink" -> {

@@ -162,6 +162,51 @@ object EventStream {
       }
   }
 
+  final case class QSketchState(seq: Long, pairs: Seq[(Long, Double)])
+  final case class QSketchUpdate(day: Long, seq: Long, n_pairs: Long,
+    est_p50: Double)
+
+  /** Streaming quantile summary — the q_quantile_sketch bottom-K
+    * (priority, value) pair summary as keyed state, one group per day:
+    * state is the K smallest md5-priority pairs seen so far (after the
+    * (day, pr)→min(v) dedup the batch form applies), ≤ K pairs at ANY
+    * stream volume. Bottom-K by hash priority is a pure order
+    * statistic — associative, commutative, arrival-order-free — so the
+    * drained state equals the batch per-day summary EXACTLY and the
+    * oracle replays it in SQL (the registerSketch argument, applied to
+    * quantiles). Emits the day's running pair count and lower-median
+    * estimate; `seq` is a per-day update counter so callers can select
+    * each day's FINAL state (at capacity n_pairs stays K while content
+    * still changes, so max-by-n would be wrong).
+    */
+  def quantileSketchStream(events: DataFrame, k: Int): Dataset[QSketchUpdate] = {
+    import events.sparkSession.implicits._
+    import graft.operators.DistinctSketch
+    events.where(col("event_id").isNotNull && col("value").isNotNull)
+      .select(
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+        DistinctSketch.hash60(col("event_id")).as("pr"),
+        col("value").as("v"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (day: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[QSketchState]) =>
+          val prev = state.getOption.getOrElse(QSketchState(0L, Nil))
+          val merged = (prev.pairs.iterator ++ rows.map(r => (r._2, r._3)))
+            .toSeq
+            .groupMapReduce(_._1)(_._2)(math.min) // (day, pr) → min v
+            .toSeq.map { case (pr, v) => (pr, v) }
+            .sortBy(identity).take(k)
+          val next = QSketchState(prev.seq + 1, merged)
+          state.update(next)
+          val vs = merged.map(_._2).sorted
+          QSketchUpdate(day, next.seq, vs.length.toLong,
+            vs((vs.length + 1) / 2 - 1))
+      }
+  }
+
   /** Stream-STREAM inner join with event-time bounds: each click joins
     * purchases by the same user within the hour BEFORE the click
     * (`c_ts - 1h <= p_ts <= c_ts`). Both sides carry watermarks and the
