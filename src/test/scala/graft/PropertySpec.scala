@@ -142,4 +142,74 @@ class PropertySpec extends SparkSpec {
       merged == direct
     })
   }
+
+  test("bpe merge fold == a naive greedy scala fold, any word/pair") {
+    import spark.implicits._
+    val symGen = Gen.oneOf("a", "b", "ab", "c")
+    val wordGen = Gen.nonEmptyListOf(symGen).map(_.take(12))
+    def naive(syms: List[String], l: String, r: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    check(Prop.forAll(wordGen, symGen, symGen) { (w, l, r) =>
+      val got = Seq(Tuple1(w)).toDF("syms")
+        .select(BpeTrain.mergeFold(col("syms"), l, r).as("m"))
+        .head().getSeq[String](0).toList
+      got == naive(w, l, r)
+    })
+  }
+
+  test("substring spans == a naive window/merge replay, any tiny corpus") {
+    import spark.implicits._
+    val W = 3
+    val word = Gen.oneOf("x", "y", "z", "w")
+    val docGen = Gen.listOfN(8, word).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(6))
+    check(Prop.forAll(corpusGen) { texts =>
+      // ids assigned INSIDE the property so shrinking can't duplicate them
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      val got = Dedup.substringSpans(df, w = W).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // naive: count window occurrences, mark duplicated starts, merge
+      val toks = corpus.map { case (d, t) =>
+        d -> t.toLowerCase.split("\\s+").filter(_.nonEmpty) }.toMap
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+      toks.values.foreach(_.sliding(W).filter(_.length == W)
+        .foreach(w0 => occ.updateWith(w0.mkString(" "))(c => Some(c.getOrElse(0) + 1))))
+      val want = toks.flatMap { case (d, ts) =>
+        val starts = ts.sliding(W).zipWithIndex.collect {
+          case (w0, i) if w0.length == W && occ(w0.mkString(" ")) > 1 => i + 1L
+        }.toList
+        // interval merge over sorted starts: [s, s+W-1] joins the open
+        // interval iff it overlaps or is adjacent (s <= prevEnd + 1)
+        starts.foldLeft(List.empty[(Long, Long)]) {
+          case ((s0, e0) :: rest, s) if s <= e0 + 1 => (s0, s + W - 1) :: rest
+          case (acc, s) => (s, s + W - 1) :: acc
+        }.map { case (s, e) => (d, s, e) }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("quantile summary: bottom-K pair merge is lossless, any partition") {
+    val pairGen = Gen.nonEmptyListOf(for {
+      pr <- Gen.choose(0L, 1000L); v <- Gen.choose(0.0, 100.0)
+    } yield (pr, v))
+    check(Prop.forAll(pairGen, pairGen) { (a, b) =>
+      val K = 16
+      def summarize(ps: List[(Long, Double)]) =
+        ps.groupMapReduce(_._1)(_._2)(math.min)
+          .toSeq.sortBy(identity).take(K).toList
+      // merging two segment summaries then re-summarizing equals
+      // summarizing the union directly
+      summarize(summarize(a) ++ summarize(b)) == summarize(a ++ b)
+    })
+  }
 }
