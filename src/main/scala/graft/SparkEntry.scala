@@ -24,7 +24,7 @@ object SparkEntry {
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       WarehouseQueries.queries ++ GraphQueries.queries ++
-      QualityQueries.queries
+      QualityQueries.queries ++ SpatialQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (iterative fits, MLlib) get the
@@ -38,5 +38,5 @@ object SparkEntry {
       DedupQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       WarehouseQueries.oracleSql ++ GraphQueries.oracleSql ++
-      QualityQueries.oracleSql
+      QualityQueries.oracleSql ++ SpatialQueries.oracleSql
 }

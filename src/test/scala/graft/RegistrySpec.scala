@@ -6,7 +6,7 @@ import graft.queries._
 /** Contract checks on the SparkEntry registry itself — no Spark session
   * needed.
   *
-  * The registry merges 15 module maps with `++`, so a name collision
+  * The registry merges 16 module maps with `++`, so a name collision
   * between modules would SILENTLY shadow one module's query (and its
   * oracle could then grade a different query's dump). These checks turn
   * that into a loud failure at test time.
@@ -28,7 +28,8 @@ class RegistrySpec extends AnyFunSuite {
     ("Multimodal", MultimodalQueries.queries, MultimodalQueries.oracleSql),
     ("Warehouse", WarehouseQueries.queries, WarehouseQueries.oracleSql),
     ("Graph", GraphQueries.queries, GraphQueries.oracleSql),
-    ("Quality", QualityQueries.queries, QualityQueries.oracleSql))
+    ("Quality", QualityQueries.queries, QualityQueries.oracleSql),
+    ("Spatial", SpatialQueries.queries, SpatialQueries.oracleSql))
 
   test("no query name collides across modules (++ would silently shadow)") {
     val owners = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
