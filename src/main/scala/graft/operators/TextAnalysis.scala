@@ -324,4 +324,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
         col("score"))
   }
+
+  /** CCNet-style count-LM quality scoring, made deterministically
+    * gateable: a bigram "language model" is trained on a held-in
+    * reference slice (md5 hash-bucket < `refBucketLt` of doc_id — the
+    * engine's zero-rand split primitive), capped to the top-`v`
+    * bigrams by count (ties lexicographic), and every document is
+    * scored against it. All outputs are integer counts, so the gate
+    * is exact — the real pipeline's log-perplexity is a monotone
+    * function of these counts, but ln() is not cross-engine
+    * bit-stable, so the registered surface stays rational
+    * (the text_tfidf rational-idf discipline).
+    *
+    * Scale shape: training is ONE map-side-combined bigram count over
+    * the reference slice (the standard LM-training aggregate) + a
+    * bounded top-v TakeOrdered; the model is tiny by construction and
+    * broadcast, so scoring is a narrow pass over the doc bigram
+    * stream — no shuffle carries corpus text.
+    *
+    * Returns (doc_id, n_bigrams, n_hits, hit_cnt_sum); rate/average
+    * derivation stays in the query layer with the rounding
+    * convention. Docs with < 2 tokens surface with n_bigrams = 0
+    * (explode_outer keeps them).
+    */
+  def lmBigramScore(docs: DataFrame, refBucketLt: Int, v: Int): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    // guard size>=2: Spark sequence(1, 0) counts DOWN (DuckDB range is
+    // empty there) — the repetition()/BPE guard
+    val withBg = docs.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+    val refModel = withBg
+      .where(graft.queries.QueryHelpers.hashBucket(
+        col("doc_id").cast("string")) < refBucketLt)
+      .select(explode(col("bg")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("ref_cnt"))
+      .orderBy(col("ref_cnt").desc, col("bigram")).limit(v)
+    withBg.select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+      .join(broadcast(refModel), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("bigram")).as("n_bigrams"),
+        count(col("ref_cnt")).as("n_hits"),
+        sum(coalesce(col("ref_cnt"), lit(0L))).as("hit_cnt_sum"))
+  }
 }

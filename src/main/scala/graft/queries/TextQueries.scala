@@ -43,6 +43,23 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprint(docs(s, dir)).orderBy("doc_id")),
 
+    // CCNet-style count-LM quality scoring: bigram model trained on the
+    // md5-held-in half, capped to top-1000 bigrams (broadcastable at any
+    // corpus scale), every doc scored by OOV rate — integer-exact, so
+    // the gate is a hash match, not an error band (lmBigramScore
+    // scaladoc)
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmBigramScore(docs(s, dir), refBucketLt = 50, v = 1000)
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("n_bigrams") - col("n_hits")).as("n_oov"),
+          when(col("n_bigrams") === 0, lit(1.0))
+            .otherwise(rnd((col("n_bigrams") - col("n_hits")).cast("double")
+              / col("n_bigrams"), 6)).as("oov_rate"),
+          when(col("n_hits") === 0, lit(0.0))
+            .otherwise(rnd(col("hit_cnt_sum").cast("double")
+              / col("n_hits"), 6)).as("hit_avg"))
+        .orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(docs(s, dir)).orderBy("doc_id")),
 
@@ -284,6 +301,42 @@ object TextQueries {
     },
 
     "text_bm25" -> bm25Sql,
+
+    // same tokenizer + held-in-slice + top-1000-tie-broken model on
+    // both engines; all counts integer ⇒ exact
+    "text_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM documents
+         |), bgs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg
+         |  FROM toks
+         |), refc AS (
+         |  SELECT bigram, count(*) AS ref_cnt FROM (
+         |    SELECT unnest(bg) AS bigram FROM bgs
+         |    WHERE ${QueryHelpers.hashBucketSql("CAST(doc_id AS VARCHAR)")} < 50
+         |  ) GROUP BY bigram
+         |  ORDER BY ref_cnt DESC, bigram LIMIT 1000
+         |), ex AS (
+         |  SELECT doc_id, unnest(bg) AS bigram FROM bgs
+         |), j AS (
+         |  SELECT e.doc_id, count(*) AS nb, count(r.ref_cnt) AS nh,
+         |    CAST(sum(coalesce(r.ref_cnt, 0)) AS BIGINT) AS hs
+         |  FROM ex e LEFT JOIN refc r USING (bigram) GROUP BY e.doc_id
+         |)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(j.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(j.nb, 0) - coalesce(j.nh, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN coalesce(j.nb, 0) = 0 THEN 1.0
+         |    ELSE ${rndSql("CAST(coalesce(j.nb, 0) - coalesce(j.nh, 0) AS DOUBLE) / j.nb", 6)}
+         |  END AS oov_rate,
+         |  CASE WHEN coalesce(j.nh, 0) = 0 THEN 0.0
+         |    ELSE ${rndSql("CAST(j.hs AS DOUBLE) / j.nh", 6)}
+         |  END AS hit_avg
+         |FROM toks t LEFT JOIN j ON t.doc_id = j.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -223,4 +223,26 @@ class TextOpsSpec extends SparkSpec {
     assert(enc.toSeq == Seq(("ab", 3L, 1L), ("cd", 3L, 1L)),
       s"encode diverged: ${enc.toSeq}")
   }
+
+  test("lm bigram scoring: hand trace with v-cap ties and a no-bigram doc") {
+    // all docs held-in (bucket < 100); bigram counts: "a b":2,
+    // "b a":1, "b c":1 -> top-2 model = {"a b", "b a"} (lex tie-break)
+    val d = docsOf(1L -> "a b a b", 2L -> "b c", 3L -> "x")
+    val got = TextAnalysis.lmBigramScore(d, refBucketLt = 100, v = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 5L), // [a b, b a, a b]: all hit; 2+1+2
+      (2L, 1L, 0L, 0L), // "b c" fell off the v-cap
+      (3L, 0L, 0L, 0L)  // single token: no bigrams, doc retained
+    ), s"lm scores diverged: ${got.toSeq}")
+  }
+
+  test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
+    val d = Tables.documents(spark, sf)
+    val p = plan(TextAnalysis.lmBigramScore(d, refBucketLt = 50, v = 1000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "top-v model must broadcast — a sort-merge join would shuffle the corpus bigram stream")
+  }
 }
