@@ -33,6 +33,48 @@ object PipelineQueries {
 
   private def hashBucketSql(k: String) = QueryHelpers.hashBucketSql(k)
 
+  /** Shared CTE chain for the KMV pair-algebra oracles: per-event-type
+    * k-min sketches, per-pair union sketch, and estimates (ra, rb, ru)
+    * exposed as relation `e` for the caller-supplied final SELECT —
+    * keeps q_kmv_overlap and q_kmv_diff byte-identical up to their
+    * projections.
+    */
+  private def kmvPairSql(finalSelect: String): String = {
+    import graft.operators.KmvSketch.{K, Scale}
+    def est(n: String, k64: String) =
+      s"CASE WHEN $n < $K THEN CAST($n AS DOUBLE) ELSE $Scale / CAST($k64 AS DOUBLE) END"
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type AS grp,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL
+       |), r AS (
+       |  SELECT grp, h,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d
+       |), sk AS MATERIALIZED (SELECT grp, h FROM r WHERE rk <= $K),
+       |g AS MATERIALIZED (
+       |  SELECT grp, count(*) AS n, max(h) AS k64 FROM sk GROUP BY grp
+       |), pairs AS (
+       |  SELECT a.grp AS ta, b.grp AS tb FROM g a JOIN g b ON a.grp < b.grp
+       |), ud AS (
+       |  SELECT DISTINCT p.ta, p.tb, s.h
+       |  FROM pairs p JOIN sk s ON s.grp = p.ta OR s.grp = p.tb
+       |), ur AS (
+       |  SELECT ta, tb, h,
+       |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk FROM ud
+       |), u AS (
+       |  SELECT ta, tb, count(*) AS un, max(h) AS k64u
+       |  FROM ur WHERE rk <= $K GROUP BY 1, 2
+       |), e AS (
+       |  SELECT u.ta, u.tb,
+       |    ${est("ga.n", "ga.k64")} AS ra,
+       |    ${est("gb.n", "gb.k64")} AS rb,
+       |    ${est("u.un", "u.k64u")} AS ru
+       |  FROM u JOIN g ga ON ga.grp = u.ta JOIN g gb ON gb.grp = u.tb
+       |)
+       |$finalSelect""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- END-TO-END training-data pipeline: exact-dedup keep set →
     // quality gate → language ID → hash split → per-(split, lang) corpus
@@ -324,6 +366,32 @@ object PipelineQueries {
         .orderBy("type_a", "type_b")
     }),
 
+    // KMV set-DIFFERENCE algebra (a\b, b\a, symmetric difference) off
+    // the same per-type sketches — inclusion-exclusion against the
+    // union estimate, clamped at 0 like est_inter; completes the
+    // composable sketch family's set algebra (union/inter in
+    // q_kmv_overlap)
+    "q_kmv_diff" -> ((s, dir) => {
+      import graft.operators.KmvSketch
+      val sk = KmvSketch.sketches(Tables.events(s, dir), "event_type", "user_id")
+      val a = sk.select(col("grp").as("type_a"), col("ks").as("ksa"))
+      val b = sk.select(col("grp").as("type_b"), col("ks").as("ksb"))
+      val ea = KmvSketch.estimate(col("ksa"))
+      val eb = KmvSketch.estimate(col("ksb"))
+      val eu = KmvSketch.estimate(KmvSketch.unionKs(col("ksa"), col("ksb")))
+      val ri = greatest(lit(0.0), col("ra") + col("rb") - col("ru"))
+      val anotb = greatest(lit(0.0), col("ra") - ri)
+      val bnota = greatest(lit(0.0), col("rb") - ri)
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          ea.as("ra"), eb.as("rb"), eu.as("ru"))
+        .select(col("type_a"), col("type_b"),
+          rnd(anotb, 2).as("est_anotb"),
+          rnd(bnota, 2).as("est_bnota"),
+          rnd(anotb + bnota, 2).as("est_symmdiff"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ---- approx-quantile sketch pin: within 1% relative of the exact
     // interpolated median
     "q_approx_quantile" -> ((s, dir) =>
@@ -525,45 +593,20 @@ object PipelineQueries {
         |  TRUE AS within_10pct
         |FROM ex e JOIN samp s ON s.flag = e.flag ORDER BY e.flag""".stripMargin,
 
-    "q_kmv_overlap" -> {
-      import graft.operators.KmvSketch.{K, Scale}
-      def est(n: String, k64: String) =
-        s"CASE WHEN $n < $K THEN CAST($n AS DOUBLE) ELSE $Scale / CAST($k64 AS DOUBLE) END"
-      s"""WITH d AS (
-         |  SELECT DISTINCT event_type AS grp,
-         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-         |      AS BIGINT) AS h
-         |  FROM events WHERE user_id IS NOT NULL
-         |), r AS (
-         |  SELECT grp, h,
-         |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d
-         |), sk AS MATERIALIZED (SELECT grp, h FROM r WHERE rk <= $K),
-         |g AS MATERIALIZED (
-         |  SELECT grp, count(*) AS n, max(h) AS k64 FROM sk GROUP BY grp
-         |), pairs AS (
-         |  SELECT a.grp AS ta, b.grp AS tb FROM g a JOIN g b ON a.grp < b.grp
-         |), ud AS (
-         |  SELECT DISTINCT p.ta, p.tb, s.h
-         |  FROM pairs p JOIN sk s ON s.grp = p.ta OR s.grp = p.tb
-         |), ur AS (
-         |  SELECT ta, tb, h,
-         |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk FROM ud
-         |), u AS (
-         |  SELECT ta, tb, count(*) AS un, max(h) AS k64u
-         |  FROM ur WHERE rk <= $K GROUP BY 1, 2
-         |), e AS (
-         |  SELECT u.ta, u.tb,
-         |    ${est("ga.n", "ga.k64")} AS ra,
-         |    ${est("gb.n", "gb.k64")} AS rb,
-         |    ${est("u.un", "u.k64u")} AS ru
-         |  FROM u JOIN g ga ON ga.grp = u.ta JOIN g gb ON gb.grp = u.tb
-         |)
-         |SELECT ta AS type_a, tb AS type_b,
+    "q_kmv_overlap" -> kmvPairSql(
+      s"""SELECT ta AS type_a, tb AS type_b,
          |  ${rndSql("ra", 2)} AS est_a, ${rndSql("rb", 2)} AS est_b,
          |  ${rndSql("ru", 2)} AS est_union,
          |  ${rndSql("greatest(0.0, ra + rb - ru)", 2)} AS est_inter
-         |FROM e ORDER BY type_a, type_b""".stripMargin
-    },
+         |FROM e ORDER BY type_a, type_b""".stripMargin),
+
+    // same literal clamp/op sequence as the Spark column trees
+    "q_kmv_diff" -> kmvPairSql(
+      s"""SELECT ta AS type_a, tb AS type_b,
+         |  ${rndSql("greatest(0.0, ra - greatest(0.0, ra + rb - ru))", 2)} AS est_anotb,
+         |  ${rndSql("greatest(0.0, rb - greatest(0.0, ra + rb - ru))", 2)} AS est_bnota,
+         |  ${rndSql("greatest(0.0, ra - greatest(0.0, ra + rb - ru)) + greatest(0.0, rb - greatest(0.0, ra + rb - ru))", 2)} AS est_symmdiff
+         |FROM e ORDER BY type_a, type_b""".stripMargin),
 
     "q_approx_quantile" ->
       s"""SELECT l_returnflag,
