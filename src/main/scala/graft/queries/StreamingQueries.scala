@@ -157,6 +157,7 @@ object StreamingQueries {
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
 
   private val totalsRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val topkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val sketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val qsketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -283,6 +284,34 @@ object StreamingQueries {
           .select(col("event_type"), col("m.n").as("n"),
             rnd(col("m.total"), 4).as("total"))
           .orderBy("event_type")
+      } finally deleteNow(tmp)
+    }),
+
+    // streaming TOP-K — the twelfth gated shape (EventStream.pairCounts
+    // scaladoc): per-(event_type, user) counters as keyed state, final
+    // counter per key = the batch count (counting is arrival-order-
+    // free), then the serve-side rank picks each type's top-3 users
+    // with deterministic ties. Update mode → memory sink; the per-key
+    // monotone counter makes max(n) the final state (the totals
+    // pattern).
+    "stream_topk_sink" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream_tpk", deferred = false)
+      stageCopies(tmp, dir, Seq("a"))
+      try {
+        val name = s"graft_topk_${topkRuns.incrementAndGet()}"
+        val sink = EventStream.runToMemory(s,
+          EventStream.pairCounts(
+            EventStream.readEvents(s, tmp.toString)).toDF(),
+          name, OutputMode.Update())
+        val fin = sink.groupBy(col("event_type"), col("user_id"))
+          .agg(max(col("n")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("user_id"))
+        fin.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("event_type"), col("rk"), col("user_id"), col("n"))
+          .orderBy("event_type", "rk")
       } finally deleteNow(tmp)
     }),
 
@@ -501,6 +530,22 @@ object StreamingQueries {
          |      ELSE $MaxRank - length(bin(sfx)) END AS BIGINT)) AS max_rank
          |FROM r GROUP BY reg ORDER BY reg""".stripMargin
     },
+
+    // the drained per-(type, user) counters equal the batch counts;
+    // rank ties broken by user_id on both engines
+    "stream_topk_sink" ->
+      s"""WITH c AS (
+         |  SELECT event_type, user_id, count(*) AS n
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY event_type ORDER BY n DESC, user_id) AS INT) AS rk
+         |  FROM c
+         |)
+         |SELECT event_type, rk, user_id, n FROM r WHERE rk <= 3
+         |ORDER BY event_type, rk""".stripMargin,
 
     // the final state per event_type equals the batch aggregate
     "stream_totals_sink" ->

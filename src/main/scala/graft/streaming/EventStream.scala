@@ -113,6 +113,38 @@ object EventStream {
           })
   }
 
+  final case class PairState(n: Long)
+  final case class PairCount(event_type: String, user_id: Long, n: Long)
+
+  /** Streaming per-key counters for serve-side top-k — the trending /
+    * leaderboard production shape: state is ONE long per
+    * (event_type, user_id), bounded by the key domain exactly like
+    * [[runningTotals]]'s per-type state. Counting is commutative and
+    * arrival-order-free, so each key's FINAL state equals the batch
+    * count no matter how the stream is micro-batched — the serve-side
+    * rank over the drained counters therefore hash-gates against the
+    * plain batch count + row_number oracle. At 100 TB a cardinality
+    * cap swaps these exact counters for the CMS + heap approximation
+    * (batch twin: q_heavy_hitters_cms); the gated surface keeps exact
+    * counters because approximate summaries are arrival-order-
+    * DEPENDENT and cannot exact-gate (the Misra-Gries caveat,
+    * HeavyHitters scaladoc).
+    */
+  def pairCounts(events: DataFrame): Dataset[PairCount] = {
+    import events.sparkSession.implicits._
+    events.where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long)],
+         state: GroupState[PairState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach(_ => n += 1)
+          state.update(PairState(n))
+          PairCount(key._1, key._2, n)
+      }
+  }
+
   final case class TypeState(n: Long, total: Double)
   final case class TypeTotal(event_type: String, n: Long, total: Double)
 

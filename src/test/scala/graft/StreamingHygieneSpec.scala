@@ -136,4 +136,39 @@ class StreamingHygieneSpec extends SparkSpec {
       assert(now.subsetOf(was), s"$prefix dirs leaked: ${now -- was}")
     }
   }
+
+  test("topk counters accumulate ACROSS micro-batches to the batch counts") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = Files.createTempDirectory("graft_topk_acc")
+    try {
+      val d1 = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("event_type", "user_id")
+      val d2 = Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("event_type", "user_id")
+      d1.coalesce(1).write.mode("append").parquet(dir.toString)
+      d2.coalesce(1).write.mode("append").parquet(dir.toString)
+      // one file per trigger forces >= 2 micro-batches: the state must
+      // carry counts between them, not recompute per batch
+      val stream = spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val sink = EventStream.runToMemory(spark,
+        EventStream.pairCounts(stream).toDF(),
+        "graft_topk_acc_sink", OutputMode.Update())
+      val fin = sink.groupBy($"event_type", $"user_id")
+        .agg(max($"n").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fin == Map(("a", 1L) -> 3L, ("b", 2L) -> 2L, ("b", 3L) -> 1L),
+        s"final counters diverged from batch counts: $fin")
+      // the hot key must have emitted an intermediate update below its
+      // final count — proof the counter crossed a batch boundary
+      val ups = sink.where($"event_type" === "a" && $"user_id" === 1L)
+        .select($"n").collect().map(_.getLong(0)).sorted
+      assert(ups.length >= 2 && ups.last == 3L && ups.head < 3L,
+        s"expected incremental updates for (a,1), got ${ups.toSeq}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir.toString)).deleteRecursively()
+    }
+  }
 }
