@@ -276,6 +276,52 @@ object WarehouseQueries {
         .orderBy("o_custkey")
     }),
 
+    // ---- Incremental JOIN-view maintenance: the per-nation revenue
+    // view V = orders ⋈ customer maintained under changes to BOTH
+    // sides by the bilinear delta identity
+    //   (A+ΔR)⋈(S+ΔS) = A⋈S + ΔR⋈S + A⋈ΔS + ΔR⋈ΔS
+    // with signed weights MULTIPLYING through the join — never
+    // rescanning generation B of either table. The customer delta
+    // includes nation moves (group migration: −1 under the old nation,
+    // +1 under the new), deletes, and stride-safe inserts. At 100 TB
+    // A⋈S is the materialized view; refresh cost is O(|ΔR|·fanout +
+    // |ΔS|·fanout), not O(|A|+|S|). Oracle recomputes B ⋈ S_B from
+    // scratch — the gate proves the delta algebra lands on the exact
+    // same table.
+    "q_incr_join" -> ((s, dir) => {
+      val (ra, rb) = orderGenerations(s, dir)
+      val (sa, sb) = custGenerations(s, dir)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val vA = ra.join(sa, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+      val dR = graft.operators.Cdc.delta(ra, rb, "o_orderkey", snapPayload)
+      val dS = graft.operators.Cdc.delta(sa, sb, "c_custkey", custPayload)
+      val t1 = dR.join(sa, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("weight").cast("long").as("w"),
+          cents.as("cents"))
+      val t2 = ra.join(dS, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("weight").cast("long").as("w"),
+          cents.as("cents"))
+      val t3 = dR.select(col("weight").as("wr"), col("o_custkey"),
+          col("o_totalprice"))
+        .join(dS.select(col("weight").as("ws"), col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"),
+          (col("wr") * col("ws")).cast("long").as("w"), cents.as("cents"))
+      val dAgg = t1.unionByName(t2).unionByName(t3)
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("w")).as("dn"), sum(col("w") * col("cents")).as("dc"))
+      vA.join(dAgg, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("sum_cents"))
+        .where(col("n_rows") > 0)
+        .orderBy("c_nationkey")
+    }),
+
     // ---- Rolling 7-day active users (WAU): exact sliding distinct
     // count. Sliding distinct has no window-function form (distinct
     // doesn't decompose over frames), so each (user, day) observation
@@ -592,6 +638,27 @@ object WarehouseQueries {
     * under shifted keys — integer/string mutations only, copied doubles
     * compare bit-identically (see q_snapshot_diff).
     */
+  /** Compared payload of the customer-generation pair. */
+  private val custPayload = Seq("c_nationkey")
+
+  /** Two deterministic generations of the customer dim: B drops
+    * key%127=0, moves key%113=0 to the next nation ((n+1)%25 — group
+    * migration through the maintained join view), and inserts key%131=0
+    * under stride-safe shifted keys (≥1e10, the MakeScale copy-stride
+    * contract; the inserts match no orders, exercising insert handling
+    * without join fanout).
+    */
+  private def custGenerations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val a = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val updated = a.where(col("c_custkey") % 127 =!= 0)
+      .withColumn("c_nationkey",
+        when(col("c_custkey") % 113 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")))
+    val inserted = a.where(col("c_custkey") % 131 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(10000000000L))
+    (a, updated.unionAll(inserted))
+  }
+
   private def orderGenerations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val a = Tables.orders(s, dir).select(
       (("o_orderkey" +: snapPayload).map(col)): _*)
@@ -800,6 +867,32 @@ object WarehouseQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |       AS BIGINT) AS sum_cents
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // full recompute of B ⋈ S_B — the Spark side never scans either
+    // B-generation, only the two CDC deltas
+    "q_incr_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |), b AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM a WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice
+        |  FROM a WHERE o_orderkey % 101 = 0
+        |), sb AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 113 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 127 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000000, c_nationkey
+        |  FROM customer WHERE c_custkey % 131 = 0
+        |)
+        |SELECT sb.c_nationkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(b.o_totalprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM b JOIN sb ON b.o_custkey = sb.c_custkey
+        |GROUP BY sb.c_nationkey ORDER BY sb.c_nationkey""".stripMargin,
 
     "q_rfm" -> rfmSql,
 

@@ -85,6 +85,41 @@ class WarehouseSpec extends SparkSpec {
     assert(wsum == gb.count() - ga.count())
   }
 
+  test("incremental JOIN view equals full recompute; every mutation class fires") {
+    val incr = q("q_incr_join").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // rebuild both B generations independently and join from scratch
+    val a = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"))
+    val b = a.where(col("o_orderkey") % 97 =!= 0)
+      .unionAll(a.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
+    val ca = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val cb = ca.where(col("c_custkey") % 127 =!= 0)
+      .withColumn("c_nationkey",
+        when(col("c_custkey") % 113 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")))
+      .unionAll(ca.where(col("c_custkey") % 131 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(10000000000L)))
+    val full = b.join(cb, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(incr.toSet == full.toSet,
+      "delta-maintained join view must equal the from-scratch join")
+    // non-vacuity: the customer delta carries nation moves (update
+    // pairs), deletes, and inserts at this fixture scale
+    val dS = graft.operators.Cdc.delta(ca, cb, "c_custkey", Seq("c_nationkey"))
+    val perKey = dS.groupBy(col("c_custkey"))
+      .agg(sum(col("weight")).as("w"), count(lit(1)).as("k")).collect()
+    assert(perKey.exists(r => r.getLong(1) == 0L && r.getLong(2) == 2L),
+      "expected at least one nation-move update pair")
+    assert(perKey.exists(r => r.getLong(1) == -1L), "expected a delete")
+    assert(perKey.exists(r => r.getLong(1) == 1L), "expected an insert")
+  }
+
   test("rolling 7-day actives match a brute-force driver replay") {
     val got = q("q_rolling_actives").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
