@@ -83,4 +83,28 @@ object CountMin {
     joined.select(col(keyCol), col("exact_cnt"),
       least((0 until Depth).map(j => col(s"c$j")): _*).as("est_cnt"))
   }
+
+  /** Equi-join SIZE estimation from the two sides' sketches alone —
+    * the optimizer-statistics use of the CMS (the AGMS/Count-Min inner
+    * product): |R ⋈ S| = Σ_k fR(k)·fS(k), estimated per depth row as
+    * Σ_pos cR[pos]·cS[pos] and taken as the min over rows. Each row's
+    * inner product equals the true size plus non-negative collision
+    * cross terms, so the estimate is one-sided (≥ exact) — and being
+    * pure integer arithmetic over the deterministic grids, it
+    * hash-gates exactly, collisions included.
+    *
+    * Scale shape: after the two one-scan sketch builds, the estimate
+    * touches only the ≤ Depth·w-cell grids — join-size planning
+    * without running (or shuffling for) the join. Both inputs must
+    * carry the key as column "k".
+    */
+  def joinSizeEstimate(r: DataFrame, s: DataFrame, w: Int): DataFrame = {
+    val cr = sketch(r, "k", w)
+    val cs = sketch(s, "k", w)
+    cr.as("a").join(cs.as("b"),
+        col("a.j") === col("b.j") && col("a.pos") === col("b.pos"))
+      .groupBy(col("a.j"))
+      .agg(sum(col("a.c") * col("b.c")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+  }
 }

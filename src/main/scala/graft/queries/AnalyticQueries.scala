@@ -118,6 +118,25 @@ object AnalyticQueries {
         .estimates(Tables.events(s, dir), "user_id", w = 512)
         .orderBy("user_id")),
 
+    // ---- join-size estimation from sketches alone (CountMin
+    // .joinSizeEstimate scaladoc): the optimizer-statistics primitive —
+    // |lineitem ⋈ orders| estimated from two 3×65536 integer grids
+    // (width sized so the collision term n1·n2/w stays well under the
+    // true size — the sizing rule an optimizer would apply)
+    // without shuffling either side; the exact join runs here only to
+    // pin the one-sided bound (upper_bound_ok), the way
+    // q_approx_distinct pins its error band
+    "q_join_size_cms" -> ((s, dir) => {
+      import graft.operators.CountMin
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+      val od = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val est = CountMin.joinSizeEstimate(li, od, w = 65536)
+      val exact = li.join(od, Seq("k")).agg(count(lit(1)).as("exact_size"))
+      exact.crossJoin(est)
+        .select(col("exact_size"), col("est_size"),
+          (col("est_size") >= col("exact_size")).as("upper_bound_ok"))
+    }),
+
     // ---- exact mode per group with a DETERMINISTIC tie-break (the
     // built-in mode() is tie-arbitrary in both engines, so it can never
     // sit under a hash gate): count per (group, value), then
@@ -615,6 +634,38 @@ object AnalyticQueries {
          |FROM k
          |  $joins
          |ORDER BY k.user_id""".stripMargin
+    },
+
+    // identical grids per side, per-row inner products, min across rows
+    "q_join_size_cms" -> {
+      import graft.operators.{CountMin, Dedup}
+      val w = 65536
+      val pos = CountMin.positionSql("hm", w)
+      def grid(side: String) = pos.zipWithIndex.map { case (p, j) =>
+        s"$side$j AS MATERIALIZED (SELECT $p AS pos, count(*) AS c FROM $side GROUP BY 1)"
+      }.mkString(",\n")
+      val ips = (0 until CountMin.Depth).map { j =>
+        s"ip$j AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS v FROM ra$j a JOIN sa$j b ON a.pos = b.pos)"
+      }.mkString(",\n")
+      val leastArgs = (0 until CountMin.Depth)
+        .map(j => s"(SELECT v FROM ip$j)").mkString(", ")
+      s"""WITH ra AS (
+         |  SELECT l_orderkey % ${Dedup.MinhashP} AS hm FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL
+         |), sa AS (
+         |  SELECT o_orderkey % ${Dedup.MinhashP} AS hm FROM orders
+         |  WHERE o_orderkey IS NOT NULL
+         |),
+         |${grid("ra")},
+         |${grid("sa")},
+         |$ips,
+         |exact AS (
+         |  SELECT count(*) AS exact_size
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |)
+         |SELECT exact_size, least($leastArgs) AS est_size,
+         |  least($leastArgs) >= exact_size AS upper_bound_ok
+         |FROM exact""".stripMargin
     },
 
     "q_mode" ->

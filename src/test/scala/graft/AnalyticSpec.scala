@@ -299,4 +299,23 @@ class AnalyticSpec extends SparkSpec {
         s"($ta,$tb): inter estimate $estInter vs exact $exactInter")
     }
   }
+
+  test("cms join-size: one-sided at every width, tight when w dominates n1*n2") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey").as("k"))
+    val od = Tables.orders(spark, sf).select(col("o_orderkey").as("k"))
+    val exact = li.join(od, Seq("k")).count()
+    def estAt(w: Int): Long = graft.operators.CountMin
+      .joinSizeEstimate(li, od, w).head.getLong(0)
+    // the bound holds even at a deliberately collision-heavy width,
+    // and the gap is the visible collision mass
+    val coarse = estAt(64)
+    assert(coarse >= exact, s"w=64: est $coarse < exact $exact")
+    assert(coarse > exact,
+      "w=64 should carry collision cross-terms at this key cardinality")
+    // at the registered width the collision term n1*n2/w is small
+    val fine = estAt(65536)
+    assert(fine >= exact && fine <= (exact * 1.5).toLong + 100,
+      s"w=65536: est $fine should be near exact $exact")
+  }
 }
