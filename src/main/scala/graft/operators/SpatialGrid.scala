@@ -90,8 +90,11 @@ object SpatialGrid {
     * one-pass map-side-combined aggregate shape of `kmeans_recenter`
     * (cell id plays the centroid id). Cell count is bounded by the
     * fixed coordinate DOMAIN, not the row count, so output stays small
-    * at any scale. Raw sums returned; the query layer applies the
-    * cross-engine rounding convention (QueryHelpers.rnd).
+    * at any scale. Sums are EXACT scaled integers (x in cents — the
+    * fixture's 2-dp domain — and y is integer-valued): an
+    * order-dependent double sum rounded to N dp landed ON a rounding
+    * boundary at the sampled derived scale (the q_tpch_q1 lesson), so
+    * the integer-cents discipline applies.
     */
   def cellStats(pts: DataFrame, cell: Double): DataFrame =
     pts.groupBy(
@@ -99,6 +102,6 @@ object SpatialGrid {
         cellOf(col("y"), cell).as("cy"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"))
+        sum(floor(col("x") * 100 + lit(0.5)).cast("long")).as("sx_cents"),
+        sum(col("y").cast("long")).as("sy"))
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.SpatialGrid
-import graft.queries.QueryHelpers.{rnd, rndSql}
 
 /** Oracle-checked spatial queries over the engine's 2-D point table
   * (`Tables.points2d`, the reference `points.txt` shape).
@@ -35,13 +34,12 @@ object SpatialQueries {
         .orderBy("probe_id", "rk")),
 
     // per-cell spatial histogram; cell ids bounded by the coordinate
-    // domain; q1_agg's scaled-rounding convention for the double sums
-    // (y = l_quantity is integer-valued, so its sum is exact)
+    // domain; exact integer sums (x in cents, y integer-valued) — the
+    // rounded-double form hit a 4dp boundary at the sampled scale
     "spatial_cell_stats" -> ((s, dir) =>
       SpatialGrid.cellStats(Tables.points2d(s, dir), StatsCell)
         .select(col("cx"), col("cy"), col("n"),
-          rnd(col("sx") / lit(1e6), 4).as("sum_x_m"),
-          col("sy").cast("long").as("sum_y"))
+          col("sx_cents"), col("sy").as("sum_y"))
         .orderBy("cx", "cy"))
   )
 
@@ -80,8 +78,9 @@ object SpatialQueries {
          |  CAST(floor(l_extendedprice / $StatsCell) AS BIGINT) AS cx,
          |  CAST(floor(l_quantity / $StatsCell) AS BIGINT) AS cy,
          |  count(*) AS n,
-         |  ${rndSql("sum(l_extendedprice) / 1e6", 4)} AS sum_x_m,
-         |  CAST(sum(l_quantity) AS BIGINT) AS sum_y
+         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         |       AS BIGINT) AS sx_cents,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_y
          |FROM lineitem
          |GROUP BY 1, 2
          |ORDER BY cx, cy""".stripMargin
