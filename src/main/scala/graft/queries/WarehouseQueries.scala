@@ -292,21 +292,31 @@ object WarehouseQueries {
       val (ra, rb) = orderGenerations(s, dir)
       val (sa, sb) = custGenerations(s, dir)
       val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-      val vA = ra.join(sa, col("o_custkey") === col("c_custkey"))
+      // broadcast discipline: the customer dim broadcasts wherever it
+      // appears (the q_join_agg pattern), and the |changes|-bounded
+      // customer delta broadcasts against the big fact/delta sides —
+      // the post-full-outer delta has no stats, so without the hint
+      // the planner sort-merges the full orders scan against it
+      val vA = ra.join(broadcast(sa), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+      // each delta feeds two join terms; localCheckpoint builds the
+      // full-outer CDC join ONCE per side (the CountMin cache-release
+      // pattern) instead of re-running it under t1 and t3 / t2 and t3
       val dR = graft.operators.Cdc.delta(ra, rb, "o_orderkey", snapPayload)
+        .localCheckpoint(true)
       val dS = graft.operators.Cdc.delta(sa, sb, "c_custkey", custPayload)
-      val t1 = dR.join(sa, col("o_custkey") === col("c_custkey"))
+        .localCheckpoint(true)
+      val t1 = dR.join(broadcast(sa), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"), col("weight").cast("long").as("w"),
           cents.as("cents"))
-      val t2 = ra.join(dS, col("o_custkey") === col("c_custkey"))
+      val t2 = ra.join(broadcast(dS), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"), col("weight").cast("long").as("w"),
           cents.as("cents"))
       val t3 = dR.select(col("weight").as("wr"), col("o_custkey"),
           col("o_totalprice"))
-        .join(dS.select(col("weight").as("ws"), col("c_custkey"),
-          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dS.select(col("weight").as("ws"), col("c_custkey"),
+          col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"),
           (col("wr") * col("ws")).cast("long").as("w"), cents.as("cents"))
       val dAgg = t1.unionByName(t2).unionByName(t3)

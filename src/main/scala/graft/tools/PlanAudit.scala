@@ -92,7 +92,12 @@ object PlanAudit {
     // summaries + one RANGE window over 2048-struct arrays; the exact
     // arm's explode exists only to feed the within_10pct pin),
     // substring-ratio (span table + one doc-keyed left join)
-    "q_quantile_sketch", "dedup_substring_ratio")
+    "q_quantile_sketch", "dedup_substring_ratio",
+    // round 11 continuation: grid kNN (broadcast probe-cell join, no
+    // cartesian), LM scoring (broadcast top-v model, narrow scoring
+    // pass), incremental join view (three delta joins, no B-generation
+    // rescan), CMS join-size (two grid builds + tiny grid-grid join)
+    "spatial_knn_grid", "text_lm_score", "q_incr_join", "q_join_size_cms")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
