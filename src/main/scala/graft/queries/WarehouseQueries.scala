@@ -276,6 +276,33 @@ object WarehouseQueries {
         .orderBy("o_custkey")
     }),
 
+    // ---- Merkle-style table range diff: find WHERE two generations
+    // of a keyed table differ by exchanging only per-range digests
+    // (count + order-free bit_xor of a 60-bit row hash) — the
+    // anti-entropy / replica-sync primitive. At 100 TB each side
+    // reduces to ~|keyspace|/1000 digest rows computed in one
+    // map-side-combined pass where a row-level diff would shuffle both
+    // full tables (q_snapshot_diff's full-outer join); the row diff
+    // then runs only on the flagged ranges. XOR collisions (two
+    // different changes cancelling) are the documented residual risk —
+    // a 60-bit hash makes them vanishing, and the count column catches
+    // every cardinality change regardless.
+    "q_table_diff_ranges" -> ((s, dir) => {
+      val (a, b) = orderGenerations(s, dir)
+      val da = rangeDigest(a).select(col("bucket"),
+        col("n").as("n_a"), col("xh").as("x_a"))
+      val db = rangeDigest(b).select(col("bucket"),
+        col("n").as("n_b"), col("xh").as("x_b"))
+      da.join(db, Seq("bucket"), "full_outer")
+        .where(!(col("n_a") <=> col("n_b")) || !(col("x_a") <=> col("x_b")))
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("x_a"), lit(0L)).as("x_a"),
+          coalesce(col("x_b"), lit(0L)).as("x_b"))
+        .orderBy("bucket")
+    }),
+
     // ---- Incremental JOIN-view maintenance: the per-nation revenue
     // view V = orders ⋈ customer maintained under changes to BOTH
     // sides by the bilinear delta identity
@@ -648,6 +675,28 @@ object WarehouseQueries {
     * under shifted keys — integer/string mutations only, copied doubles
     * compare bit-identically (see q_snapshot_diff).
     */
+  /** Per-range digest of an orders generation for the Merkle-style
+    * table diff (q_table_diff_ranges): bucket = key DIV 1000, content
+    * = (row count, bit_xor of a 60-bit md5 row hash). XOR is
+    * commutative/associative and can't overflow, so the digest is
+    * partition-order-free and exact on both engines; the hash input
+    * renders only integers and strings (cents, epoch days — never a
+    * raw double, whose to-string forms diverge cross-engine).
+    */
+  private def rangeDigest(t: DataFrame): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val days = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      .cast("long")
+    val payload = concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"), cents.cast("string"), days.cast("string"),
+      col("o_orderpriority"))
+    t.select(expr("o_orderkey DIV 1000").as("bucket"),
+        conv(substring(md5(payload), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xh"))
+  }
+
   /** Compared payload of the customer-generation pair. */
   private val custPayload = Seq("c_nationkey")
 
@@ -877,6 +926,51 @@ object WarehouseQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |       AS BIGINT) AS sum_cents
         |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // identical row-hash rendering (integers/strings only), identical
+    // buckets; full outer on bucket, null-safe digest compare
+    "q_table_diff_ranges" -> {
+      def digest(src: String, alias: String) =
+        s"""$alias AS (
+           |  SELECT o_orderkey // 1000 AS bucket, count(*) AS n,
+           |    bit_xor(CAST(('0x' || substr(md5(
+           |      CAST(o_orderkey AS VARCHAR) || '|' ||
+           |      CAST(o_custkey AS VARCHAR) || '|' ||
+           |      o_orderstatus || '|' ||
+           |      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |        AS VARCHAR) || '|' ||
+           |      CAST(datediff('day', DATE '1970-01-01',
+           |        CAST(o_orderdate AS DATE)) AS VARCHAR) || '|' ||
+           |      o_orderpriority), 1, 15)) AS BIGINT)) AS xh
+           |  FROM $src GROUP BY 1
+           |)""".stripMargin
+      s"""WITH a AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |    o_orderdate, o_orderpriority
+         |  FROM orders
+         |), b AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |    o_orderdate,
+         |    CASE WHEN o_orderkey % 31 = 0 THEN 'X-DIFF'
+         |         ELSE o_orderpriority END AS o_orderpriority
+         |  FROM a WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus,
+         |    o_totalprice, o_orderdate, o_orderpriority
+         |  FROM a WHERE o_orderkey % 101 = 0
+         |),
+         |${digest("a", "da")},
+         |${digest("b", "db")}
+         |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+         |  CAST(coalesce(da.n, 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(db.n, 0) AS BIGINT) AS n_b,
+         |  CAST(coalesce(da.xh, 0) AS BIGINT) AS x_a,
+         |  CAST(coalesce(db.xh, 0) AS BIGINT) AS x_b
+         |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+         |WHERE NOT (da.n IS NOT DISTINCT FROM db.n
+         |           AND da.xh IS NOT DISTINCT FROM db.xh)
+         |ORDER BY bucket""".stripMargin
+    },
 
     // full recompute of B ⋈ S_B — the Spark side never scans either
     // B-generation, only the two CDC deltas

@@ -85,6 +85,28 @@ class WarehouseSpec extends SparkSpec {
     assert(wsum == gb.count() - ga.count())
   }
 
+  test("table range diff flags exactly the ranges containing changes") {
+    val flagged = q("q_table_diff_ranges")
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    // expected ranges from the generation rules: deletes (%97),
+    // updates (%31 surviving deletion), inserts (%101 at key+1e10)
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val changedBase = keys.filter(k => k % 97 == 0 || (k % 31 == 0 && k % 97 != 0))
+      .map(_ / 1000).toSet
+    val inserted = keys.filter(_ % 101 == 0).map(k => (k + 10000000000L) / 1000).toSet
+    assert(flagged == changedBase ++ inserted,
+      s"flagged ranges diverge: extra=${flagged -- changedBase -- inserted} " +
+        s"missing=${(changedBase ++ inserted) -- flagged}")
+    // counts on flagged ranges reconcile with the row-level CDC ops
+    val nA = q("q_table_diff_ranges").agg(sum(col("n_a"))).head.getLong(0)
+    val nB = q("q_table_diff_ranges").agg(sum(col("n_b"))).head.getLong(0)
+    val dels = keys.count(_ % 97 == 0)
+    val ins = keys.count(_ % 101 == 0)
+    assert(nB - nA == ins - dels,
+      s"range-count delta ${nB - nA} must equal inserts-deletes ${ins - dels}")
+  }
+
   test("incremental JOIN view equals full recompute; every mutation class fires") {
     val incr = q("q_incr_join").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
