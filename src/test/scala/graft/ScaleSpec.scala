@@ -172,6 +172,40 @@ class ScaleSpec extends SparkSpec {
     } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("bucketed snapshot generations diff without an exchange (CDC at rest)") {
+    // the Cdc scaladoc's 100-TB layout contract, proven rather than
+    // claimed: a full-outer join can never broadcast, but two
+    // generations written bucketed on the key diff as a narrow zip of
+    // co-bucketed files — zero Exchange in the plan
+    val s2 = spark
+    s2.sql("DROP TABLE IF EXISTS snap_a")
+    s2.sql("DROP TABLE IF EXISTS snap_b")
+    val a = Tables.orders(s2, sf).select("o_orderkey", "o_orderpriority")
+    a.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("snap_a")
+    a.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 31 === 0, lit("X-DIFF"))
+          .otherwise(col("o_orderpriority")))
+      .unionAll(a.where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L)))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("snap_b")
+    val diff = graft.operators.Cdc.snapshotDiff(
+      s2.table("snap_a"), s2.table("snap_b"),
+      "o_orderkey", Seq("o_orderpriority"))
+    val p = diff.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed CDC diff should not shuffle:\n${p.take(3000)}")
+    // and the diff itself is still exactly the mutation census
+    val ops = diff.groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = a.select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(ops.getOrElse("D", 0L) == keys.count(_ % 97 == 0))
+    assert(ops.getOrElse("U", 0L) == keys.count(k => k % 31 == 0 && k % 97 != 0))
+    assert(ops.getOrElse("I", 0L) == keys.count(_ % 101 == 0))
+  }
+
   test("z-order layout prunes on the non-leading dimension; 1-D sort cannot") {
     import graft.functions.ZOrder
     // two independent 10-bit dims hash-spread over [0, 1024) so both
