@@ -105,6 +105,83 @@ object Dedup {
     res
   }
 
+  /** PPJoin-style prefix-filtered Jaccard pairs — the high-threshold
+    * complement to [[jaccardPairs]]'s df-cap. The df-cap DROPS hot
+    * shingles, which redefines the score as rare-set Jaccard; prefix
+    * filtering keeps the EXACT full-set score: order each doc's
+    * shingles by ascending global document frequency (rarest first)
+    * and index only the first n − ⌈τ·n⌉ + 1 of them. Any pair with
+    * full-set Jaccard ≥ τ must overlap by ≥ ⌈τ·max(n_a, n_b)⌉
+    * shingles, and by the SSJoin/PPJoin prefix lemma two sets with
+    * disjoint rarity-ordered prefixes of that length cannot reach the
+    * overlap — candidate generation is lossless for the exact score
+    * (PipelineSpec pins prefix == naive all-pairs in Spark), while hot
+    * shingles sort to the END of every doc's order and never enter
+    * the index.
+    *
+    * τ = tauNum/tauDen stays RATIONAL: prefix length, size filter, and
+    * the final threshold are all integer cross-multiplications, so
+    * both engines agree on boundary pairs with no float anywhere.
+    *
+    * Scale shape: index = Σ(1−τ)·n_d rows; the candidate join cost per
+    * prefix shingle is its prefix-df², bounded by the number of docs
+    * for which that shingle ranks in their rarest (1−τ) fraction —
+    * exactly the docs it discriminates. The verify join touches only
+    * candidate pairs (Σ_cand n rows), never the corpus cross product.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, n: Int = 8, tauNum: Int = 7,
+      tauDen: Int = 10, eager: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss0 = shingles(docs, n)
+    val ss = if (eager) ss0.cache() else ss0
+    val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val dfreq = ss.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val pref = ss.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .where(col("rk") <=
+        col("nsh") - expr(s"($tauNum * nsh + ${tauDen - 1}) DIV $tauDen") + lit(1))
+      .select(col("doc_id"), col("sh"), col("nsh"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("sh"),
+        col("nsh").as("na"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("sh"),
+        col("nsh").as("nb")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b") &&
+        lit(tauDen) * col("nb") >= lit(tauNum) * col("na") &&
+        lit(tauDen) * col("na") >= lit(tauNum) * col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
+    // verify via per-doc collected sets + array_intersect: the
+    // candidate count is inherently quadratic in duplication factor
+    // (it approaches the OUTPUT size at high τ), so the verify must
+    // be O(|cand|·n) work with |cand|-row shuffles — the exploded
+    // (cand ⋈ shingles ⋈ shingles) form shuffled Σ_cand n rows
+    // (~725M at the derived volume) and did not finish; this form
+    // moves each doc's set once per candidate side
+    val arrs = ss.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("arr"))
+    val inter = cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("inter"))
+    val out = inter
+      .where(lit(tauDen) * col("inter") >=
+        lit(tauNum) * (col("na") + col("nb") - col("inter")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("inter"), col("jac"))
+    if (!eager) return out
+    val res = out.localCheckpoint(true)
+    ss.unpersist(blocking = true)
+    res
+  }
+
   /** Asymmetric shingle CONTAINMENT — the doc-in-doc / quote-detection
     * pass Jaccard cannot express: C(A→B) = |A∩B| / |A| is high when a
     * small doc is swallowed by a large one even though their Jaccard is

@@ -73,7 +73,46 @@ object HyperBall {
   def neighborhoodSizes(edges: DataFrame, rounds: Int,
       eager: Boolean = true,
       broadcastSketches: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 150000L): DataFrame =
+    estimateOf(packedStates(edges, rounds, eager, broadcastSketches,
+      broadcastMaxNodes).last)
+
+  /** The neighborhood FUNCTION + effective diameter — what HyperANF
+    * exists to compute: per round r ∈ [0, rounds], the total ball mass
+    * N(r) = Σ_v ⌊est(v, r)·100 + 0.5⌋ (each node's raw-HLL estimate is
+    * a deterministic double, so its per-row integer cents are exact
+    * and their SUM is order-free — the spatial_cell_stats lesson
+    * applied pre-emptively), plus the 90%-quantile effective-diameter
+    * flag 10·N(r) ≥ 9·N(rounds), all integer cross-multiplication.
+    * The first flagged round IS the effective diameter at q = 0.9
+    * (relative to the `rounds`-ball horizon).
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int,
+      broadcastSketches: Option[Boolean] = None,
       broadcastMaxNodes: Long = 150000L): DataFrame = {
+    val sts = packedStates(edges, rounds, eager = true, broadcastSketches,
+      broadcastMaxNodes)
+    val masses = sts.zipWithIndex.map { case (st, r) =>
+      estimateOf(st)
+        .agg(sum(floor(col("est_raw") * 100 + lit(0.5)).cast("long"))
+          .as("mass_c"))
+        .select(lit(r).as("round"), col("mass_c"))
+    }.reduce(_ unionAll _)
+    val fin = masses.where(col("round") === rounds)
+      .select(col("mass_c").as("mass_fin"))
+    masses.crossJoin(broadcast(fin))
+      .select(col("round"), col("mass_c"),
+        (lit(10) * col("mass_c") >= lit(9) * col("mass_fin"))
+          .as("reached_90pct"))
+  }
+
+  /** State after each round 0..rounds (each materialized when eager) —
+    * shared by [[neighborhoodSizes]] (which needs only the last) and
+    * [[neighborhoodFunction]] (which folds every round). */
+  private def packedStates(edges: DataFrame, rounds: Int,
+      eager: Boolean,
+      broadcastSketches: Option[Boolean],
+      broadcastMaxNodes: Long): Seq[DataFrame] = {
     def mat(df: DataFrame): DataFrame =
       if (eager) df.localCheckpoint(true) else df
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -98,6 +137,7 @@ object HyperBall {
     // whole-stage codegen, partial-aggregates before the shuffle
     val zipMax = array((1 to Registers).map(i =>
       max(element_at(col("ranks"), i))): _*).as("ranks")
+    val buf = scala.collection.mutable.ArrayBuffer(state)
     val doBroadcast = PageRank.chooseBroadcast(broadcastSketches, eager,
       state.count(), broadcastMaxNodes)
     for (_ <- 1 to rounds) {
@@ -106,14 +146,21 @@ object HyperBall {
         .select(e("u").as("node"), col("ranks"))
       state = mat(state.unionAll(fromNbrs)
         .groupBy(col("node")).agg(zipMax))
+      buf += state
     }
     e.unpersist(blocking = true)
-    // harmonic fold over the non-empty registers in register order
-    // (filter() preserves array order), empty-register mass 2^0 each
-    // folded in as the start value — the IDENTICAL IEEE add sequence
-    // the r10 row layout produced, so the oracle row is unchanged
+    buf.toSeq
+  }
+
+  /** (node, nnz, est_raw) from a packed state frame: harmonic fold
+    * over the non-empty registers in register order (filter()
+    * preserves array order), empty-register mass 2^0 each folded in
+    * as the start value — the IDENTICAL IEEE add sequence the r10 row
+    * layout produced, so the oracle row is unchanged.
+    */
+  private def estimateOf(state: DataFrame): DataFrame = {
     val nonEmpty = filter(col("ranks"), r => r > 0)
-    val res = state
+    state
       .select(col("node"), nonEmpty.as("rr"))
       .select(col("node"), size(col("rr")).cast("long").as("nnz"),
         aggregate(
@@ -124,6 +171,5 @@ object HyperBall {
           (acc, x) => acc + x).as("s"))
       .select(col("node"), col("nnz"),
         (lit(AlphaM2) / col("s")).as("est_raw"))
-    res
   }
 }

@@ -27,6 +27,17 @@ object DedupQueries {
           rnd(col("jac"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // PPJoin prefix-filtered EXACT full-set Jaccard at τ = 7/10 — the
+    // high-threshold complement to the df-cap form above (which scores
+    // rare-set Jaccard); all thresholds integer cross-multiplied, so
+    // boundary pairs agree cross-engine with no float anywhere
+    // (Dedup.jaccardPrefixPairs scaladoc)
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(docs(s, dir), n = 8, tauNum = 7, tauDen = 10)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+          rnd(col("jac"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
     // k=8 shingles: on this corpus 3-grams are pathologically shared
     // (median true Jaccard 0.46 — tiny vocab) while 8-grams separate
     // cleanly (median 0.04, true near-dups >= 0.5)
@@ -666,6 +677,40 @@ object DedupQueries {
          |       FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id),
          |$jaccardTail WHERE jac >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same rarity order (df asc, sh asc), same integer prefix length
+    // (7n+9)//10, same cross-multiplied filters
+    "dedup_jaccard_prefix" ->
+      s"""WITH ${ssetsCte(8)},
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM ssets GROUP BY doc_id),
+         |freq AS (SELECT sh, count(*) AS df FROM ssets GROUP BY sh),
+         |rk AS (
+         |  SELECT s.doc_id, s.sh,
+         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh) AS rk
+         |  FROM ssets s JOIN freq f ON f.sh = s.sh
+         |),
+         |pref AS (
+         |  SELECT r.doc_id, r.sh, z.nsh
+         |  FROM rk r JOIN sizes z ON z.doc_id = r.doc_id
+         |  WHERE r.rk <= z.nsh - (7 * z.nsh + 9) // 10 + 1
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.nsh AS na, b.nsh AS nb
+         |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  WHERE 10 * b.nsh >= 7 * a.nsh AND 10 * a.nsh >= 7 * b.nsh
+         |),
+         |it AS (
+         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS inter
+         |  FROM cand c JOIN ssets x ON x.doc_id = c.doc_a
+         |              JOIN ssets y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na,
+         |  CAST(nb AS BIGINT) AS nb, CAST(inter AS BIGINT) AS inter,
+         |  ${rndSql("CAST(inter AS DOUBLE) / (na + nb - inter)", 6)} AS jaccard
+         |FROM it WHERE 10 * inter >= 7 * (na + nb - inter)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH ${ssetsCte(5)},

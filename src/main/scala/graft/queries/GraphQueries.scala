@@ -16,7 +16,7 @@ object GraphQueries {
     * one edge per DISTINCT (supplier, part) pair in lineitem. Both
     * directions means every node has outdeg >= 1 (no dangling mass).
     */
-  private def supplyEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def supplyEdges(s: SparkSession, dir: String): DataFrame = {
     // union BEFORE distinct: one dedup shuffle over both directions,
     // instead of a duplicated distinct subtree under the union
     val li = Tables.lineitem(s, dir)
@@ -71,6 +71,16 @@ object GraphQueries {
         .neighborhoodSizes(supplyEdges(s, dir), rounds = 3)
         .select(col("node"), col("nnz"), rnd(col("est_raw"), 2).as("est_ball3"))
         .orderBy("node")),
+
+    // HyperANF's actual deliverable: the neighborhood FUNCTION N(r)
+    // and the 90% effective diameter (HyperBall.neighborhoodFunction
+    // scaladoc). Per-node estimates are deterministic doubles, so
+    // their per-row integer cents sum order-free and the 90% flag is
+    // integer cross-multiplied — 4 rows, every column exact.
+    "graph_eff_diameter" -> ((s, dir) =>
+      graft.operators.HyperBall
+        .neighborhoodFunction(supplyEdges(s, dir), rounds = 3)
+        .orderBy("round")),
 
     // weighted PageRank over the min-quantity supply graph — rank mass
     // splits by edge weight (rank·w DIV strength, all integer, same
@@ -431,6 +441,60 @@ object GraphQueries {
            |)
            |SELECT node, nnz, ${rndSql(s"$AlphaM2 / s", 2)} AS est_ball3
            |FROM folded ORDER BY node""".stripMargin
+      },
+
+      "graph_eff_diameter" -> {
+        import graft.operators.HyperBall.{AlphaM2, MaxRank, Registers}
+        val rounds = (1 to 3).map { i =>
+          s"""b$i AS MATERIALIZED (SELECT node, reg, max(rank) AS rank FROM (
+             |  SELECT node, reg, rank FROM b${i - 1}
+             |  UNION ALL
+             |  SELECT e.src AS node, s.reg, s.rank
+             |  FROM edges e JOIN b${i - 1} s ON s.node = e.dst
+             |) GROUP BY node, reg)""".stripMargin
+        }.mkString(",\n")
+        def foldMass(i: Int) =
+          s"""m$i AS (
+             |  SELECT $i AS round,
+             |    CAST(sum(CAST(floor(($AlphaM2 / s) * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS mass_c
+             |  FROM (
+             |    SELECT node,
+             |      list_reduce(
+             |        list_prepend(CAST($Registers - count(*) AS DOUBLE),
+             |          list_transform(list(rank ORDER BY reg),
+             |            r -> 1.0 / CAST(1::BIGINT << CAST(r AS INT) AS DOUBLE))),
+             |        (a, b) -> a + b) AS s
+             |    FROM b$i GROUP BY node)
+             |)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+           |  FROM lineitem
+           |), edges AS MATERIALIZED (
+           |  SELECT sup AS src, prt AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT prt AS src, sup AS dst FROM pairs
+           |), nh AS (
+           |  SELECT node,
+           |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
+           |      AS BIGINT) AS h
+           |  FROM (SELECT DISTINCT src AS node FROM edges)
+           |), b0 AS MATERIALIZED (
+           |  SELECT node, h % $Registers AS reg,
+           |    CAST(CASE WHEN h // $Registers = 0 THEN $MaxRank
+           |      ELSE $MaxRank - length(bin(h // $Registers)) END AS BIGINT)
+           |      AS rank
+           |  FROM nh
+           |),
+           |$rounds,
+           |${(0 to 3).map(foldMass).mkString(",\n")},
+           |ms AS (
+           |  SELECT * FROM m0 UNION ALL SELECT * FROM m1
+           |  UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+           |)
+           |SELECT CAST(round AS INT) AS round, mass_c,
+           |  10 * mass_c >= 9 * (SELECT mass_c FROM m3) AS reached_90pct
+           |FROM ms ORDER BY round""".stripMargin
       },
 
       "graph_pagerank_w" -> {

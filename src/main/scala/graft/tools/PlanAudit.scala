@@ -97,7 +97,12 @@ object PlanAudit {
     // cartesian), LM scoring (broadcast top-v model, narrow scoring
     // pass), incremental join view (three delta joins, no B-generation
     // rescan), CMS join-size (two grid builds + tiny grid-grid join)
-    "spatial_knn_grid", "text_lm_score", "q_incr_join", "q_join_size_cms")
+    "spatial_knn_grid", "text_lm_score", "q_incr_join", "q_join_size_cms",
+    // round 11 continuation: PPJoin prefix filter (rarity-ordered
+    // prefix index join + per-candidate array_intersect verify, no
+    // Σ_cand·n exploded join), table range diff (two map-side-combined
+    // digest aggregates + full outer on the bucket id)
+    "dedup_jaccard_prefix", "q_table_diff_ranges")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

@@ -434,4 +434,26 @@ class GraphSpec extends SparkSpec {
     assert(total > 0 && total % 3 == 0,
       s"node-participation total $total must be 3 x triangle count")
   }
+
+  test("neighborhood function: monotone mass, consistent with per-node sizes") {
+    import graft.operators.HyperBall
+    import graft.queries.GraphQueries
+    val nf = GraphQueries.queries("graph_eff_diameter")(spark, sf)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    assert(nf.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // ball(v, r) ⊆ ball(v, r+1) ⇒ register max only grows ⇒ mass monotone
+    nf.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"mass decreased: $a -> $b")
+    }
+    assert(nf.last._3, "final round must trivially reach its own 90%")
+    assert(nf.head._2 > 0)
+    // final-round mass must equal the per-node sizes summed the same way
+    val edges = GraphQueries.supplyEdges(spark, sf)
+    val fromSizes = HyperBall.neighborhoodSizes(edges, rounds = 3)
+      .agg(sum(floor(col("est_raw") * 100 + lit(0.5)).cast("long")))
+      .head.getLong(0)
+    assert(nf.last._2 == fromSizes,
+      s"neighborhoodFunction final mass ${nf.last._2} != sizes-derived $fromSizes")
+  }
 }

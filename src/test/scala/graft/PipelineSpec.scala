@@ -257,4 +257,29 @@ class PipelineSpec extends SparkSpec {
     assert(totalN - totalR > totalN / 2,
       s"cleaner removed $totalR of $totalN tokens — more than half the corpus")
   }
+
+  test("prefix-filtered jaccard equals the naive all-pairs join (lossless prune)") {
+    import graft.operators.Dedup
+    // sf0.01: the naive inverted self-join is feasible here (~5.8M
+    // rows) and the corpus holds 25 pairs at τ = 7/10 — a non-vacuous
+    // equality
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = Dedup.jaccardPrefixPairs(d, n = 8, tauNum = 7, tauDen = 10)
+      .select("doc_a", "doc_b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ss = Dedup.shingles(d, 8)
+    val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val naive = ss.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(ss.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .where(lit(10) * col("inter") >= lit(7) * (col("na") + col("nb") - col("inter")))
+      .select("doc_a", "doc_b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty, "gate corpus must contain τ ≥ 0.7 pairs")
+    assert(got == naive,
+      s"prefix prune diverged: missing=${naive -- got} extra=${got -- naive}")
+  }
 }
