@@ -52,6 +52,24 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int): DataFrame =
     rawShingles(docs, n).distinct()
 
+  /** Distinct w-WORD shingles per doc (the established whitespace
+    * tokenizer): (doc_id, sh). Word shingles have a combinatorial
+    * vocabulary where this corpus's char n-grams have a tiny closed
+    * one — measured at the derived volume, char-8 prefix filtering
+    * degenerates (12.5k distinct prefix shingles over 50k docs, 2.69e9
+    * candidate rows) while word-5 stays discriminative (283k-shingle
+    * vocabulary, max df = copy-cluster size, 3.7e6 candidate rows).
+    */
+  def wordShingles(docs: DataFrame, w: Int): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    docs.select(col("doc_id"), ts.as("ts"))
+      .where(size(col("ts")) >= w)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("ts")) - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(j =>
+          element_at(col("ts"), i + lit(j))): _*)))).as("sh"))
+  }
+
   /** Exact dedup: one row per distinct normalized text; keep_id is the
     * smallest doc_id of the group.
     */
@@ -132,7 +150,22 @@ object Dedup {
   def jaccardPrefixPairs(docs: DataFrame, n: Int = 8, tauNum: Int = 7,
       tauDen: Int = 10, eager: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ss0 = shingles(docs, n)
+    // EXACT-DEDUP FIRST — the pipeline-order invariant that makes
+    // prefix filtering viable at scale: identical texts collapse to
+    // their min-doc_id representative (the [[exact]] keeper rule)
+    // before any near-dup work. Without it, a corpus with c-fold
+    // duplication gives every prefix shingle prefix-df ≈ c and the
+    // candidate join grows as c² — measured 2.69e9 candidate rows at
+    // the derived 10x volume, vs sampled-scale cost after the
+    // collapse. Pair semantics are over distinct texts; expanding to
+    // raw doc pairs is one join against the exact-dup groups.
+    val uniq = docs.select(lower(col("text")).as("t"), col("doc_id"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("t").as("text"))
+    // WORD shingles, not char n-grams: prefix filtering needs a
+    // long-tailed shingle vocabulary (wordShingles scaladoc — char-8
+    // degenerates to 2.69e9 candidates on this corpus at volume)
+    val ss0 = wordShingles(uniq, n)
     val ss = if (eager) ss0.cache() else ss0
     val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val dfreq = ss.groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -33,7 +33,7 @@ object DedupQueries {
     // boundary pairs agree cross-engine with no float anywhere
     // (Dedup.jaccardPrefixPairs scaladoc)
     "dedup_jaccard_prefix" -> ((s, dir) =>
-      Dedup.jaccardPrefixPairs(docs(s, dir), n = 8, tauNum = 7, tauDen = 10)
+      Dedup.jaccardPrefixPairs(docs(s, dir), n = 5, tauNum = 7, tauDen = 10)
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
           rnd(col("jac"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
@@ -678,10 +678,24 @@ object DedupQueries {
          |       GROUP BY a.doc_id, b.doc_id),
          |$jaccardTail WHERE jac >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
-    // same rarity order (df asc, sh asc), same integer prefix length
+    // same exact-dup collapse (min-doc_id per lowered text), same
+    // rarity order (df asc, sh asc), same integer prefix length
     // (7n+9)//10, same cross-multiplied filters
     "dedup_jaccard_prefix" ->
-      s"""WITH ${ssetsCte(8)},
+      s"""WITH u AS (
+         |  SELECT min(doc_id) AS doc_id, lower(text) AS t
+         |  FROM documents GROUP BY lower(text)
+         |),
+         |toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(t, '\\s+'), x -> x <> '') AS ts
+         |  FROM u
+         |),
+         |ssets AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 3),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+         |         ts[i+3] || ' ' || ts[i+4])) AS sh
+         |  FROM toks WHERE len(ts) >= 5) t2),
          |sizes AS (SELECT doc_id, count(*) AS nsh FROM ssets GROUP BY doc_id),
          |freq AS (SELECT sh, count(*) AS df FROM ssets GROUP BY sh),
          |rk AS (

@@ -264,10 +264,15 @@ class PipelineSpec extends SparkSpec {
     // rows) and the corpus holds 25 pairs at τ = 7/10 — a non-vacuous
     // equality
     val d = Tables.documents(spark, "/root/testdata/sf0.01")
-    val got = Dedup.jaccardPrefixPairs(d, n = 8, tauNum = 7, tauDen = 10)
+    val got = Dedup.jaccardPrefixPairs(d, n = 5, tauNum = 7, tauDen = 10)
       .select("doc_a", "doc_b", "inter").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val ss = Dedup.shingles(d, 8)
+    // naive over the same exact-dup collapse (min-doc_id per lowered
+    // text — a no-op on this fixture, which has no identical texts)
+    val uniq = d.select(lower(col("text")).as("t"), col("doc_id"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("t").as("text"))
+    val ss = Dedup.wordShingles(uniq, 5)
     val sizes = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val naive = ss.select(col("doc_id").as("doc_a"), col("sh"))
       .join(ss.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
