@@ -89,9 +89,14 @@ object HyperBall {
     */
   def neighborhoodFunction(edges: DataFrame, rounds: Int,
       broadcastSketches: Option[Boolean] = None,
-      broadcastMaxNodes: Long = 150000L): DataFrame = {
-    val sts = packedStates(edges, rounds, eager = true, broadcastSketches,
-      broadcastMaxNodes)
+      broadcastMaxNodes: Long = 150000L): DataFrame =
+    neighborhoodFunctionFrom(packedStates(edges, rounds, eager = true,
+      broadcastSketches, broadcastMaxNodes))
+
+  /** [[neighborhoodFunction]] from pre-built round states (index =
+    * round) — the staged-layout entry point. */
+  def neighborhoodFunctionFrom(sts: Seq[DataFrame]): DataFrame = {
+    val rounds = sts.size - 1
     val masses = sts.zipWithIndex.map { case (st, r) =>
       estimateOf(st)
         .agg(sum(floor(col("est_raw") * 100 + lit(0.5)).cast("long"))
@@ -107,9 +112,12 @@ object HyperBall {
   }
 
   /** State after each round 0..rounds (each materialized when eager) —
-    * shared by [[neighborhoodSizes]] (which needs only the last) and
-    * [[neighborhoodFunction]] (which folds every round). */
-  private def packedStates(edges: DataFrame, rounds: Int,
+    * shared by [[neighborhoodSizes]] (which needs only the last),
+    * [[neighborhoodFunction]] (which folds every round), and the
+    * per-scale-dir staging (StagedLayouts.hyperballStates) that lets
+    * graph_ball_sketch and graph_eff_diameter pay the round loop
+    * once. */
+  def packedStates(edges: DataFrame, rounds: Int,
       eager: Boolean,
       broadcastSketches: Option[Boolean],
       broadcastMaxNodes: Long): Seq[DataFrame] = {
@@ -158,7 +166,7 @@ object HyperBall {
     * as the start value — the IDENTICAL IEEE add sequence the r10 row
     * layout produced, so the oracle row is unchanged.
     */
-  private def estimateOf(state: DataFrame): DataFrame = {
+  def estimateOf(state: DataFrame): DataFrame = {
     val nonEmpty = filter(col("ranks"), r => r > 0)
     state
       .select(col("node"), nonEmpty.as("rr"))

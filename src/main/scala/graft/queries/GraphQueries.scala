@@ -66,9 +66,12 @@ object GraphQueries {
     // exact power-of-two ordered fold, so even the float column
     // hash-gates; GraphSpec pins round monotonicity and accuracy
     // against true ball sizes on sampled nodes.
+    // both HyperBall consumers read the staged per-scale-dir round
+    // states (StagedLayouts.hyperballStates) — the round loop runs
+    // once, not once per query
     "graph_ball_sketch" -> ((s, dir) =>
       graft.operators.HyperBall
-        .neighborhoodSizes(supplyEdges(s, dir), rounds = 3)
+        .estimateOf(graft.sources.StagedLayouts.hyperballStates(s, dir).last)
         .select(col("node"), col("nnz"), rnd(col("est_raw"), 2).as("est_ball3"))
         .orderBy("node")),
 
@@ -79,7 +82,8 @@ object GraphQueries {
     // integer cross-multiplied — 4 rows, every column exact.
     "graph_eff_diameter" -> ((s, dir) =>
       graft.operators.HyperBall
-        .neighborhoodFunction(supplyEdges(s, dir), rounds = 3)
+        .neighborhoodFunctionFrom(
+          graft.sources.StagedLayouts.hyperballStates(s, dir))
         .orderBy("round")),
 
     // weighted PageRank over the min-quantity supply graph — rank mass

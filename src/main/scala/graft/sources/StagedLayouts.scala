@@ -188,6 +188,39 @@ object StagedLayouts {
     })
   }
 
+  // ---- shared HyperBall round states ---------------------------------
+
+  /** The packed HyperBall register states for rounds 0..3 over the
+    * supply graph, materialized once per scale dir. TWO registered
+    * queries consume the identical round loop (`graph_ball_sketch`
+    * folds the last state; `graph_eff_diameter` folds every state) and
+    * each re-ran the 3 edge-join/merge rounds independently — the
+    * basket-edges/simhash shape again. The staged artifact is |V| rows
+    * of 64-long arrays per round (~tens of MB at sf0.1); production
+    * shape: a HyperANF run checkpoints its per-round states and every
+    * downstream statistic (per-node sizes, neighborhood function,
+    * centralities) reads them.
+    */
+  private def hyperballDir(s: SparkSession, sfDir: String): String = {
+    require(hookInstalled)
+    staged.computeIfAbsent(s"hyperball:$sfDir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hball").toString
+      val sts = graft.operators.HyperBall.packedStates(
+        graft.queries.GraphQueries.supplyEdges(s, sfDir), rounds = 3,
+        eager = true, broadcastSketches = None, broadcastMaxNodes = 150000L)
+      sts.zipWithIndex.foreach { case (st, r) =>
+        st.write.mode("overwrite").parquet(s"$tmp/round$r")
+      }
+      tmp
+    })
+  }
+
+  /** Round-indexed packed states (index = round, 0..3). */
+  def hyperballStates(s: SparkSession, sfDir: String): Seq[DataFrame] = {
+    val dir = hyperballDir(s, sfDir)
+    (0 to 3).map(r => s.read.parquet(s"$dir/round$r"))
+  }
+
   /** (doc_a, doc_b, ham) — verified simhash pairs, Hamming ≤ 3. */
   def simhashPairs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"${simhashDir(s, sfDir)}/pairs")
