@@ -89,9 +89,88 @@ object QualityQueries {
           sum(when(col("adev") > lit(3.5 * 1.4826) * col("mad"), 1L)
             .otherwise(0L)).as("n_outliers"))
         .orderBy("event_type")
+    }),
+
+    // ---- one-pass table profiler: per-column null count, distinct
+    // count, min/max — the schema-discovery primitive a warehouse runs
+    // on every new table. ONE wide aggregate over ONE scan (six
+    // columns × four statistics; multiple distinct aggregates plan as
+    // a single Expand), then a stack unpivot. Values surface in
+    // canonical INTEGER encodings (cents for the 2-dp double, epoch
+    // days for the date) or raw strings — never a double rendered to
+    // text, whose cross-engine forms diverge (the q_table_diff_ranges
+    // rule).
+    "q_table_profile" -> ((s, dir) => {
+      val t = Tables.orders(s, dir)
+      val enc: Map[String, org.apache.spark.sql.Column] = Map(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice" -> floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long"),
+        "o_orderdate" -> datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01")).cast("long"))
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      val intCols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate")
+      val aggs =
+        intCols.flatMap { c =>
+          val e = enc(c)
+          Seq(count(e).as(s"nn_$c"), countDistinct(e).as(s"nd_$c"),
+            min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
+        } ++ strCols.flatMap { c =>
+          Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+        }
+      val wide = t.agg(count(lit(1)).as("n"), aggs: _*)
+      val rows =
+        intCols.map(c =>
+          s"'$c', n, n - nn_$c, nd_$c, mn_$c, mx_$c, " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        strCols.map(c =>
+          s"'$c', n, n - nn_$c, nd_$c, CAST(NULL AS BIGINT), " +
+            s"CAST(NULL AS BIGINT), mn_$c, mx_$c")
+      wide.selectExpr(s"stack(6, ${rows.mkString(", ")}) AS " +
+          "(col_name, n, n_null, n_distinct, min_i, max_i, min_s, max_s)")
+        .orderBy("col_name")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same one-pass wide aggregate (AS MATERIALIZED so the six output
+    // rows don't re-run it), same canonical integer encodings
+    "q_table_profile" -> {
+      val intAgg = Map(
+        "o_orderkey" -> "o_orderkey",
+        "o_custkey" -> "o_custkey",
+        "o_totalprice" -> "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+        "o_orderdate" ->
+          "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))")
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      val aggs =
+        intAgg.toSeq.sortBy(_._1).map { case (c, e) =>
+          s"count($e) AS nn_$c, count(DISTINCT $e) AS nd_$c, " +
+            s"CAST(min($e) AS BIGINT) AS mn_$c, CAST(max($e) AS BIGINT) AS mx_$c"
+        } ++ strCols.map { c =>
+          s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, " +
+            s"min($c) AS mn_$c, max($c) AS mx_$c"
+        }
+      val rows =
+        intAgg.keys.toSeq.sorted.map(c =>
+          s"""SELECT '$c' AS col_name, n, CAST(n - nn_$c AS BIGINT) AS n_null,
+             |  CAST(nd_$c AS BIGINT) AS n_distinct, mn_$c AS min_i,
+             |  mx_$c AS max_i, CAST(NULL AS VARCHAR) AS min_s,
+             |  CAST(NULL AS VARCHAR) AS max_s FROM a""".stripMargin) ++
+        strCols.map(c =>
+          s"""SELECT '$c', n, CAST(n - nn_$c AS BIGINT),
+             |  CAST(nd_$c AS BIGINT), CAST(NULL AS BIGINT),
+             |  CAST(NULL AS BIGINT), mn_$c, mx_$c FROM a""".stripMargin)
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, ${aggs.mkString(",\n    ")}
+         |  FROM orders
+         |)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin
+    },
+
     "q_dq_checks" ->
       """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
         |  SELECT 'events_null_fields' AS check_name,
