@@ -71,6 +71,48 @@ object Similarity {
       .select(col("qid"), col("rk"), col("vec_id"), col("cos5"))
   }
 
+  /** ColBERT-style late-interaction (MaxSim) retrieval: each stored
+    * vector is read as `nTok` contiguous token-vectors of D/nTok dims;
+    * score(q, d) = Σ_i max_j cos(q_i, d_j) — the multi-vector ranking
+    * a late-interaction retriever runs where single-vector cosine
+    * loses token-level signal. Execution is still the [[bruteTopK]]
+    * shape (broadcast queries, ONE narrow corpus scan), just with an
+    * nTok² slice-dot interaction matrix per pair. Determinism: each
+    * cosine is 5-dp rounded BEFORE the max (cross-engine stable —
+    * the rnd5 ranking contract), and the final score sums the nTok
+    * maxes in literal token order, so both engines replay the exact
+    * IEEE sequence and the score column itself hash-gates.
+    */
+  def maxSimTopK(embDf: DataFrame, nTok: Int, nQueries: Int, k: Int): DataFrame = {
+    val td = SimilarityDims.D / nTok
+    def tok(v: Column, i: Int) = slice(v, 1 + i * td, td)
+    def norms(v: Column, p: String) = (0 until nTok).map(i =>
+      sqrt(ArrayKernels.dotFast(tok(v, i), tok(v, i))).as(s"$p$i"))
+    val base = embDf.select(col("vec_id") +: col("v") +:
+      norms(col("v"), "n"): _*)
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid") +: col("v").as("qv") +:
+        (0 until nTok).map(i => col(s"n$i").as(s"qn$i")): _*)
+    val maxes = (0 until nTok).map { i =>
+      val coss = (0 until nTok).map { j =>
+        rnd5(ArrayKernels.dotFast(tok(col("qv"), i), tok(col("v"), j)) /
+          (col(s"qn$i") * col(s"n$j")))
+      }
+      // greatest() rejects a single argument (the nTok = 1 degenerate
+      // case RecallSpec pins against bruteTopK)
+      (if (coss.size == 1) coss.head else greatest(coss: _*)).as(s"m$i")
+    }
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid") +: col("vec_id") +: maxes: _*)
+      .withColumn("score",
+        (0 until nTok).map(i => col(s"m$i")).reduce(_ + _))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("score"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim uniform [-1, 1]. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new java.util.Random(seed)

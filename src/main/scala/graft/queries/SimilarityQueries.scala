@@ -29,6 +29,15 @@ object SimilarityQueries {
       Similarity.bruteTopK(Similarity.emb(s, dir), nQueries = 10, k = 5)
         .orderBy("qid", "rk")),
 
+    // ColBERT-style late-interaction top-5: 4 token-vectors of 16 dims
+    // per stored vector, score = Σ_i max_j cos(q_i, d_j)
+    // (Similarity.maxSimTopK scaladoc — the bruteTopK broadcast-scan
+    // shape with an nTok² slice-dot interaction matrix)
+    "sim_maxsim_topk" -> ((s, dir) =>
+      Similarity.maxSimTopK(Similarity.emb(s, dir), nTok = 4,
+        nQueries = 10, k = 5)
+        .orderBy("qid", "rk")),
+
     // LSH-bucketed ANN top-3 (8 random hyperplanes, seed 13)
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Similarity.emb(s, dir), planes, nQueries = 10, k = 3)
@@ -429,6 +438,45 @@ object SimilarityQueries {
          |c AS (SELECT id_a, id_b, ${cosN("va", "vb", "na", "nb")} AS cos FROM p)
          |SELECT id_a, id_b, ${rndSql("cos", 5)} AS cos5
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // same 16-dim slice dots (ascending left-assoc like the kernel),
+    // same rnd5-before-max, same literal-order 4-term score sum
+    "sim_maxsim_topk" -> {
+      val nTok = 4; val td = SimilarityDims.D / nTok
+      def sliceDot(a: String, b: String, i: Int, j: Int): String =
+        (1 to td).map(t => s"$a[${i * td + t}]*$b[${j * td + t}]")
+          .mkString(" + ")
+      val tokNorms = (0 until nTok).map(i =>
+        s"sqrt(${sliceDot("v", "v", i, i)}) AS n$i").mkString(", ")
+      val qNorms = (0 until nTok).map(i => s"n$i AS qn$i").mkString(", ")
+      val maxes = (0 until nTok).map { i =>
+        val coss = (0 until nTok).map { j =>
+          rndSql(s"(${sliceDot("qv", "v", i, j)}) / (qn$i * n$j)", 5)
+        }
+        s"greatest(${coss.mkString(", ")}) AS m$i"
+      }.mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), et AS MATERIALIZED (
+         |  SELECT vec_id, v, $tokNorms FROM e
+         |), q AS (
+         |  SELECT vec_id AS qid, v AS qv, $qNorms FROM et WHERE vec_id < 10
+         |), j AS (
+         |  SELECT qid, vec_id,
+         |    $maxes
+         |  FROM q, et WHERE vec_id <> qid
+         |), sc AS (
+         |  SELECT qid, vec_id, ((m0 + m1) + m2) + m3 AS score FROM j
+         |), r AS (
+         |  SELECT qid, vec_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rk
+         |  FROM sc
+         |)
+         |SELECT qid, rk, vec_id, score FROM r WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin
+    },
 
     "sim_topk" ->
       s"""WITH $embCte,

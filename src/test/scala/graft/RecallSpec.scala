@@ -131,4 +131,30 @@ class RecallSpec extends SparkSpec {
       assert(minDist >= 0 && minDist <= 32)
     }
   }
+
+  test("maxsim with one token degenerates to single-vector brute top-k exactly") {
+    import graft.operators.Similarity
+    val e = Similarity.emb(spark, sf)
+    // nTok = 1: the token IS the whole vector, so score = rnd5(cos) and
+    // the ranking contract coincides with bruteTopK's — row-for-row
+    val ms = Similarity.maxSimTopK(e, nTok = 1, nQueries = 10, k = 5)
+      .select("qid", "rk", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val bt = Similarity.bruteTopK(e, nQueries = 10, k = 5)
+      .select("qid", "rk", "vec_id", "cos5").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ms == bt, s"degenerate maxsim diverged: ${(ms -- bt).take(3)}")
+  }
+
+  test("maxsim at 4 tokens: full k per query, self excluded, scores in [-4, 4]") {
+    import graft.operators.Similarity
+    val got = Similarity.maxSimTopK(Similarity.emb(spark, sf),
+      nTok = 4, nQueries = 10, k = 5).collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      assert(r.getLong(2) != r.getLong(0), "self pair leaked")
+      val s = r.getDouble(3)
+      assert(s >= -4.0 && s <= 4.0, s"score $s outside [-4, 4]")
+    }
+  }
 }
