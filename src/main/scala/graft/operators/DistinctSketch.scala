@@ -59,6 +59,29 @@ object DistinctSketch {
       .select(regCol(col(keyCol)).as("reg"), rankCol(col(keyCol)).as("rank"))
       .groupBy(col("reg")).agg(max(col("rank")).as("max_rank"))
 
+  // ---- parameterized register width (the profiler wants more
+  // registers than the default 2^8: per-column distinct counts must
+  // sit inside a 5% accuracy pin, and 2^12 gives sigma ~1.6% where 2^8
+  // gives ~6.5%) --------------------------------------------------------
+
+  /** Max rank for register exponent `p`: the 60-bit hash leaves a
+    * (60−p)-bit suffix, rank = lzc+1 ∈ [1, 60−p+1]. */
+  def maxRankP(p: Int): Int = 60 - p + 1
+
+  /** Register index under exponent `p` (2^p registers). */
+  def regColP(key: Column, p: Int): Column =
+    pmod(hash60(key), lit((1L << p)))
+
+  /** Leading-zero rank of the (60−p)-bit suffix under exponent `p` —
+    * same `length(bin(...))` integer idiom as [[rankCol]], so the
+    * register table hash-gates exactly on both engines. */
+  def rankColP(key: Column, p: Int): Column = {
+    val sfx = shiftright(hash60(key), p)
+    when(sfx === 0, lit(maxRankP(p)))
+      .otherwise(lit(maxRankP(p)) - length(bin(sfx)))
+      .cast("long")
+  }
+
   /** Standard HLL estimate (with the linear-counting small-range
     * correction) from a collected register table — driver-side, for
     * spec pins and interactive use; the distributed artifact is the

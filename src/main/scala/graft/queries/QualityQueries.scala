@@ -132,9 +132,168 @@ object QualityQueries {
       wide.selectExpr(s"stack(6, ${rows.mkString(", ")}) AS " +
           "(col_name, n, n_null, n_distinct, min_i, max_i, min_s, max_s)")
         .orderBy("col_name")
-    }))
+    }),
+
+    // ---- sketch-backed profiler — the 100-TB escape hatch for
+    // q_table_profile's exact multi-distinct (VERDICT r11 "what's
+    // wrong" #2): the exact form is one scan but Expand multiplies the
+    // scan rows ×6 INTO THE SHUFFLE, and every distinct value travels;
+    // this form reduces each column to a ≤4096-row register table
+    // (DistinctSketch at p=12, σ≈1.6%) built by a map-side-combined
+    // max aggregate — shuffle volume is O(columns × registers) whatever
+    // the table volume. The register table itself (n_regs, sum_s — the
+    // Σ 2^(maxRank−rank) scaled harmonic sum as an exact BIGINT) sits
+    // under the exact hash gate on both engines (md5/bin integer
+    // idioms, q_distinct_sketch pattern); the HLL estimate appears only
+    // inside the pinned `within_5pct` boolean (vs the exact distinct
+    // riding along as the gate arm — the q_quantile_sketch discipline:
+    // the exact arm is the gate's cost, not the production plan's;
+    // profileSketch(exactPin = false) is the production shape, A/B'd
+    // in BASELINE.md). Measured margins: max |err| 2.8% at sf0.01,
+    // 0.9% at sf0.1 — 5% keeps ≥1.8× headroom.
+    "q_table_profile_sketch" -> ((s, dir) =>
+      profileSketch(Tables.orders(s, dir), exactPin = true)))
+
+  /** Sketch-backed per-column profiler over `orders`-shaped input: two
+    * narrow passes (a distinct-free wide aggregate + one explode into
+    * per-column register sketches). With `exactPin` the wide pass also
+    * carries the exact distinct counts and the output pins
+    * `within_5pct`; without it the output is the pure production
+    * artifact (no Expand anywhere in the plan).
+    */
+  def profileSketch(t: DataFrame, exactPin: Boolean): DataFrame = {
+    import graft.operators.DistinctSketch
+    val p = 12
+    val m = 1 << p
+    val mr = DistinctSketch.maxRankP(p) // 49
+    val intEnc: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_totalprice" -> floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long"),
+      "o_orderdate" -> datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01")).cast("long"))
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val allEnc: Seq[(String, org.apache.spark.sql.Column)] =
+      intEnc.map { case (c, e) => c -> e.cast("string") } ++
+        strCols.map(c => c -> col(c))
+    val aggs = allEnc.flatMap { case (c, e) =>
+      count(e).as(s"nn_$c") ::
+        (if (exactPin) List(countDistinct(e).as(s"dn_$c")) else Nil)
+    }
+    val wide = t.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackCols =
+      allEnc.map { case (c, _) =>
+        if (exactPin) s"'$c', nn_$c, dn_$c" else s"'$c', nn_$c"
+      }.mkString(", ")
+    val wideRows = wide.selectExpr("n",
+      s"stack(${allEnc.size}, $stackCols) AS " +
+        (if (exactPin) "(col_name, nn, dn)" else "(col_name, nn)"))
+    val entries = array(allEnc.map { case (c, e) =>
+      struct(lit(c).as("cn"), e.as("k")) }: _*)
+    val regs = t.select(explode(entries).as("e"))
+      .select(col("e.cn").as("col_name"), col("e.k").as("k"))
+      .where(col("k").isNotNull)
+      .select(col("col_name"),
+        DistinctSketch.regColP(col("k"), p).as("reg"),
+        DistinctSketch.rankColP(col("k"), p).as("rank"))
+      .groupBy(col("col_name"), col("reg"))
+      .agg(max(col("rank")).as("mrk"))
+    val sk = regs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($mr - mrk AS INT))"))
+          .as("sum_s"))
+    val outCols = Seq(col("col_name"), col("n"),
+      (col("n") - col("nn")).as("n_null"), col("n_regs"), col("sum_s")) ++
+      (if (exactPin) Seq(col("dn")) else Nil)
+    val joined = wideRows.join(sk, Seq("col_name")).select(outCols: _*)
+    if (!exactPin)
+      return joined.orderBy("col_name")
+    // HLL estimate: one shared double literal C = α·m²·2^maxRank, one
+    // division by the exact-integer harmonic sum; linear counting below
+    // 2.5m. Appears only inside the pinned boolean — never hash-gated.
+    val cNum = 0.7213 / (1.0 + 1.079 / m) * m * m *
+      java.lang.Math.scalb(1.0, mr)
+    val sTot = (col("sum_s") +
+      (lit(m.toLong) - col("n_regs")) * lit(1L << mr)).cast("double")
+    val zeros = lit(m.toLong) - col("n_regs")
+    val raw = lit(cNum) / sTot
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    joined
+      .select(col("col_name"), col("n"), col("n_null"), col("n_regs"),
+        col("sum_s"),
+        (abs(est - col("dn").cast("double")) <=
+          lit(0.05) * col("dn").cast("double")).as("within_5pct"))
+      .orderBy("col_name")
+  }
 
   val oracleSql: Map[String, String] = Map(
+    // same md5/bin register derivation at p=12, same exact-integer
+    // harmonic sum, same single-literal estimate inside the boolean
+    "q_table_profile_sketch" -> {
+      val p = 12
+      val m = 1 << p
+      val mr = 60 - p + 1
+      val cNum = 0.7213 / (1.0 + 1.079 / m) * m * m *
+        java.lang.Math.scalb(1.0, mr)
+      val encs = Seq(
+        "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+        "o_totalprice" ->
+          "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "o_orderdate" ->
+          ("CAST(datediff('day', DATE '1970-01-01', " +
+            "CAST(o_orderdate AS DATE)) AS VARCHAR)"),
+        "o_orderstatus" -> "o_orderstatus",
+        "o_orderpriority" -> "o_orderpriority")
+      val keySel = encs.map { case (c, e) =>
+        s"SELECT '$c' AS col_name, $e AS k FROM orders WHERE $e IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      val wideAggs = encs.map { case (c, e) =>
+        s"count($e) AS nn_$c, count(DISTINCT $e) AS dn_$c"
+      }.mkString(",\n    ")
+      val wideRows = encs.map { case (c, _) =>
+        s"SELECT '$c' AS col_name, n, nn_$c AS nn, dn_$c AS dn FROM a"
+      }.mkString("\n  UNION ALL ")
+      val sTot = s"CAST(sum_s + ($m - n_regs) * (CAST(1 AS BIGINT) << $mr) AS DOUBLE)"
+      val est = s"""CASE WHEN $cNum / $sTot <= ${2.5 * m} AND n_regs < $m
+         |    THEN $m.0 * ln($m.0 / CAST($m - n_regs AS DOUBLE))
+         |    ELSE $cNum / $sTot END""".stripMargin
+      s"""WITH keys AS (
+         |  $keySel
+         |), h AS (
+         |  SELECT col_name,
+         |    CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h60
+         |  FROM keys
+         |), r AS (
+         |  SELECT col_name, h60 % $m AS reg, h60 // $m AS sfx FROM h
+         |), regs AS (
+         |  SELECT col_name, reg,
+         |    max(CASE WHEN sfx = 0 THEN $mr
+         |      ELSE $mr - length(bin(sfx)) END) AS mrk
+         |  FROM r GROUP BY 1, 2
+         |), sk AS (
+         |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_regs,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST($mr - mrk AS INT))
+         |      AS BIGINT) AS sum_s
+         |  FROM regs GROUP BY 1
+         |), a AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $wideAggs
+         |  FROM orders
+         |), w AS (
+         |  $wideRows
+         |)
+         |SELECT w.col_name, w.n, CAST(w.n - w.nn AS BIGINT) AS n_null,
+         |  s.n_regs, s.sum_s,
+         |  abs(($est) - CAST(w.dn AS DOUBLE)) <= 0.05 * CAST(w.dn AS DOUBLE)
+         |    AS within_5pct
+         |FROM w JOIN sk s ON s.col_name = w.col_name
+         |ORDER BY w.col_name""".stripMargin
+    },
+
     // same one-pass wide aggregate (AS MATERIALIZED so the six output
     // rows don't re-run it), same canonical integer encodings
     "q_table_profile" -> {

@@ -259,6 +259,25 @@ object StreamingQueries {
         .orderBy("c_event", "p_event")
     }),
 
+    // stream-STREAM FULL OUTER interval join — the thirteenth gated
+    // shape (EventStream.clickPurchaseFullJoin scaladoc): both sides'
+    // unmatched rows exist only because watermark eviction closed their
+    // match window, so state-eviction semantics is pinned on the click
+    // AND purchase stores. Both event columns coalesce to −1 on both
+    // engines; marker rows (uid < 0) are dropped on sink read.
+    "stream_full_join_sink" -> ((s, dir) => {
+      val staged = stageEvents(s, dir)
+      val sink = runToParquet(EventStream.clickPurchaseFullJoin(
+        EventStream.readEvents(s, staged)),
+        statePartitions = defaultStateParts, stagedSrc = Some(staged))
+      s.read.parquet(sink)
+        .where(col("uid") >= 0)
+        .select(coalesce(col("c_event"), lit(-1L)).as("c_event"),
+          coalesce(col("p_event"), lit(-1L)).as("p_event"),
+          col("uid").as("user_id"))
+        .orderBy("c_event", "p_event", "user_id")
+    }),
+
     // mapGroupsWithState running totals under the oracle gate — the
     // last stateful-API surface (update-mode custom keyed state; the
     // others: stateless window agg, dropDuplicates, stream-stream join,
@@ -489,6 +508,20 @@ object StreamingQueries {
         |FROM c LEFT JOIN p ON user_id = p_user
         |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
         |ORDER BY c_event, p_event""".stripMargin,
+
+    // the batch FULL interval join; unmatched on either side → −1 on
+    // that side's event column (same coalesce on the Spark side)
+    "stream_full_join_sink" ->
+      """WITH c AS (SELECT event_id AS c_event, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(c_event, -1) AS c_event,
+        |  coalesce(p_event, -1) AS p_event,
+        |  coalesce(user_id, p_user) AS user_id
+        |FROM c FULL JOIN p ON user_id = p_user
+        |  AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts
+        |ORDER BY c_event, p_event, user_id""".stripMargin,
 
     // the drained per-day bottom-K state equals the batch summary
     // verbatim — same pair dedup, same priority cut, same lower median

@@ -310,6 +310,38 @@ object EventStream {
       .select(col("c_event"), col("p_event"), col("user_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the last join mode Spark
+    * supports in streaming and the hardest state test: BOTH sides'
+    * unmatched rows can only be emitted once the watermark proves their
+    * match window is closed, so eviction semantics is exercised on the
+    * click state AND the purchase state (the left-outer shape only
+    * waits on the right side). An unmatched purchase surfaces as a
+    * null-extended click side (the "orphan purchase" audit row a
+    * funnel pipeline wants); an unmatched click as the left join's
+    * null-extended purchase side.
+    *
+    * Same `_mark` far-future row kept in both streams (it matches
+    * itself, so it emits exactly one marker row); `uid` is coalesced
+    * across the two user columns because right-unmatched rows carry
+    * NULL on the click side. StreamingHygieneSpec pins that BOTH
+    * null-extension kinds are emitted strictly after every match
+    * emission and that each side's count equals the batch anti-join.
+    */
+  def clickPurchaseFullJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type").isin("click", "_mark"))
+      .select(col("event_id").as("c_event"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type").isin("purchase", "_mark"))
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases, expr(
+      "user_id = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+      "fullOuter")
+      .select(col("c_event"), col("p_event"),
+        coalesce(col("user_id"), col("p_user")).as("uid"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * user's dimension row (here: the user's total order count from the
     * batch `customer`-keyed aggregate). The static side is planned as a

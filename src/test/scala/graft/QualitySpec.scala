@@ -35,4 +35,28 @@ class QualitySpec extends SparkSpec {
       assert(gOut == nOut, s"$et outliers: got $gOut want $nOut")
     }
   }
+
+  test("q_table_profile_sketch: every column pins within_5pct, and the " +
+      "production (no-Expand) form carries the identical sketch") {
+    val gated = QualityQueries.queries("q_table_profile_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(gated.size == 6)
+    gated.foreach { case (c, (_, _, _, _, ok)) =>
+      assert(ok, s"$c: sketch estimate missed the 5% band")
+    }
+    // the production shape (exactPin = false — no countDistinct Expand
+    // anywhere) must produce the same register-table summary
+    val prod = QualityQueries
+      .profileSketch(Tables.orders(spark, sf), exactPin = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(prod == gated.view.mapValues(t => (t._1, t._2, t._3, t._4)).toMap)
+    // and its plan must be Expand-free while the gated arm's is not
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(!hasExpand(QualityQueries
+      .profileSketch(Tables.orders(spark, sf), exactPin = false)))
+  }
 }

@@ -124,6 +124,66 @@ class StreamingHygieneSpec extends SparkSpec {
       s"eviction emitted ${batches.map(_._3).sum} nulls, batch says $expUnmatched")
   }
 
+  test("full-outer join: BOTH sides' null-extensions come from eviction and match the batch anti-joins") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStream
+    val src = Files.createTempDirectory("fj_src")
+    val cp = Files.createTempDirectory("fj_cp").toString
+    val ev = Tables.events(spark, sf)
+    ev.select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    val markNs = ev.agg(max(col("ts_ns"))).head().getLong(0) +
+      30L * 24 * 3600 * 1000000000L
+    import spark.implicits._
+    Seq((-1L, markNs, -1L, "_mark", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(src.toString)
+    // per-micro-batch (batchId, matched, left-null = unmatched purchase,
+    // right-null = unmatched click)
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = EventStream.clickPurchaseFullJoin(
+        EventStream.readEvents(spark, src.toString))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val real = df.where(col("uid") >= 0).cache()
+        val m = real.where(col("c_event").isNotNull && col("p_event").isNotNull).count()
+        val ln = real.where(col("c_event").isNull).count()
+        val rn = real.where(col("p_event").isNull).count()
+        real.unpersist()
+        batches.synchronized { batches += ((id, m, ln, rn)) }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val matchBatches = batches.filter(_._2 > 0).map(_._1)
+    assert(matchBatches.nonEmpty, "no matched rows emitted")
+    for ((kind, nullBatches) <- Seq(
+        "unmatched-purchase" -> batches.filter(_._3 > 0).map(_._1),
+        "unmatched-click" -> batches.filter(_._4 > 0).map(_._1))) {
+      assert(nullBatches.nonEmpty, s"no $kind rows emitted at all")
+      assert(nullBatches.min > matchBatches.max,
+        s"$kind rows emitted in/before a match batch: $batches")
+    }
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id"),
+        col("ts").as("c_ts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val cond = expr(
+      "user_id = p_user AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts")
+    val expUnmatchedClicks = clicks.join(purch, cond, "left_anti").count()
+    val expUnmatchedPurch = purch.join(clicks, cond, "left_anti").count()
+    assert(batches.map(_._4).sum == expUnmatchedClicks,
+      s"click-side eviction emitted ${batches.map(_._4).sum}, batch says $expUnmatchedClicks")
+    assert(batches.map(_._3).sum == expUnmatchedPurch,
+      s"purchase-side eviction emitted ${batches.map(_._3).sum}, batch says $expUnmatchedPurch")
+  }
+
   test("staging and checkpoint dirs are removed eagerly, sinks deferred to shutdown") {
     val before = Map(
       "graft_stream_src" -> tmpDirs("graft_stream_src"),
