@@ -147,6 +147,51 @@ object MediaCodecs {
     out
   }
 
+  /** Difference-hash (dHash) of one P6 image: decode, average-pool the
+    * (r+g+b) luma onto a 9×8 grid (cell (gx, gy) covers pixels with
+    * x·9/w = gx, y·8/h = gy — every cell non-empty for w ≥ 9, h ≥ 8),
+    * then one bit per horizontally-adjacent cell pair, row-major MSB
+    * first: bit = avg(gx) > avg(gx+1), compared CROSS-MULTIPLIED
+    * (sumA·cntB > sumB·cntA) so the whole hash is exact integer
+    * arithmetic — no float average, no cross-engine rounding. 8 rows ×
+    * 8 comparisons = a 64-bit fingerprint; null on malformed input or
+    * images smaller than the grid.
+    */
+  def decodePpmDhash(bytes: Array[Byte]): java.lang.Long = {
+    val hd = parsePpmHeader(bytes, 0)
+    if (hd == null) return null
+    val Array(w, h, p) = hd
+    val gxN = 9; val gyN = 8
+    if (w < gxN || h < gyN) return null
+    val s = Array.ofDim[Long](gyN, gxN)
+    val c = Array.ofDim[Long](gyN, gxN)
+    var y = 0
+    while (y < h) {
+      val gy = y * gyN / h
+      var x = 0
+      while (x < w) {
+        val gx = x * gxN / w
+        val j = p + (y * w + x) * 3
+        s(gy)(gx) += (bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)
+        c(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < gyN) {
+      var gx = 0
+      while (gx < gxN - 1) {
+        bits = (bits << 1) |
+          (if (s(gy)(gx) * c(gy)(gx + 1) > s(gy)(gx + 1) * c(gy)(gx)) 1L else 0L)
+        gx += 1
+      }
+      gy += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
   // ---------- WAV (RIFF / PCM) ----------
 
   private def le32(b: Array[Byte], i: Int): Int =
@@ -226,6 +271,7 @@ object MediaCodecs {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
   def ppmDecode(c: Column): Column = toCol(PpmDecodeExpr(toExpr(c)))
+  def ppmDhash(c: Column): Column = toCol(PpmDhashExpr(toExpr(c)))
   def ppmFrames(c: Column): Column = toCol(PpmFramesExpr(toExpr(c)))
   def ppmResizeHalf(c: Column): Column = toCol(PpmResizeExpr(toExpr(c)))
   def wavDecode(c: Column): Column = toCol(WavDecodeExpr(toExpr(c)))
@@ -291,6 +337,29 @@ case class PpmResizeExpr(child: Expression) extends MediaDecodeExpr {
   override protected def javaType: String = "byte[]"
   override protected def nullSafeEval(b: Any): Any =
     MediaCodecs.resizePpmHalf(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** LongType result needs its own codegen shape: `ev.value` is a
+  * primitive `long` in generated code, so the boxed decode result goes
+  * through a temp and unboxes only when non-null (the MediaDecodeExpr
+  * template assigns object types directly).
+  */
+case class PpmDhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_dhash"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dhash")
+      s"""
+         |java.lang.Long $tmp = graft.functions.MediaCodecs.decodePpmDhash($c);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+       """.stripMargin
+    })
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodePpmDhash(b.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

@@ -534,8 +534,21 @@ object Dedup {
     * the block key non-negative.)
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
-    require(maxHam <= 3, "4-block LSH is only complete for maxHam <= 3")
     val fp = simhash(docs).cache()
+    val res = hammingBlockPairs(fp, maxHam).localCheckpoint(true)
+    fp.unpersist(blocking = true)
+    res
+  }
+
+  /** Generic 4×16-bit Hamming-block LSH over any (doc_id, fp BIGINT)
+    * fingerprint table — the banded candidate join + bit_count verify
+    * extracted from [[simhashPairs]] so OTHER fingerprint families
+    * (perceptual image hashes — see
+    * [[graft.operators.Multimodal.phashPairs]]) reuse the identical
+    * pigeonhole machinery. Returns (doc_a, doc_b, ham), doc_a < doc_b.
+    */
+  def hammingBlockPairs(fp: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "4-block LSH is only complete for maxHam <= 3")
     val blocks = fp.select(col("doc_id"), col("fp"),
       explode(array((0 to 3).map(b =>
         struct(lit(b).as("b"), expr(s"(fp >> ${16 * b}) & 65535").as("k"))): _*)).as("blk"))
@@ -545,13 +558,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("x.fp").as("fp_a"),
         col("y.doc_id").as("doc_b"), col("y.fp").as("fp_b"))
       .distinct()
-    val out = cand
+    cand
       .withColumn("ham", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .where(col("ham") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("ham"))
-    val res = out.localCheckpoint(true)
-    fp.unpersist(blocking = true)
-    res
   }
 
   /** Benchmark-contamination check — the decontamination pass every

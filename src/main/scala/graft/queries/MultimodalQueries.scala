@@ -33,7 +33,18 @@ object MultimodalQueries {
       Multimodal.frames(media(s, dir)).orderBy("media_id", "frame_idx")),
 
     "mm_resize" -> ((s, dir) =>
-      Multimodal.resizeHalf(media(s, dir)).orderBy("media_id")))
+      Multimodal.resizeHalf(media(s, dir)).orderBy("media_id")),
+
+    // perceptual-hash image near-dup pairs (Multimodal.phashPairs
+    // scaladoc): real byte decode → integer dHash → the simhash
+    // family's 4×16-bit pigeonhole LSH, Hamming ≤ 3. The oracle
+    // re-derives the hash from the closed-form pixel generator (the
+    // mm_features discipline) and replays the identical block join —
+    // a decoder bug, grid-pool bug, or bit-order bug all break the
+    // hash gate.
+    "dedup_phash" -> ((s, dir) =>
+      Multimodal.phashPairs(media(s, dir), maxHam = 3)
+        .orderBy("media_a", "media_b")))
 
   /** Shared CTE prefix: per-kind dimension formulas (mirror
     * Multimodal.synthesizeMedia term for term).
@@ -112,7 +123,54 @@ object MultimodalQueries {
        |  w2, h2, s0, s1, s2
        |FROM ragg ORDER BY media_id""".stripMargin
 
+  /** dHash replay over the generator formula: per-pixel luma
+    * (r+g+b, each channel (m·31 + j·7) % 256), 9×8 average-pool cells
+    * keyed by (x·9)//w and (y·8)//h, one bit per adjacent-cell
+    * cross-multiplied comparison, folded row-major MSB-first into a
+    * BIGINT (bit 63's weight via the min-BIGINT idiom —
+    * Dedup.simhashFpSql note), then the 4-block pigeonhole join.
+    */
+  private val phashSql = {
+    val minLong = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+    s"""WITH $dims,
+       |px AS (SELECT media_id, w, h,
+       |    unnest(generate_series(0, w*h - 1)) AS pidx FROM img),
+       |cell AS (SELECT media_id,
+       |    ((pidx // w) * 8) // h AS gy, ((pidx % w) * 9) // w AS gx,
+       |    (media_id*31 + (pidx*3)*7) % 256
+       |      + (media_id*31 + (pidx*3+1)*7) % 256
+       |      + (media_id*31 + (pidx*3+2)*7) % 256 AS l
+       |  FROM px),
+       |cg AS MATERIALIZED (SELECT media_id, gy, gx,
+       |    CAST(sum(l) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM cell GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.media_id, a.gy, a.gx,
+       |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM cg a JOIN cg b ON b.media_id = a.media_id AND b.gy = a.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |fp AS MATERIALIZED (SELECT media_id,
+       |    CAST(sum(CASE
+       |      WHEN gy = 0 AND gx = 0 THEN
+       |        CASE WHEN bit = 1 THEN $minLong ELSE 0 END
+       |      ELSE CAST(bit AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(63 - gy*8 - gx AS INT))
+       |      END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY media_id),
+       |blocks AS (SELECT media_id, fp, b, (fp >> (16 * b)) & 65535 AS k
+       |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT x.media_id AS media_a, x.fp AS fp_a,
+       |    y.media_id AS media_b, y.fp AS fp_b
+       |  FROM blocks x JOIN blocks y
+       |    ON x.b = y.b AND x.k = y.k AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_phash" -> phashSql,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

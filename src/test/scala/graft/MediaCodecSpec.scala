@@ -73,6 +73,40 @@ class MediaCodecSpec extends SparkSpec {
       "P6\n99999999999999999999 1\n255\n".getBytes ++ Array[Byte](1)) == null)
   }
 
+  test("ppm dhash: bit order, grid pooling and null cases match a naive replay") {
+    // naive reference: float averages + double-loop grid, independent of
+    // the kernel's cross-multiplied integer comparison
+    def naive(w: Int, h: Int, pix: Int => Int): Long = {
+      val s = Array.ofDim[Double](8, 9); val c = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (y * w + x) * 3
+        s(y * 8 / h)(x * 9 / w) += pix(j) + pix(j + 1) + pix(j + 2)
+        c(y * 8 / h)(x * 9 / w) += 1
+      }
+      var bits = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        bits = (bits << 1) | (if (s(gy)(gx) / c(gy)(gx) > s(gy)(gx + 1) / c(gy)(gx + 1)) 1L else 0L)
+      bits
+    }
+    // the synthesis formula at a few ids, plus a gradient and a constant
+    for (m <- Seq(0L, 3L, 21L, 399L)) {
+      val w = (16 + m % 33).toInt; val h = (12 + m % 17).toInt
+      val pix = (j: Int) => ((m * 31 + j * 7) % 256).toInt
+      val got = MediaCodecs.decodePpmDhash(ppm(w, h, pix))
+      assert(got != null && got.longValue() == naive(w, h, pix), s"m=$m")
+    }
+    // constant image: no comparison fires, hash 0
+    assert(MediaCodecs.decodePpmDhash(ppm(9, 8, _ => 7)).longValue() == 0L)
+    // MSB: make only cell (0,0) brighter than (1,0) on a 9x8 identity
+    // grid (1 px per cell) — exactly bit 63 set
+    val oneBit = ppm(9, 8, j => if (j < 3) 255 else 0)
+    assert(MediaCodecs.decodePpmDhash(oneBit).longValue() == Long.MinValue)
+    // smaller than the grid, or malformed → null
+    assert(MediaCodecs.decodePpmDhash(ppm(8, 8, _ => 0)) == null)
+    assert(MediaCodecs.decodePpmDhash(ppm(9, 7, _ => 0)) == null)
+    assert(MediaCodecs.decodePpmDhash("not a ppm".getBytes) == null)
+  }
+
   test("wav decode: overflowing chunk sizes return null, never crash") {
     // an unknown chunk declaring size 0x7FFFFFFF: the cursor math must
     // not wrap negative and index out of bounds
