@@ -48,15 +48,15 @@ class QualitySpec extends SparkSpec {
     }
     // the production shape (exactPin = false — no countDistinct Expand
     // anywhere) must produce the same register-table summary
-    val prod = QualityQueries
+    val prodDf = QualityQueries
       .profileSketch(Tables.orders(spark, sf), exactPin = false)
+    val prod = prodDf
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(prod == gated.view.mapValues(t => (t._1, t._2, t._3, t._4)).toMap)
     // and its plan must be Expand-free while the gated arm's is not
     def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.executedPlan.toString.contains("Expand")
-    assert(!hasExpand(QualityQueries
-      .profileSketch(Tables.orders(spark, sf), exactPin = false)))
+    assert(!hasExpand(prodDf))
   }
 }
