@@ -534,6 +534,7 @@ object Dedup {
     * the block key non-negative.)
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "4-block LSH is only complete for maxHam <= 3")
     val fp = simhash(docs).cache()
     val res = hammingBlockPairs(fp, maxHam).localCheckpoint(true)
     fp.unpersist(blocking = true)
@@ -562,6 +563,81 @@ object Dedup {
       .withColumn("ham", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .where(col("ham") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("ham"))
+  }
+
+  /** Explode a (doc_id, fp BIGINT) fingerprint table into its 4
+    * pigeonhole LSH block keys as ONE combined `bk = b·2^16 + block16`
+    * BIGINT column — the persistable/bucketable form of the banded
+    * index [[hammingBlockPairs]] builds in-flight. A signature STORE
+    * written bucketed on `bk` (see StagedLayouts.simhashStore) is what
+    * turns whole-corpus dedup into incremental ingest: each new batch
+    * probes the store by `bk` instead of re-fingerprinting the corpus.
+    */
+  def fpBlockKeys(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("fp"),
+      explode(array((0 to 3).map(b =>
+        expr(s"CAST($b AS BIGINT) * 65536 + ((fp >> ${16 * b}) & 65535)")): _*))
+        .as("bk"))
+
+  /** Incremental corpus-ingest dedup — the daily-batch shape of a
+    * production pipeline: fingerprint ONLY the new batch, probe the
+    * persisted signature store (all previously-ingested docs' simhash
+    * block keys, `storeBlocks` = (bk, doc_id, fp)) for Hamming-≤maxHam
+    * near-dups, and pair within the batch itself; a batch doc is kept
+    * iff NO prior doc (store or smaller-id batch doc) is a near-dup.
+    *
+    * Semantics are ORDER-FREE by design: the drop predicate is "∃ ANY
+    * earlier-ingested near-dup", not "∃ earlier KEPT near-dup", and the
+    * store appends every ingested doc's signature (kept and dropped —
+    * 16 bytes/doc). That makes ingestion associative: splitting a batch
+    * into sub-batches with store appends between them lands on the
+    * byte-identical decision table (IncrementalSpec pins it), and the
+    * whole result equals the whole-corpus recompute — which is exactly
+    * what the DuckDB oracle re-derives from scratch. Transitive dup
+    * chains collapse to the earliest representative, the same
+    * first-occurrence retention as the whole-corpus queries.
+    *
+    * 100-TB shape: the store is a bucketed-by-`bk` table that is never
+    * rewritten, only appended; the batch side (≪ store by definition)
+    * is BROADCAST against it, so the probe streams the store scan with
+    * NO shuffle and no state beyond the batch's 4·|batch| block keys.
+    * Only verified candidates (a distinct + one bit_count per pair)
+    * ever shuffle. Text never travels — fingerprints only.
+    *
+    * Returns one row per fingerprinted batch doc:
+    * (doc_id, kept, n_prior_dups, nearest_prior, min_ham).
+    */
+  def incrementalDedup(storeBlocks: DataFrame, batch: DataFrame,
+                       maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "4-block LSH is only complete for maxHam <= 3")
+    val bfp = simhash(batch).localCheckpoint(true)
+    val bblk = fpBlockKeys(bfp)
+      .select(col("bk"), col("doc_id").as("b_doc"), col("fp").as("b_fp"))
+    // store probe: broadcast the small batch index; p_doc < b_doc is
+    // the ingest-order contract (defensive — a store that already holds
+    // the batch must not self-match)
+    val probe = storeBlocks
+      .select(col("bk"), col("doc_id").as("p_doc"), col("fp").as("p_fp"))
+      .join(broadcast(bblk), Seq("bk"))
+      .where(col("p_doc") < col("b_doc"))
+      .select(col("b_doc"), col("b_fp"), col("p_doc"), col("p_fp"))
+      .distinct()
+      .withColumn("ham",
+        bit_count(col("b_fp").bitwiseXOR(col("p_fp"))).cast("int"))
+      .where(col("ham") <= maxHam)
+      .select(col("b_doc").as("doc_id"), col("p_doc").as("prior"), col("ham"))
+    val inBatch = hammingBlockPairs(bfp, maxHam)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("prior"), col("ham"))
+    val agg = probe.unionByName(inBatch)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prior_dups"),
+        min(col("prior")).as("nearest_prior"),
+        min(col("ham")).as("min_ham"))
+    bfp.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_prior_dups").isNull.as("kept"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        col("nearest_prior"), col("min_ham"))
   }
 
   /** Benchmark-contamination check — the decontamination pass every

@@ -154,6 +154,23 @@ object DedupQueries {
           rnd(col("n_hits").cast("double") / col("nsh"), 6))
         .orderBy("doc_id")),
 
+    // ---- incremental corpus-ingest dedup (Dedup.incrementalDedup
+    // scaladoc): the daily-batch production shape — the corpus prefix
+    // (doc_id ≤ 4/5·max, "yesterday's corpus") is persisted ONCE as a
+    // bucketed simhash block-key store (StagedLayouts.simhashStore);
+    // the new batch fingerprints only itself, broadcasts its block
+    // index against the store scan, pairs within itself, and emits one
+    // keep/drop decision row per batch doc. The oracle is a
+    // WHOLE-CORPUS recompute that never sees the store/batch split —
+    // the gate proves incremental ingest lands on the exact recompute
+    // table (the q_incr_agg discipline applied to dedup).
+    "dedup_incremental" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.simhashStore(s, dir)
+      Dedup.incrementalDedup(s.table(tbl),
+          docs(s, dir).where(col("doc_id") > thr))
+        .orderBy("doc_id")
+    }),
+
     // exact substring-span dedup (Dedup.substringSpans scaladoc): the
     // C4 "W-token span seen before" pass at sub-record granularity —
     // maximal merged spans of 8-token windows whose exact text occurs
@@ -367,6 +384,36 @@ object DedupQueries {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Whole-corpus recompute oracle for `dedup_incremental`: the full
+    * simhash pair set (combined block keys, identical pigeonhole LSH)
+    * with NO store/batch split — a batch doc's decision is re-derived
+    * as "∃ any smaller-id near-dup corpus-wide". Equality with the
+    * store-probing Spark result proves incremental ingest ≡ full
+    * recompute. Thresholds are integer-exact: `(max*4)//5` in DuckDB,
+    * `max*4/5` in Long arithmetic on the Spark side.
+    */
+  private def incrementalSql: String =
+    s"""WITH $simhashCtes,
+       |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+       |blocks AS (SELECT doc_id, fp,
+       |             CAST(b AS BIGINT) * 65536 + ((fp >> (16 * b)) & 65535) AS bk
+       |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
+       |                y.doc_id AS doc_b, y.fp AS fp_b
+       |         FROM blocks x JOIN blocks y
+       |           ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |p AS (SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
+       |      FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+       |agg AS (SELECT doc_b AS doc_id, count(*) AS n_prior_dups,
+       |               min(doc_a) AS nearest_prior, min(ham) AS min_ham
+       |        FROM p WHERE doc_b > (SELECT t FROM thr) GROUP BY doc_b)
+       |SELECT f.doc_id, (a.doc_id IS NULL) AS kept,
+       |  coalesce(a.n_prior_dups, CAST(0 AS BIGINT)) AS n_prior_dups,
+       |  a.nearest_prior, a.min_ham
+       |FROM fp f LEFT JOIN agg a ON a.doc_id = f.doc_id
+       |WHERE f.doc_id > (SELECT t FROM thr)
+       |ORDER BY f.doc_id""".stripMargin
 
   /** Unrolled hash-min label propagation over the verified
     * simhash-Hamming pairs — the SQL twin of
@@ -745,6 +792,7 @@ object DedupQueries {
     "dedup_minhash_est" -> minhashEstSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> simhashHammingSql,
+    "dedup_incremental" -> incrementalSql,
 
     "dedup_fuzzy_edit" ->
       """WITH d AS (

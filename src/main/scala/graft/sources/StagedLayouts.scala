@@ -125,6 +125,40 @@ object StagedLayouts {
     })
   }
 
+  // ---- incremental-ingest signature store -----------------------------
+
+  private val sigStore =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The persisted simhash signature STORE for incremental corpus
+    * ingest (`dedup_incremental`): fingerprints of the already-ingested
+    * corpus prefix (doc_id ≤ 4/5·max — the fixture's stand-in for
+    * "yesterday's corpus"), exploded into combined block keys
+    * (Dedup.fpBlockKeys) and written BUCKETED on `bk` — at production
+    * scale this table is append-only across ingests and the probe join
+    * needs no store-side exchange whatever the corpus volume (and the
+    * batch side broadcasts anyway). Returns (table name, prefix
+    * threshold); batch = doc_id > threshold.
+    */
+  def simhashStore(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(sfDir, _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_sigstore_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+      staged.put(s"sigstore:$sfDir", tmp)
+      val docs = graft.Tables.documents(s, sfDir)
+      val thr = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+      graft.operators.Dedup.fpBlockKeys(
+          graft.operators.Dedup.simhash(docs.where(col("doc_id") <= thr)))
+        .repartition(8, col("bk"))
+        .write.bucketBy(8, "bk").sortBy("bk")
+        .option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
   // ---- shared co-occurrence edge list (graph consumers) --------------
 
   /** Part co-occurrence (market-basket) edge list `(u, v)` with u < v,

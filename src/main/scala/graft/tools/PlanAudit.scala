@@ -102,7 +102,11 @@ object PlanAudit {
     // prefix index join + per-candidate array_intersect verify, no
     // Σ_cand·n exploded join), table range diff (two map-side-combined
     // digest aggregates + full outer on the bucket id)
-    "dedup_jaccard_prefix", "q_table_diff_ranges")
+    "dedup_jaccard_prefix", "q_table_diff_ranges",
+    // round 13: incremental ingest — bucketed store scan streamed with
+    // NO exchange, batch block index broadcast, Hamming verify pushed
+    // into the probe join condition
+    "dedup_incremental")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

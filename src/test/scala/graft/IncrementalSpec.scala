@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Pins the incremental corpus-ingest dedup contract
+  * (Dedup.incrementalDedup): decisions are (1) associative under batch
+  * splitting with a store append between sub-batches, and (2) equal to
+  * the whole-corpus recompute — the two properties that make the
+  * store-probing shape safe to run daily at 100 TB instead of
+  * re-deduping the corpus from scratch.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  private def bounds: (Long, Long) = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    (maxId * 4 / 5, maxId)
+  }
+
+  test("two half-batches with a store append between ≡ one batch") {
+    val (thr, maxId) = bounds
+    val store = Dedup.fpBlockKeys(
+      Dedup.simhash(docs.where(col("doc_id") <= thr)))
+    val batch = docs.where(col("doc_id") > thr)
+    val oneShot = Dedup.incrementalDedup(store, batch)
+      .orderBy("doc_id").collect().toSeq
+
+    val mid = (thr + maxId) / 2
+    val half1 = Dedup
+      .incrementalDedup(store, batch.where(col("doc_id") <= mid))
+      .orderBy("doc_id").collect().toSeq
+    // the append carries EVERY ingested doc's signature — kept and
+    // dropped — which is exactly what makes the split invisible
+    val store2 = store.unionByName(Dedup.fpBlockKeys(
+      Dedup.simhash(batch.where(col("doc_id") <= mid))))
+    val half2 = Dedup
+      .incrementalDedup(store2, batch.where(col("doc_id") > mid))
+      .orderBy("doc_id").collect().toSeq
+
+    assert(half1 ++ half2 == oneShot,
+      "sub-batch ingest must land on the byte-identical decision table")
+  }
+
+  test("probe plan: the batch index broadcasts against the bucketed store scan") {
+    val df = graft.queries.DedupQueries
+      .queries("dedup_incremental")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "store probe must broadcast the batch block index")
+    assert(p.contains("Bucketed: true"),
+      "store side must be the bucketed table scan (no store exchange)")
+    // the Hamming verify rides inside the probe join condition, so only
+    // verified pairs ever reach the candidate distinct
+    assert(p.contains("bit_count"),
+      "verify predicate should be pushed into the join")
+  }
+
+  test("incremental decisions equal the whole-corpus recompute") {
+    val (thr, _) = bounds
+    val store = Dedup.fpBlockKeys(
+      Dedup.simhash(docs.where(col("doc_id") <= thr)))
+    val inc = Dedup
+      .incrementalDedup(store, docs.where(col("doc_id") > thr))
+      .orderBy("doc_id").collect().toSeq
+
+    // recompute: the full pair set, never split — a batch doc's
+    // decision is "∃ any smaller-id near-dup corpus-wide"
+    val full = Dedup.simhashPairs(docs, maxHam = 3)
+      .where(col("doc_b") > thr)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_prior_dups"),
+        min(col("doc_a")).as("nearest_prior"),
+        min(col("ham")).as("min_ham"))
+    val expected = Dedup.simhash(docs.where(col("doc_id") > thr))
+      .select(col("doc_id"))
+      .join(full, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_prior_dups").isNull.as("kept"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        col("nearest_prior"), col("min_ham"))
+      .orderBy("doc_id").collect().toSeq
+
+    assert(inc == expected)
+    // the fixture corpus must exercise BOTH decision paths
+    assert(inc.exists(_.getBoolean(1)) && inc.exists(!_.getBoolean(1)),
+      "batch slice should contain kept docs and dropped docs")
+  }
+}
