@@ -234,6 +234,72 @@ object MediaCodecs {
     null
   }
 
+  /** Acoustic fingerprint (aHash) of one 8-bit mono PCM WAV — the
+    * chromaprint-style integer band-energy hash that completes the
+    * multimodal dedup ladder (dHash's audio twin). The waveform splits
+    * into 9 equal-ish time windows (window of sample j = j·9/n, the
+    * dHash cell rule); per window and per lag k ∈ 1..8 the "band
+    * energy" e(t,k) = Σ |s[j+k] − s[j]| over pairs starting in the
+    * window (lag-k difference energy — a zero-FFT integer proxy for
+    * the k-th frequency band: small lags pick up high-frequency
+    * content, large lags low). One bit per time-adjacent window pair
+    * and lag, CROSS-MULTIPLIED (e(t)·c(t+1) > e(t+1)·c(t)) so unequal
+    * window sizes never need a float average. 8 lags × 8 comparisons =
+    * 64 bits, k-major MSB first. Null for anything but PCM 8-bit mono
+    * or fewer than 81 samples (the last window must still own a full
+    * lag-8 pair).
+    */
+  def decodeWavAhash(bytes: Array[Byte]): java.lang.Long = {
+    if (!tag(bytes, 0, "RIFF") || bytes.length < 12 || !tag(bytes, 8, "WAVE")) return null
+    var i = 12
+    var rate = -1; var bits = -1; var channels = -1
+    while (i + 8 <= bytes.length) {
+      val sz = le32(bytes, i + 4)
+      if (sz < 0 || i.toLong + 8L + sz.toLong > bytes.length.toLong) return null
+      if (tag(bytes, i, "fmt ")) {
+        if (sz < 16 || le16(bytes, i + 8) != 1) return null
+        channels = le16(bytes, i + 10)
+        rate = le32(bytes, i + 12)
+        bits = le16(bytes, i + 22)
+      } else if (tag(bytes, i, "data")) {
+        if (rate < 0 || bits != 8 || channels != 1) return null
+        val n = sz
+        if (n < 81) return null
+        val off = i + 8
+        val e = Array.ofDim[Long](9, 8)
+        val c = Array.ofDim[Long](9, 8)
+        var k = 1
+        while (k <= 8) {
+          var j = 0
+          val jEnd = n - k
+          while (j < jEnd) {
+            val t = j * 9 / n
+            val d = ((bytes(off + j + k) & 0xff) - (bytes(off + j) & 0xff)).abs
+            e(t)(k - 1) += d
+            c(t)(k - 1) += 1
+            j += 1
+          }
+          k += 1
+        }
+        var fp = 0L
+        k = 1
+        while (k <= 8) {
+          var t = 0
+          while (t < 8) {
+            fp = (fp << 1) |
+              (if (e(t)(k - 1) * c(t + 1)(k - 1) > e(t + 1)(k - 1) * c(t)(k - 1)) 1L
+               else 0L)
+            t += 1
+          }
+          k += 1
+        }
+        return java.lang.Long.valueOf(fp)
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    null
+  }
+
   // ---------- encoders (fixture synthesis — real container bytes) ----------
 
   def encodePpm(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
@@ -275,6 +341,7 @@ object MediaCodecs {
   def ppmFrames(c: Column): Column = toCol(PpmFramesExpr(toExpr(c)))
   def ppmResizeHalf(c: Column): Column = toCol(PpmResizeExpr(toExpr(c)))
   def wavDecode(c: Column): Column = toCol(WavDecodeExpr(toExpr(c)))
+  def wavAhash(c: Column): Column = toCol(WavAhashExpr(toExpr(c)))
 
   val ppmStruct: StructType = StructType(Seq(
     StructField("w", IntegerType), StructField("h", IntegerType),
@@ -360,6 +427,24 @@ case class PpmDhashExpr(child: Expression) extends UnaryExpression {
     })
   override protected def nullSafeEval(b: Any): Any =
     MediaCodecs.decodePpmDhash(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class WavAhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wav_ahash"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ahash")
+      s"""
+         |java.lang.Long $tmp = graft.functions.MediaCodecs.decodeWavAhash($c);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+       """.stripMargin
+    })
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodeWavAhash(b.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

@@ -163,6 +163,30 @@ object Multimodal {
     res
   }
 
+  /** Acoustic-fingerprint near-dup pairs over the audio corpus —
+    * [[phashPairs]]' audio twin, finishing the multimodal dedup ladder
+    * (text simhash → image dHash → audio aHash). Decode is the
+    * codegen'd [[graft.functions.MediaCodecs.decodeWavAhash]] lag-band
+    * energy hash (exact integer, zero float); pairing is the SAME
+    * generic 4×16-bit pigeonhole LSH ([[Dedup.hammingBlockPairs]]), so
+    * shuffles carry 16 bytes/clip whatever the audio volume.
+    *
+    * Returns (media_a, media_b, ham), media_a < media_b.
+    */
+  def ahashPairs(media: DataFrame, maxHam: Int = 3): DataFrame = {
+    val fp = media.where(col("kind") === "audio")
+      .select(col("media_id").as("doc_id"),
+        MediaCodecs.wavAhash(col("content")).as("fp"))
+      .where(col("fp").isNotNull)
+      .cache()
+    val res = graft.operators.Dedup.hammingBlockPairs(fp, maxHam)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("ham"))
+      .localCheckpoint(true)
+    fp.unpersist(blocking = true)
+    res
+  }
+
   /** Metadata-only view — pure SQL functions, oracle-checkable: at scale
     * this is the query that runs WITHOUT touching the media bytes.
     */

@@ -44,6 +44,16 @@ object MultimodalQueries {
     // hash gate.
     "dedup_phash" -> ((s, dir) =>
       Multimodal.phashPairs(media(s, dir), maxHam = 3)
+        .orderBy("media_a", "media_b")),
+
+    // acoustic-fingerprint audio near-dup pairs (Multimodal.ahashPairs
+    // scaladoc): real RIFF/PCM byte decode → integer lag-band energy
+    // hash → the same pigeonhole LSH. The oracle re-derives the hash
+    // from the closed-form PCM generator (never decoding bytes), so a
+    // RIFF-walk bug, window/lag bug, or bit-order bug all break the
+    // hash gate — the dedup_phash discipline on the audio half.
+    "dedup_ahash" -> ((s, dir) =>
+      Multimodal.ahashPairs(media(s, dir), maxHam = 3)
         .orderBy("media_a", "media_b")))
 
   /** Shared CTE prefix: per-kind dimension formulas (mirror
@@ -169,8 +179,54 @@ object MultimodalQueries {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  /** Closed-form aHash oracle: samples s[j] = (m·17 + j·5) % 256 over
+    * n = 256 + m % 513 re-derived from the generator, then the lag-band
+    * energy grid, cross-multiplied bits, and the identical block join —
+    * term-for-term the decoder's arithmetic, independently in SQL.
+    */
+  private val ahashSql = {
+    val minLong = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+    s"""WITH m AS (SELECT doc_id AS media_id FROM documents),
+       |aud AS (SELECT media_id, CAST(256 + media_id % 513 AS BIGINT) AS n
+       |        FROM m WHERE media_id % 3 = 1),
+       |ks AS (SELECT media_id, n, unnest(generate_series(1, 8)) AS k FROM aud),
+       |pr AS (SELECT media_id, n, k,
+       |         unnest(generate_series(0, n - 1 - k)) AS j FROM ks),
+       |d AS (SELECT media_id, k, (j * 9) // n AS t,
+       |        abs((media_id*17 + (j+k)*5) % 256
+       |          - (media_id*17 + j*5) % 256) AS dd
+       |      FROM pr),
+       |eg AS MATERIALIZED (SELECT media_id, k, t,
+       |        CAST(sum(dd) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |      FROM d GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.media_id, a.k, a.t,
+       |        CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+       |      FROM eg a JOIN eg b ON b.media_id = a.media_id
+       |        AND b.k = a.k AND b.t = a.t + 1
+       |      WHERE a.t < 8),
+       |fp AS MATERIALIZED (SELECT media_id,
+       |    CAST(sum(CASE
+       |      WHEN k = 1 AND t = 0 THEN
+       |        CASE WHEN bit = 1 THEN $minLong ELSE 0 END
+       |      ELSE CAST(bit AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(63 - (k-1)*8 - t AS INT))
+       |      END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY media_id),
+       |blocks AS (SELECT media_id, fp, b, (fp >> (16 * b)) & 65535 AS k
+       |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT x.media_id AS media_a, x.fp AS fp_a,
+       |    y.media_id AS media_b, y.fp AS fp_b
+       |  FROM blocks x JOIN blocks y
+       |    ON x.b = y.b AND x.k = y.k AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_phash" -> phashSql,
+    "dedup_ahash" -> ahashSql,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

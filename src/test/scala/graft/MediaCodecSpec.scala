@@ -107,6 +107,40 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.decodePpmDhash("not a ppm".getBytes) == null)
   }
 
+  test("wav ahash: lag-band bits, window pooling and null cases match a naive replay") {
+    // naive reference: BigInt cross-multiplication + straightforward
+    // double loops, independent of the kernel's single-pass grid
+    def naive(samples: Array[Int]): Long = {
+      val n = samples.length
+      val e = Array.ofDim[Long](9, 8); val c = Array.ofDim[Long](9, 8)
+      for (k <- 1 to 8; j <- 0 until n - k) {
+        val t = j * 9 / n
+        e(t)(k - 1) += math.abs(samples(j + k) - samples(j))
+        c(t)(k - 1) += 1
+      }
+      var bits = 0L
+      for (k <- 1 to 8; t <- 0 until 8)
+        bits = (bits << 1) | (if (BigInt(e(t)(k - 1)) * c(t + 1)(k - 1) >
+          BigInt(e(t + 1)(k - 1)) * c(t)(k - 1)) 1L else 0L)
+      bits
+    }
+    // the synthesis formula at a few ids (m % 3 == 1 are the audio rows)
+    for (m <- Seq(1L, 4L, 22L, 400L)) {
+      val n = (256 + m % 513).toInt
+      val samples = Array.tabulate(n)(j => ((m * 17 + j * 5) % 256).toInt)
+      val got = MediaCodecs.decodeWavAhash(MediaCodecs.encodeWav(
+        (8000 + (m % 5) * 1000).toInt, samples.map(_.toByte)))
+      assert(got != null && got.longValue() == naive(samples), s"m=$m")
+    }
+    // constant signal: every lag diff is 0, no strict comparison fires
+    assert(MediaCodecs.decodeWavAhash(
+      MediaCodecs.encodeWav(8000, Array.fill[Byte](100)(42))).longValue() == 0L)
+    // 80 samples: the last window owns no lag-8 pair → null; junk → null
+    assert(MediaCodecs.decodeWavAhash(
+      MediaCodecs.encodeWav(8000, Array.fill[Byte](80)(1))) == null)
+    assert(MediaCodecs.decodeWavAhash("not a wav".getBytes) == null)
+  }
+
   test("wav decode: overflowing chunk sizes return null, never crash") {
     // an unknown chunk declaring size 0x7FFFFFFF: the cursor math must
     // not wrap negative and index out of bounds
