@@ -174,6 +174,21 @@ object GraphQueries {
         .select(col("s_suppkey").as("node"))
       graft.operators.Sssp.run(weightedSupplyEdges(s, dir), seeds, rounds = 3)
         .orderBy("node")
+    }),
+
+    // approximate betweenness centrality (Betweenness scaladoc):
+    // Brandes dependency accumulation from the same 5 seeded sources,
+    // depth 3 — forward BFS rounds carrying exact integer path counts,
+    // backward level-keyed joins carrying fixed-point (×10^4) scaled
+    // dependencies with truncating integer division, so the oracle
+    // replays both passes as unrolled CTEs under the exact hash gate.
+    "graph_betweenness" -> ((s, dir) => {
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Betweenness
+        .run(supplyEdges(s, dir), seeds, rounds = 3, scale = 10000L)
+        .orderBy(col("bc_scaled").desc, col("node"))
     }))
 
   /** Weighted bipartite supply graph: both directions of each distinct
@@ -278,6 +293,61 @@ object GraphQueries {
     * neighbors of the dist = i−1 frontier that are not yet visited,
     * exactly the Spark loop's semantics.
     */
+  /** Unrolled Brandes replay for `graph_betweenness`: forward CTEs
+    * carry (source, node, dist, σ) exactly like bfsSql plus the
+    * path-count sum; backward CTEs walk levels deepest-first with the
+    * identical fixed-point truncating division (`//` ≡ Spark `div` on
+    * non-negative BIGINTs). The accumulation unions levels 1..rounds —
+    * level 0 is the sources themselves, which Brandes excludes.
+    */
+  private def betweennessSql(rounds: Int, scale: Long): String = {
+    val fwd = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (SELECT p.s, e.dst AS node, $i AS dist,
+         |    CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM v${i - 1} p JOIN edges e ON e.src = p.node
+         |  WHERE p.dist = ${i - 1} AND NOT EXISTS (
+         |    SELECT 1 FROM v${i - 1} q WHERE q.s = p.s AND q.node = e.dst)
+         |  GROUP BY p.s, e.dst),
+         |v$i AS MATERIALIZED (SELECT s, node, dist, sigma FROM v${i - 1}
+         |  UNION ALL SELECT s, node, dist, sigma FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((rounds - 1) to 0 by -1).map { d =>
+      s"""c$d AS (SELECT v.s AS s, v.node AS node,
+         |    CAST(sum((v.sigma * ($scale + dw.delta)) // w.sigma) AS BIGINT)
+         |      AS cdelta
+         |  FROM v$rounds v JOIN edges e ON e.src = v.node
+         |    JOIN v$rounds w ON w.s = v.s AND w.node = e.dst
+         |      AND w.dist = ${d + 1}
+         |    JOIN d${d + 1} dw ON dw.s = w.s AND dw.node = w.node
+         |  WHERE v.dist = $d GROUP BY v.s, v.node),
+         |d$d AS MATERIALIZED (SELECT v.s, v.node,
+         |    coalesce(c.cdelta, CAST(0 AS BIGINT)) AS delta
+         |  FROM v$rounds v LEFT JOIN c$d c ON c.s = v.s AND c.node = v.node
+         |  WHERE v.dist = $d)""".stripMargin
+    }.mkString(",\n")
+    val accSel = (1 to rounds).map(d => s"SELECT node, delta FROM d$d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT sup AS src, prt AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst FROM pairs
+       |), v0 AS (
+       |  SELECT s_suppkey AS s, s_suppkey AS node, 0 AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM supplier WHERE s_suppkey <= 5
+       |),
+       |$fwd,
+       |d$rounds AS (SELECT s, node, CAST(0 AS BIGINT) AS delta
+       |  FROM v$rounds WHERE dist = $rounds),
+       |$bwd
+       |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_scaled FROM (
+       |  $accSel
+       |) GROUP BY node ORDER BY bc_scaled DESC, node""".stripMargin
+  }
+
   private def bfsSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
@@ -359,6 +429,8 @@ object GraphQueries {
       "graph_bfs" -> bfsSql(rounds = 3),
 
       "graph_sssp" -> ssspSql(rounds = 3),
+
+      "graph_betweenness" -> betweennessSql(rounds = 3, scale = 10000L),
 
       // degree-ordered orientation, the SAME trick the Spark operator
       // uses (Triangles scaladoc): orient every edge toward the higher

@@ -456,4 +456,36 @@ class GraphSpec extends SparkSpec {
     assert(nf.last._2 == fromSizes,
       s"neighborhoodFunction final mass ${nf.last._2} != sizes-derived $fromSizes")
   }
+
+  test("betweenness: path, star, diamond and multi-source closed forms") {
+    import spark.implicits._
+    def undirected(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    def run(edges: org.apache.spark.sql.DataFrame, seeds: Seq[Long]) =
+      graft.operators.Betweenness
+        .run(edges, seeds.toDF("node"), rounds = 3, scale = 10000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // path 1-2-3-4-5 from source 1, depth 3: δ(2)=2·10^4 (both deeper
+    // nodes route through it), δ(3)=10^4, δ(4)=0; 5 is beyond depth
+    val path = undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(run(path, Seq(1L)) ==
+      Map(2L -> 20000L, 3L -> 10000L, 4L -> 0L))
+
+    // both path ends as sources: contributions SUM per node
+    assert(run(path, Seq(1L, 5L)) ==
+      Map(2L -> 20000L, 3L -> 20000L, 4L -> 20000L))
+
+    // star (center 10, leaves 1-4) from leaf 1: all cross-leaf paths
+    // broker through the center — δ(10) = 3·10^4, other leaves 0
+    val star = undirected(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+    assert(run(star, Seq(1L)) ==
+      Map(10L -> 30000L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+
+    // diamond 1-2-4, 1-3-4: σ(4) = 2 parallel shortest paths, so each
+    // broker gets the dependency HALVED by the σ-ratio division
+    val diamond = undirected(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    assert(run(diamond, Seq(1L)) ==
+      Map(2L -> 5000L, 3L -> 5000L, 4L -> 0L))
+  }
 }
