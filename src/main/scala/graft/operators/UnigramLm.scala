@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the EM
+  * alternative to [[BpeTrain]]'s merge loop (Kudo 2018): seed a
+  * substring vocabulary, then alternate Viterbi segmentation of the
+  * word dict under the current piece probabilities (E-step) with
+  * count re-estimation (M-step). Completes the tokenizer family:
+  * BPE fits merges bottom-up; this fits a piece LM top-down.
+  *
+  * Scale shape (the BpeTrain discipline): training runs over the
+  * WORD-FREQUENCY DICT, never the corpus — one corpus-wide token
+  * count up front, then every round touches |dict| rows; the model
+  * (piece → count) is K rows (bounded by the seed threshold), carried
+  * to the segmenter as ONE map literal per round — the centroid
+  * broadcast discipline, collected under the K-row RPC rule. The
+  * E-step is a pure per-row `aggregate` fold (zero shuffle); the
+  * M-step is one narrow explode + map-side-combined groupBy.
+  *
+  * Cross-engine determinism WITHOUT logs: Viterbi compares products of
+  * Laplace-smoothed piece weights w(p) = (c(p)+1)/(T+P), where every
+  * weight is ONE exact IEEE double division of exact BIGINTs and the
+  * DP multiplies them left-to-right in position order — multiplication
+  * and comparison of doubles are exact-rounded IEEE ops, identical in
+  * Spark and DuckDB, so no libm (ln/exp) ever runs and a fixed-round
+  * fit replays as unrolled SQL CTEs under the exact hash gate. Score
+  * ties break to the LARGEST previous boundary (shortest final piece)
+  * in both engines: the fold's strict-> chain starts at j = i−1, the
+  * SQL twin takes max(j) among max-score candidates. The vocabulary is
+  * FIXED after seeding (hard-EM counts may hit 0; smoothing keeps
+  * every weight positive), so prune-vs-keep never depends on floats.
+  */
+object UnigramLm {
+
+  /** Corpus word-frequency dict, words longer than `maxLen` dropped
+    * (bounds the DP depth and the oracle's unroll in both engines).
+    */
+  def wordDict(docs: DataFrame, maxLen: Int): DataFrame =
+    docs.select(explode(
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("word"))
+      .where(length(col("word")) <= maxLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Seed vocabulary: every substring of length 1..`maxPiece` with its
+    * freq-weighted occurrence count; single chars survive
+    * unconditionally (they keep every position segmentable), longer
+    * pieces need `minOcc` corpus occurrences.
+    */
+  def seedPieces(dict: DataFrame, maxPiece: Int, minOcc: Long): DataFrame =
+    dict.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), lit(maxPiece)), l =>
+          when(length(col("word")) >= l,
+            transform(sequence(lit(1), length(col("word")) - l + lit(1)),
+              i => col("word").substr(i, l)))
+            .otherwise(array().cast("array<string>"))))).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      .where(length(col("p")) === 1 || col("cnt") >= minOcc)
+
+  /** Viterbi DP over one word as a pure fold: dp[i] = best (score, j)
+    * over candidates j = i−1 … i−maxPiece with word[j+1..i] in the
+    * model map. Returns the dp array (element i+1 = position i;
+    * dp[0] = (1.0, −1)).
+    */
+  private def dpArray(word: Column, wmap: Column, maxPiece: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(1.0).as("score"), lit(-1).as("j"))),
+      (acc, i) => {
+        val cands = (1 to maxPiece).map { l =>
+          val j = i - lit(l)
+          val wt = element_at(wmap, word.substr(j + lit(1), lit(l)))
+          when(j >= 0 && wt.isNotNull,
+            struct((element_at(acc, j + lit(1)).getField("score") * wt)
+              .as("score"), j.cast("int").as("j")))
+        }
+        val best = cands.reduce((a, b) => when(a.isNull, b).otherwise(
+          when(b.isNull, a).otherwise(
+            when(b.getField("score") > a.getField("score"), b).otherwise(a))))
+        concat(acc, array(best))
+      })
+
+  /** Backward walk over the dp array: the segmentation as a piece
+    * array (leftmost piece first). At most |word| steps; exhausted
+    * steps no-op at pos 0.
+    */
+  private def segments(word: Column, dp: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val j = element_at(dp, pos + lit(1)).getField("j")
+        when(pos > lit(0),
+          struct(j.as("pos"),
+            concat(array(word.substr(j + lit(1), pos - j)),
+              st.getField("ps")).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+
+  /** Fixed-`rounds` hard-EM fit. Returns the final model (piece, cnt),
+    * cnt = freq-weighted Viterbi usage after the last round (0 for
+    * pieces the final segmentation abandoned — the LM's natural prune
+    * signal, kept in the output so the gate pins it).
+    */
+  def fit(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
+          maxPiece: Int = 4, minOcc: Long = 100L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    // K-row model collect (the centroid discipline; bounded by minOcc)
+    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, minOcc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val p = model.size
+    for (_ <- 1 to rounds) {
+      val t = model.map(_._2).sum
+      val wmap = typedLit(model.map { case (pc, c) =>
+        pc -> (c + 1).toDouble / (t + p).toDouble
+      }.toMap)
+      val segs = dict
+        .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
+        .select(col("freq"),
+          explode(segments(col("word"), col("dp"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      model = model.map { case (pc, _) => pc -> segs.getOrElse(pc, 0L) }
+    }
+    dict.unpersist(blocking = false)
+    model.toDF("piece", "cnt")
+  }
+}

@@ -133,7 +133,19 @@ object TextQueries {
     // same unrolled chain, read out at v8 instead of the merge list.
     "text_bpe_encode" -> ((s, dir) =>
       graft.operators.BpeTrain.encode(docs(s, dir), iters = 8)
-        .orderBy("word")))
+        .orderBy("word")),
+
+    // unigram-LM (SentencePiece-style) tokenizer training (UnigramLm
+    // scaladoc): 2 hard-EM rounds — Viterbi segmentation of the word
+    // dict under Laplace-smoothed piece weights, then count
+    // re-estimation. Weights are single IEEE divisions of exact
+    // integers and the DP multiplies them in fixed position order, so
+    // the oracle replays both EM rounds as unrolled DP CTEs with zero
+    // float slack (no ln/exp anywhere). TextOpsSpec pins hand-computed
+    // segmentation traces.
+    "text_unigram_lm" -> ((s, dir) =>
+      graft.operators.UnigramLm.fit(docs(s, dir), rounds = 2)
+        .orderBy("piece")))
 
   private def langidSql: String = {
     val scores = TextAnalysis.markers.map { case (l, ms) =>
@@ -262,9 +274,86 @@ object TextQueries {
     ctes.result().mkString(",\n")
   }
 
+  /** Unrolled hard-EM replay for `text_unigram_lm`: seed vocab CTEs,
+    * then per round a weight CTE (the identical Laplace division as
+    * one DOUBLE op), `maxLen` forward Viterbi position CTEs (4 join
+    * arms each, max score then max-j tie-break — ≡ the Spark fold's
+    * strict-> chain from j = i−1), `maxLen` backward reconstruction
+    * steps, and the count re-estimate over the FIXED model set.
+    */
+  private def unigramSql(rounds: Int, maxLen: Int, maxPiece: Int,
+                         minOcc: Long): String = {
+    val seed =
+      s"""toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |dict AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM toks WHERE word <> '' AND length(word) <= $maxLen
+         |  GROUP BY word),
+         |occ AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM dict, (SELECT unnest([${(1 to maxPiece).mkString(", ")}]) AS l) ls,
+         |    LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1)) AS i) js
+         |  GROUP BY 1),
+         |m0 AS MATERIALIZED (SELECT p, cnt FROM occ
+         |  WHERE length(p) = 1 OR cnt >= $minOcc)""".stripMargin
+    def roundCtes(r: Int): String = {
+      val prev = s"m${r - 1}"
+      val wt =
+        s"""wt$r AS MATERIALIZED (SELECT p,
+           |  CAST(cnt + 1 AS DOUBLE) /
+           |    CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM $prev)
+           |      + (SELECT count(*) FROM m0) AS DOUBLE) AS w
+           |  FROM $prev)""".stripMargin
+      val dp0 = s"dp${r}_0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS score FROM dict)"
+      val fwd = (1 to maxLen).map { i =>
+        val arms = (1 to maxPiece).filter(i - _ >= 0).map { l =>
+          s"""SELECT p.word, p.score * w.w AS score, ${i - l} AS j
+             |  FROM dp${r}_${i - l} p JOIN wt$r w
+             |    ON w.p = substr(p.word, ${i - l + 1}, $l)
+             |  WHERE length(p.word) >= $i""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""cd${r}_$i AS MATERIALIZED ($arms),
+           |dp${r}_$i AS MATERIALIZED (SELECT c.word, s.score,
+           |    CAST(max(c.j) AS INT) AS j
+           |  FROM cd${r}_$i c JOIN (SELECT word, max(score) AS score
+           |    FROM cd${r}_$i GROUP BY word) s
+           |    ON s.word = c.word AND c.score = s.score
+           |  GROUP BY c.word, s.score)""".stripMargin
+      }.mkString(",\n")
+      val dpa = (1 to maxLen)
+        .map(i => s"SELECT word, $i AS i, j FROM dp${r}_$i")
+        .mkString("\n  UNION ALL ")
+      val bwd = (1 to maxLen).map { k =>
+        s"""b${r}_$k AS MATERIALIZED (SELECT b.word, b.freq, d.j AS pos,
+           |    substr(b.word, d.j + 1, b.pos - d.j) AS piece
+           |  FROM b${r}_${k - 1} b JOIN dpa$r d
+           |    ON d.word = b.word AND d.i = b.pos
+           |  WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val pieces = (1 to maxLen)
+        .map(k => s"SELECT freq, piece FROM b${r}_$k")
+        .mkString("\n  UNION ALL ")
+      s"""$wt,
+         |$dp0,
+         |$fwd,
+         |dpa$r AS MATERIALIZED ($dpa),
+         |b${r}_0 AS (SELECT word, freq, CAST(length(word) AS INT) AS pos FROM dict),
+         |$bwd,
+         |cn$r AS (SELECT piece AS p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  $pieces) GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT m.p, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+         |  FROM $prev m LEFT JOIN cn$r c ON c.p = m.p)""".stripMargin
+    }
+    s"""WITH $seed,
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |SELECT p AS piece, cnt FROM m$rounds ORDER BY piece""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSql(8),
     "text_bpe_encode" -> bpeEncodeSql(8),
+    "text_unigram_lm" -> unigramSql(rounds = 2, maxLen = 12, maxPiece = 4,
+      minOcc = 100L),
 
     "text_langid" -> langidSql,
 

@@ -238,6 +238,29 @@ class TextOpsSpec extends SparkSpec {
     ), s"lm scores diverged: ${got.toSeq}")
   }
 
+  test("unigram-lm: hand-computed hard-EM traces (whole-word vs multi-piece winners)") {
+    import graft.operators.UnigramLm
+    def fitMap(text: String) = UnigramLm
+      .fit(Seq(text).toDF("text"), rounds = 2, maxPiece = 4, minOcc = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // corpus "abab abab cd": T=23, P=10 → w(abab)=3/33 beats
+    // w(ab)²=(5/33)² and w(cd)=2/33 beats (2/33)² — whole words win
+    // both rounds, every sub-piece count prunes to 0
+    assert(fitMap("abab abab cd") == Map(
+      "abab" -> 2L, "cd" -> 1L, "a" -> 0L, "b" -> 0L, "ab" -> 0L,
+      "ba" -> 0L, "aba" -> 0L, "bab" -> 0L, "c" -> 0L, "d" -> 0L))
+
+    // "xy"×10 + one "xyxy": w(xy)²=(13/47)² BEATS w(xyxy)=2/47, so the
+    // rare word segments into the frequent piece — the unigram-LM
+    // behavior BPE can't express in one merge table. xy absorbs all
+    // 12 occurrences; round 2 only reinforces.
+    val t2 = (Seq.fill(10)("xy") :+ "xyxy").mkString(" ")
+    assert(fitMap(t2) == Map(
+      "xy" -> 12L, "x" -> 0L, "y" -> 0L, "yx" -> 0L, "xyx" -> 0L,
+      "yxy" -> 0L, "xyxy" -> 0L))
+  }
+
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
     val d = Tables.documents(spark, sf)
     val p = plan(TextAnalysis.lmBigramScore(d, refBucketLt = 50, v = 1000))
