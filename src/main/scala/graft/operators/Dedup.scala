@@ -640,6 +640,84 @@ object Dedup {
         col("nearest_prior"), col("min_ham"))
   }
 
+  /** MinHash band rows for a signature frame (doc_id, h0..h{n-1}):
+    * (band, k0..k{rowsPerBand-1}, doc_id, h0..h{n-1}) — the signature
+    * rides on every band row so a probe can verify (count matching
+    * components) straight out of the band join, no signature re-join.
+    * This is the persistable form of the banded index
+    * ([[minhashPairs]] builds it in-flight); written bucketed on the
+    * band key it is the MinHash signature STORE for incremental ingest.
+    */
+  def minhashBandRows(mh: DataFrame, nHash: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = nHash / rowsPerBand
+    val keyNames = (0 until rowsPerBand).map(r => s"k$r")
+    val bandCols = (0 until nBands).map { bi =>
+      struct(lit(bi).as("band") +:
+        (0 until rowsPerBand).map(r =>
+          col(s"h${bi * rowsPerBand + r}").as(s"k$r")): _*)
+    }
+    mh.select(col("doc_id") +: explode(array(bandCols: _*)).as("b") +:
+        (0 until nHash).map(i => col(s"h$i")): _*)
+      .select(col("b.band").as("band") +: keyNames.map(k => col(s"b.$k").as(k)) ++:
+        col("doc_id") +: (0 until nHash).map(i => col(s"h$i")): _*)
+  }
+
+  /** [[incrementalDedup]]'s MinHash twin — the banded-Jaccard failure
+    * mode the simhash store can't catch (shingle-set similarity vs
+    * token-frequency profile). The persisted store is
+    * [[minhashBandRows]] over the already-ingested corpus, bucketed on
+    * the band key; a new batch signatures ONLY itself, broadcasts its
+    * band rows against the exchange-free store scan, verifies by
+    * counting matching signature components IN the join output
+    * (signatures ride the band rows — no re-join), and pairs within
+    * itself the same way. Same order-free semantics and batch-split
+    * associativity as the simhash form (IncrementalSpec pins both).
+    *
+    * Returns (doc_id, kept, n_prior_dups, nearest_prior, best_matches)
+    * per signatured batch doc; a doc is kept iff no prior doc shares a
+    * band AND agrees on ≥ `minMatches` of the `nHash` components.
+    */
+  def incrementalMinhash(storeBands: DataFrame, batch: DataFrame,
+      n: Int = 8, nHash: Int = 12, rowsPerBand: Int = 2,
+      minMatches: Int = 6): DataFrame = {
+    val mh = minhashSignatureFast(batch, n, nHash).localCheckpoint(true)
+    val keyNames = (0 until rowsPerBand).map(r => s"k$r")
+    val bandKey = "band" +: keyNames
+    val bb = minhashBandRows(mh, nHash, rowsPerBand)
+    def matches(a: String, b: String): Column = (0 until nHash)
+      .map(i => when(col(s"$a$i") === col(s"$b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val probe = storeBands
+      .select(bandKey.map(col) ++: col("doc_id").as("p_doc") +:
+        (0 until nHash).map(i => col(s"h$i").as(s"p$i")): _*)
+      .join(broadcast(bb.select(bandKey.map(col) ++:
+          col("doc_id").as("b_doc") +:
+          (0 until nHash).map(i => col(s"h$i").as(s"b$i")): _*)),
+        bandKey)
+      .where(col("p_doc") < col("b_doc"))
+      .select(col("b_doc").as("doc_id"), col("p_doc").as("prior"),
+        matches("b", "p").as("matches"))
+      .distinct()
+    val inBatch = bb.as("x").join(bb.as("y"), bandKey)
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("prior"),
+        (0 until nHash)
+          .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("matches"))
+      .distinct()
+    val agg = probe.unionByName(inBatch)
+      .where(col("matches") >= minMatches)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prior_dups"),
+        min(col("prior")).as("nearest_prior"),
+        max(col("matches")).as("best_matches"))
+    mh.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_prior_dups").isNull.as("kept"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        col("nearest_prior"), col("best_matches"))
+  }
+
   /** Benchmark-contamination check — the decontamination pass every
     * pretraining pipeline runs: for each corpus doc, the fraction of its
     * distinct 8-char shingle hashes that appear in the benchmark set

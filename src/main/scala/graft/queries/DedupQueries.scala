@@ -171,6 +171,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // the MinHash-banded twin of dedup_incremental (Jaccard-similar
+    // docs the token-frequency simhash profile can't catch): persisted
+    // band-row store with signatures riding the rows, broadcast batch
+    // probe, matching-component verify straight out of the band join.
+    // Oracle = whole-corpus banded-estimate recompute (minhashEstSql
+    // chain) restricted to batch docs — never sees the split.
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.minhashStore(s, dir)
+      Dedup.incrementalMinhash(s.table(tbl),
+          docs(s, dir).where(col("doc_id") > thr))
+        .orderBy("doc_id")
+    }),
+
     // exact substring-span dedup (Dedup.substringSpans scaladoc): the
     // C4 "W-token span seen before" pass at sub-record granularity —
     // maximal merged spans of 8-token windows whose exact text occurs
@@ -384,6 +397,49 @@ object DedupQueries {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Whole-corpus recompute oracle for `dedup_incremental_minhash`:
+    * the minhashEstSql signature/banding/verify chain with no
+    * store/batch split, decisions re-derived as "∃ any smaller-id
+    * banded match with ≥ 6 agreeing components corpus-wide".
+    */
+  private def incrementalMinhashSql: String = {
+    import graft.operators.Dedup.{MinhashP => P}
+    val mins = graft.operators.Dedup.minhashCoeffs(12).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * hm + $b) % $P) AS h$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 6).map { bi =>
+      val a = bi * 2; val b = a + 1
+      s"SELECT doc_id, $bi AS band, h$a AS k1, h$b AS k2 FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until 12)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${ssetsCte(8)},
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm FROM ssets),
+       |mh AS MATERIALIZED (SELECT doc_id,
+       |        $mins
+       |      FROM hs GROUP BY doc_id),
+       |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+       |           AND x.doc_id < y.doc_id),
+       |m AS (SELECT c.doc_a, c.doc_b, CAST($matchSum AS BIGINT) AS matches
+       |      FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+       |                  JOIN mh b ON b.doc_id = c.doc_b),
+       |agg AS (SELECT doc_b AS doc_id, count(*) AS n_prior_dups,
+       |               min(doc_a) AS nearest_prior, max(matches) AS best_matches
+       |        FROM m WHERE matches >= 6 AND doc_b > (SELECT t FROM thr)
+       |        GROUP BY doc_b)
+       |SELECT f.doc_id, (a.doc_id IS NULL) AS kept,
+       |  coalesce(a.n_prior_dups, CAST(0 AS BIGINT)) AS n_prior_dups,
+       |  a.nearest_prior, a.best_matches
+       |FROM mh f LEFT JOIN agg a ON a.doc_id = f.doc_id
+       |WHERE f.doc_id > (SELECT t FROM thr)
+       |ORDER BY f.doc_id""".stripMargin
+  }
 
   /** Whole-corpus recompute oracle for `dedup_incremental`: the full
     * simhash pair set (combined block keys, identical pigeonhole LSH)
@@ -793,6 +849,7 @@ object DedupQueries {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> simhashHammingSql,
     "dedup_incremental" -> incrementalSql,
+    "dedup_incremental_minhash" -> incrementalMinhashSql,
 
     "dedup_fuzzy_edit" ->
       """WITH d AS (

@@ -159,6 +159,32 @@ object StagedLayouts {
     })
   }
 
+  /** The MinHash twin of [[simhashStore]]: band rows (band, k0, k1,
+    * doc_id, h0..h11) of the already-ingested prefix, signatures riding
+    * the band rows, bucketed on the band key — the persisted probe side
+    * of `dedup_incremental_minhash`. Same threshold contract.
+    */
+  def minhashStore(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"minhash:$sfDir", _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_mhstore_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mhstore").toString
+      staged.put(s"mhstore:$sfDir", tmp)
+      val docs = graft.Tables.documents(s, sfDir)
+      val thr = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+      graft.operators.Dedup.minhashBandRows(
+          graft.operators.Dedup.minhashSignatureFast(
+            docs.where(col("doc_id") <= thr), n = 8, nHash = 12),
+          nHash = 12, rowsPerBand = 2)
+        .repartition(8, col("band"), col("k0"), col("k1"))
+        .write.bucketBy(8, "band", "k0", "k1").sortBy("band")
+        .option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
   // ---- shared co-occurrence edge list (graph consumers) --------------
 
   /** Part co-occurrence (market-basket) edge list `(u, v)` with u < v,

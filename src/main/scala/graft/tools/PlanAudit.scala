@@ -224,6 +224,22 @@ object PlanAudit {
         .union(pairs.selectExpr("prt AS src", "sup AS dst"))
       graft.operators.HyperBall.neighborhoodSizes(edges, rounds = 1,
         eager = false)
+    }),
+    // round 13: Brandes forward+backward rounds — frontier joins carry
+    // path counts, level-keyed backward joins carry fixed-point
+    // dependencies; per-round shuffle tracks the frontier, never |V|
+    "graph_betweenness (pre-checkpoint pipeline)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val li = graft.Tables.lineitem(s, dir)
+      val pairs = li.select(col("l_suppkey").as("sup"),
+        (org.apache.spark.sql.functions.lit(100000L) +
+          col("l_partkey")).as("prt")).distinct()
+      val edges = pairs.selectExpr("sup AS src", "prt AS dst")
+        .union(pairs.selectExpr("prt AS src", "sup AS dst"))
+      val seeds = graft.Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5).select(col("s_suppkey").as("node"))
+      graft.operators.Betweenness.run(edges, seeds, rounds = 2,
+        eager = false)
     }))
 
   def main(args: Array[String]): Unit = {

@@ -57,6 +57,30 @@ class IncrementalSpec extends SparkSpec {
       "verify predicate should be pushed into the join")
   }
 
+  test("minhash variant: two half-batches with a store append between ≡ one batch") {
+    val (thr, maxId) = bounds
+    def bands(d: org.apache.spark.sql.DataFrame) = Dedup.minhashBandRows(
+      Dedup.minhashSignatureFast(d, n = 8, nHash = 12),
+      nHash = 12, rowsPerBand = 2)
+    val store = bands(docs.where(col("doc_id") <= thr))
+    val batch = docs.where(col("doc_id") > thr)
+    val oneShot = Dedup.incrementalMinhash(store, batch)
+      .orderBy("doc_id").collect().toSeq
+
+    val mid = (thr + maxId) / 2
+    val half1 = Dedup
+      .incrementalMinhash(store, batch.where(col("doc_id") <= mid))
+      .orderBy("doc_id").collect().toSeq
+    val store2 = store.unionByName(
+      bands(batch.where(col("doc_id") <= mid)))
+    val half2 = Dedup
+      .incrementalMinhash(store2, batch.where(col("doc_id") > mid))
+      .orderBy("doc_id").collect().toSeq
+
+    assert(half1 ++ half2 == oneShot,
+      "sub-batch minhash ingest must land on the byte-identical decision table")
+  }
+
   test("incremental decisions equal the whole-corpus recompute") {
     val (thr, _) = bounds
     val store = Dedup.fpBlockKeys(
