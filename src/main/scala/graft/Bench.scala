@@ -114,7 +114,8 @@ object Bench {
       "sim_ann_ivf", "sim_ivf_pq_bt", "text_tokens", "text_quality",
       "mm_features", "pipeline_e2e", "stream_window_sink",
       "graph_pagerank", "q_bucket_join", "q_merge_upsert", "q_dq_checks",
-      "graph_kcore", "q_incr_agg")
+      "graph_kcore", "q_incr_agg",
+      "dedup_incremental", "graph_betweenness", "text_unigram_lm")
     val proto = s""""mode":"$mode","n_repeats":1,"closing":$closing"""
     val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2, headline)},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},$proto,"detail":"bench_detail.json","sf":"$sfDir"}"""
     // If the headline subset ever outgrows the driver's ~2.5KB stdout

@@ -42,7 +42,11 @@ object Betweenness {
   def run(edges: DataFrame, seeds: DataFrame, rounds: Int,
           scale: Long = 10000L, eager: Boolean = true): DataFrame = {
     def ck(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
-    val e = edges.select(col("src"), col("dst"))
+    // renamed edge columns + name-resolved join conditions: frontier
+    // and visited DERIVE from the edge frame, so dataset-tagged refs
+    // (e("dst")) trip the ambiguous-self-join check as soon as eager =
+    // false leaves the lineage untruncated (the PlanAudit pipeline)
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
 
     // forward: (s, node, dist, sigma) — per-source levels + path counts
     var visited = ck(seeds.select(col("node").as("s")).distinct()
@@ -51,8 +55,8 @@ object Betweenness {
     var frontier = visited
     for (i <- 1 to rounds) {
       val next = ck(frontier
-        .join(e, frontier("node") === e("src"))
-        .select(col("s"), col("dst").as("node"), col("sigma"))
+        .join(e, col("node") === col("e_src"))
+        .select(col("s"), col("e_dst").as("node"), col("sigma"))
         .join(visited.select(col("s"), col("node")), Seq("s", "node"),
           "left_anti")
         .groupBy(col("s"), col("node"))
@@ -77,8 +81,8 @@ object Betweenness {
         .join(delta.select(col("s").as("ws"), col("node").as("wnode"),
           col("delta").as("wdelta")), Seq("ws", "wnode"))
       val contrib = lvl
-        .join(e, lvl("node") === e("src"))
-        .join(succ, col("s") === col("ws") && e("dst") === col("wnode"))
+        .join(e, col("node") === col("e_src"))
+        .join(succ, col("s") === col("ws") && col("e_dst") === col("wnode"))
         .groupBy(col("s"), col("node"))
         .agg(sum(expr(s"(sigma * ($scale + wdelta)) div wsigma"))
           .as("cdelta"))

@@ -149,8 +149,10 @@ object QualityQueries {
     // riding along as the gate arm — the q_quantile_sketch discipline:
     // the exact arm is the gate's cost, not the production plan's;
     // profileSketch(exactPin = false) is the production shape, A/B'd
-    // in BASELINE.md). Measured margins: max |err| 2.8% at sf0.01,
-    // 0.9% at sf0.1 — 5% keeps ≥1.8× headroom.
+    // in BASELINE.md round-13: exact 5.9-8.2 s cold isolated at sf0.1,
+    // gated sketch 2.4-3.1 s, production sketch 0.74-0.83 s — ~7.6x).
+    // Measured margins: max |err| 2.8% at sf0.01, 0.9% at sf0.1 — 5%
+    // keeps ≥1.8× headroom.
     "q_table_profile_sketch" -> ((s, dir) =>
       profileSketch(Tables.orders(s, dir), exactPin = true)))
 
