@@ -39,16 +39,18 @@ import org.apache.spark.sql.functions._
   */
 object Betweenness {
 
-  def run(edges: DataFrame, seeds: DataFrame, rounds: Int,
-          scale: Long = 10000L, eager: Boolean = true): DataFrame = {
+  /** Source-keyed forward BFS carrying path counts — the shared
+    * first half of Brandes: (s, node, dist, σ) for every node within
+    * `rounds` hops of each seed. Renamed edge columns + name-resolved
+    * join conditions: frontier and visited DERIVE from the edge frame,
+    * so dataset-tagged refs (e("dst")) trip the ambiguous-self-join
+    * check as soon as eager = false leaves the lineage untruncated
+    * (the PlanAudit pipeline).
+    */
+  def forward(edges: DataFrame, seeds: DataFrame, rounds: Int,
+              eager: Boolean = true): DataFrame = {
     def ck(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
-    // renamed edge columns + name-resolved join conditions: frontier
-    // and visited DERIVE from the edge frame, so dataset-tagged refs
-    // (e("dst")) trip the ambiguous-self-join check as soon as eager =
-    // false leaves the lineage untruncated (the PlanAudit pipeline)
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
-
-    // forward: (s, node, dist, sigma) — per-source levels + path counts
     var visited = ck(seeds.select(col("node").as("s")).distinct()
       .select(col("s"), col("s").as("node"), lit(0).as("dist"),
         lit(1L).as("sigma")))
@@ -65,6 +67,31 @@ object Betweenness {
       visited = ck(visited.unionAll(next))
       frontier = next
     }
+    visited
+  }
+
+  /** Harmonic (closeness-family) centrality from the same seeded
+    * sources: H(v) = Σ_s scale div d(s, v) over sources that reach v —
+    * the standard sampled estimator (unreached pairs contribute 0,
+    * which is harmonic centrality's whole point vs classic closeness).
+    * Just the forward pass + one integer aggregate; `scale div dist`
+    * is the same truncating division as the Brandes backward pass, so
+    * the oracle replays it with `//`. Returns (node, hc_scaled,
+    * n_sources), non-source nodes only.
+    */
+  def harmonic(edges: DataFrame, seeds: DataFrame, rounds: Int,
+               scale: Long = 10000L, eager: Boolean = true): DataFrame =
+    forward(edges, seeds, rounds, eager)
+      .where(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr(s"$scale div dist")).as("hc_scaled"),
+        count(lit(1)).as("n_sources"))
+
+  def run(edges: DataFrame, seeds: DataFrame, rounds: Int,
+          scale: Long = 10000L, eager: Boolean = true): DataFrame = {
+    def ck(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    val visited = forward(edges, seeds, rounds, eager)
 
     // backward: deepest level seeds δ = 0; each shallower level joins
     // its successor level's (σ, δ) through the edges

@@ -101,6 +101,38 @@ object UnigramLm {
       },
       st => st.getField("ps"))
 
+  /** Laplace-weight map literal for a model state: w(p) = (c+1)/(T+P)
+    * with P = the FIXED seed vocab size.
+    */
+  private def weightMap(model: Seq[(String, Long)], p: Int): Column = {
+    val t = model.map(_._2).sum
+    typedLit(model.map { case (pc, c) =>
+      pc -> (c + 1).toDouble / (t + p).toDouble
+    }.toMap)
+  }
+
+  /** The hard-EM loop over a checkpointed dict: seed, then `rounds`
+    * E/M steps. Returns the final (piece, cnt) model, collect-bounded
+    * by the seed threshold (the centroid discipline).
+    */
+  private def emSteps(dict: DataFrame, rounds: Int, maxPiece: Int,
+                      minOcc: Long): Seq[(String, Long)] = {
+    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, minOcc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val p = model.size
+    for (_ <- 1 to rounds) {
+      val wmap = weightMap(model, p)
+      val segs = dict
+        .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
+        .select(col("freq"),
+          explode(segments(col("word"), col("dp"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      model = model.map { case (pc, _) => pc -> segs.getOrElse(pc, 0L) }
+    }
+    model
+  }
+
   /** Fixed-`rounds` hard-EM fit. Returns the final model (piece, cnt),
     * cnt = freq-weighted Viterbi usage after the last round (0 for
     * pieces the final segmentation abandoned — the LM's natural prune
@@ -111,24 +143,30 @@ object UnigramLm {
     val spark = docs.sparkSession
     import spark.implicits._
     val dict = wordDict(docs, maxLen).localCheckpoint(true)
-    // K-row model collect (the centroid discipline; bounded by minOcc)
-    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, minOcc)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
-    val p = model.size
-    for (_ <- 1 to rounds) {
-      val t = model.map(_._2).sum
-      val wmap = typedLit(model.map { case (pc, c) =>
-        pc -> (c + 1).toDouble / (t + p).toDouble
-      }.toMap)
-      val segs = dict
-        .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
-        .select(col("freq"),
-          explode(segments(col("word"), col("dp"))).as("p"))
-        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      model = model.map { case (pc, _) => pc -> segs.getOrElse(pc, 0L) }
-    }
+    val model = emSteps(dict, rounds, maxPiece, minOcc)
     dict.unpersist(blocking = false)
     model.toDF("piece", "cnt")
+  }
+
+  /** Train-then-ENCODE — [[BpeTrain.encode]]'s unigram twin: the
+    * fitted model applied back through one more Viterbi pass under the
+    * FINAL weights, emitting each dict word's subword count (the
+    * corpus token budget a pipeline plans by, under the real learned
+    * LM). Encoding a NEW corpus at 100 TB is this same narrow per-row
+    * fold under one broadcast map — no training-loop cost.
+    */
+  def encode(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
+             maxPiece: Int = 4, minOcc: Long = 100L): DataFrame = {
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    val model = emSteps(dict, rounds, maxPiece, minOcc)
+    val wmap = weightMap(model, model.size)
+    // no unpersist here: the returned frame still reads the
+    // checkpointed dict (truncated lineage — eviction would be data
+    // loss, not recompute); the ContextCleaner reclaims it on GC
+    dict
+      .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
+      .select(col("word"), col("freq"),
+        size(segments(col("word"), col("dp"))).cast("long")
+          .as("n_subwords"))
   }
 }

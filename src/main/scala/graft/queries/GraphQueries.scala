@@ -176,6 +176,20 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // harmonic centrality from the same seeded sources (Betweenness
+    // .harmonic scaladoc): the forward Brandes pass + one integer
+    // aggregate — Σ scale div d(s,v) over reaching sources; unreached
+    // pairs contribute 0 by harmonic's definition, which is what makes
+    // the sampled estimator well-defined on disconnected graphs.
+    "graph_harmonic" -> ((s, dir) => {
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Betweenness
+        .harmonic(supplyEdges(s, dir), seeds, rounds = 3, scale = 10000L)
+        .orderBy(col("hc_scaled").desc, col("node"))
+    }),
+
     // approximate betweenness centrality (Betweenness scaladoc):
     // Brandes dependency accumulation from the same 5 seeded sources,
     // depth 3 — forward BFS rounds carrying exact integer path counts,
@@ -300,7 +314,11 @@ object GraphQueries {
     * non-negative BIGINTs). The accumulation unions levels 1..rounds —
     * level 0 is the sources themselves, which Brandes excludes.
     */
-  private def betweennessSql(rounds: Int, scale: Long): String = {
+  /** Shared Brandes forward prefix: supply edges, per-source seed rows,
+    * `rounds` frontier CTEs carrying exact path counts — ends with the
+    * full level table v$rounds.
+    */
+  private def brandesForwardCtes(rounds: Int): String = {
     val fwd = (1 to rounds).map { i =>
       s"""f$i AS MATERIALIZED (SELECT p.s, e.dst AS node, $i AS dist,
          |    CAST(sum(p.sigma) AS BIGINT) AS sigma
@@ -311,6 +329,32 @@ object GraphQueries {
          |v$i AS MATERIALIZED (SELECT s, node, dist, sigma FROM v${i - 1}
          |  UNION ALL SELECT s, node, dist, sigma FROM f$i)""".stripMargin
     }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT sup AS src, prt AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst FROM pairs
+       |), v0 AS (
+       |  SELECT s_suppkey AS s, s_suppkey AS node, 0 AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM supplier WHERE s_suppkey <= 5
+       |),
+       |$fwd""".stripMargin
+  }
+
+  /** Harmonic-centrality oracle: the shared forward prefix + one
+    * integer aggregate (`//` ≡ Spark `div` on non-negative BIGINTs).
+    */
+  private def harmonicSql(rounds: Int, scale: Long): String =
+    s"""WITH ${brandesForwardCtes(rounds)}
+       |SELECT node, CAST(sum($scale // dist) AS BIGINT) AS hc_scaled,
+       |  CAST(count(*) AS BIGINT) AS n_sources
+       |FROM v$rounds WHERE dist > 0
+       |GROUP BY node ORDER BY hc_scaled DESC, node""".stripMargin
+
+  private def betweennessSql(rounds: Int, scale: Long): String = {
     val bwd = ((rounds - 1) to 0 by -1).map { d =>
       s"""c$d AS (SELECT v.s AS s, v.node AS node,
          |    CAST(sum((v.sigma * ($scale + dw.delta)) // w.sigma) AS BIGINT)
@@ -327,19 +371,7 @@ object GraphQueries {
     }.mkString(",\n")
     val accSel = (1 to rounds).map(d => s"SELECT node, delta FROM d$d")
       .mkString("\n  UNION ALL ")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
-       |  FROM lineitem
-       |), edges AS MATERIALIZED (
-       |  SELECT sup AS src, prt AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT prt AS src, sup AS dst FROM pairs
-       |), v0 AS (
-       |  SELECT s_suppkey AS s, s_suppkey AS node, 0 AS dist,
-       |    CAST(1 AS BIGINT) AS sigma
-       |  FROM supplier WHERE s_suppkey <= 5
-       |),
-       |$fwd,
+    s"""WITH ${brandesForwardCtes(rounds)},
        |d$rounds AS (SELECT s, node, CAST(0 AS BIGINT) AS delta
        |  FROM v$rounds WHERE dist = $rounds),
        |$bwd
@@ -431,6 +463,8 @@ object GraphQueries {
       "graph_sssp" -> ssspSql(rounds = 3),
 
       "graph_betweenness" -> betweennessSql(rounds = 3, scale = 10000L),
+
+      "graph_harmonic" -> harmonicSql(rounds = 3, scale = 10000L),
 
       // degree-ordered orientation, the SAME trick the Spark operator
       // uses (Triangles scaladoc): orient every edge toward the higher

@@ -145,7 +145,15 @@ object TextQueries {
     // segmentation traces.
     "text_unigram_lm" -> ((s, dir) =>
       graft.operators.UnigramLm.fit(docs(s, dir), rounds = 2)
-        .orderBy("piece")))
+        .orderBy("piece")),
+
+    // the trained unigram LM applied back (BpeTrain.encode's twin):
+    // one more Viterbi pass under the FINAL weights, per-word subword
+    // counts — the corpus token budget under the learned LM. Oracle =
+    // the same unrolled chain plus a third DP round, read out per word.
+    "text_unigram_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.encode(docs(s, dir), rounds = 2)
+        .orderBy("word")))
 
   private def langidSql: String = {
     val scores = TextAnalysis.markers.map { case (l, ms) =>
@@ -283,27 +291,57 @@ object TextQueries {
     */
   private def unigramSql(rounds: Int, maxLen: Int, maxPiece: Int,
                          minOcc: Long): String = {
-    val seed =
-      s"""toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-         |  FROM documents),
-         |dict AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM toks WHERE word <> '' AND length(word) <= $maxLen
-         |  GROUP BY word),
-         |occ AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
-         |    CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM dict, (SELECT unnest([${(1 to maxPiece).mkString(", ")}]) AS l) ls,
-         |    LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1)) AS i) js
-         |  GROUP BY 1),
-         |m0 AS MATERIALIZED (SELECT p, cnt FROM occ
-         |  WHERE length(p) = 1 OR cnt >= $minOcc)""".stripMargin
-    def roundCtes(r: Int): String = {
-      val prev = s"m${r - 1}"
-      val wt =
-        s"""wt$r AS MATERIALIZED (SELECT p,
-           |  CAST(cnt + 1 AS DOUBLE) /
-           |    CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM $prev)
-           |      + (SELECT count(*) FROM m0) AS DOUBLE) AS w
-           |  FROM $prev)""".stripMargin
+    def roundCtes(r: Int): String = unigramViterbiCtes(r, maxLen, maxPiece) +
+      unigramCountCtes(r, maxLen)
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, minOcc)},
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |SELECT p AS piece, cnt FROM m$rounds ORDER BY piece""".stripMargin
+  }
+
+  /** One more Viterbi pass at the FINAL model's weights, read out as
+    * per-word subword counts — `text_unigram_encode`'s oracle tail.
+    */
+  private def unigramEncodeSql(rounds: Int, maxLen: Int, maxPiece: Int,
+                               minOcc: Long): String = {
+    val r = rounds + 1
+    val pieces = (1 to maxLen)
+      .map(k => s"SELECT word, freq, piece FROM b${r}_$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, minOcc)},
+       |${(1 to rounds).map(i => unigramViterbiCtes(i, maxLen, maxPiece) +
+            unigramCountCtes(i, maxLen)).mkString(",\n")},
+       |${unigramViterbiCtes(r, maxLen, maxPiece)}
+       |SELECT word, freq, CAST(count(*) AS BIGINT) AS n_subwords FROM (
+       |  $pieces) GROUP BY word, freq ORDER BY word""".stripMargin
+  }
+
+  private def unigramSeedCtes(maxLen: Int, maxPiece: Int,
+                              minOcc: Long): String =
+    s"""toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |dict AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM toks WHERE word <> '' AND length(word) <= $maxLen
+       |  GROUP BY word),
+       |occ AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM dict, (SELECT unnest([${(1 to maxPiece).mkString(", ")}]) AS l) ls,
+       |    LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1)) AS i) js
+       |  GROUP BY 1),
+       |m0 AS MATERIALIZED (SELECT p, cnt FROM occ
+       |  WHERE length(p) = 1 OR cnt >= $minOcc)""".stripMargin
+
+  /** Weight CTE + forward DP positions + backward reconstruction for
+    * EM round `r` (weights from m_{r-1}), ending in the b$r step CTEs.
+    */
+  private def unigramViterbiCtes(r: Int, maxLen: Int,
+                                 maxPiece: Int): String = {
+    val prev = s"m${r - 1}"
+    val wt =
+      s"""wt$r AS MATERIALIZED (SELECT p,
+         |  CAST(cnt + 1 AS DOUBLE) /
+         |    CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM $prev)
+         |      + (SELECT count(*) FROM m0) AS DOUBLE) AS w
+         |  FROM $prev)""".stripMargin
       val dp0 = s"dp${r}_0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS score FROM dict)"
       val fwd = (1 to maxLen).map { i =>
         val arms = (1 to maxPiece).filter(i - _ >= 0).map { l =>
@@ -330,23 +368,26 @@ object TextQueries {
            |    ON d.word = b.word AND d.i = b.pos
            |  WHERE b.pos > 0)""".stripMargin
       }.mkString(",\n")
-      val pieces = (1 to maxLen)
-        .map(k => s"SELECT freq, piece FROM b${r}_$k")
-        .mkString("\n  UNION ALL ")
       s"""$wt,
          |$dp0,
          |$fwd,
          |dpa$r AS MATERIALIZED ($dpa),
          |b${r}_0 AS (SELECT word, freq, CAST(length(word) AS INT) AS pos FROM dict),
-         |$bwd,
-         |cn$r AS (SELECT piece AS p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-         |  $pieces) GROUP BY 1),
-         |m$r AS MATERIALIZED (SELECT m.p, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
-         |  FROM $prev m LEFT JOIN cn$r c ON c.p = m.p)""".stripMargin
-    }
-    s"""WITH $seed,
-       |${(1 to rounds).map(roundCtes).mkString(",\n")}
-       |SELECT p AS piece, cnt FROM m$rounds ORDER BY piece""".stripMargin
+         |$bwd""".stripMargin
+  }
+
+  /** Count re-estimate + next model state for EM round `r` — appended
+    * after [[unigramViterbiCtes]] (leading comma included).
+    */
+  private def unigramCountCtes(r: Int, maxLen: Int): String = {
+    val pieces = (1 to maxLen)
+      .map(k => s"SELECT freq, piece FROM b${r}_$k")
+      .mkString("\n  UNION ALL ")
+    s""",
+       |cn$r AS (SELECT piece AS p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  $pieces) GROUP BY 1),
+       |m$r AS MATERIALIZED (SELECT m.p, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM m${r - 1} m LEFT JOIN cn$r c ON c.p = m.p)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -354,6 +395,8 @@ object TextQueries {
     "text_bpe_encode" -> bpeEncodeSql(8),
     "text_unigram_lm" -> unigramSql(rounds = 2, maxLen = 12, maxPiece = 4,
       minOcc = 100L),
+    "text_unigram_encode" -> unigramEncodeSql(rounds = 2, maxLen = 12,
+      maxPiece = 4, minOcc = 100L),
 
     "text_langid" -> langidSql,
 

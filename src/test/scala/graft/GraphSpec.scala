@@ -487,5 +487,18 @@ class GraphSpec extends SparkSpec {
     val diamond = undirected(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
     assert(run(diamond, Seq(1L)) ==
       Map(2L -> 5000L, 3L -> 5000L, 4L -> 0L))
+
+    // harmonic on the path: Σ scale div d per reaching source, with
+    // the exact truncation 10000 div 3 = 3333
+    def harm(edges: org.apache.spark.sql.DataFrame, seeds: Seq[Long]) =
+      graft.operators.Betweenness
+        .harmonic(edges, seeds.toDF("node"), rounds = 3, scale = 10000L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(harm(path, Seq(1L)) ==
+      Map(2L -> (10000L, 1L), 3L -> (5000L, 1L), 4L -> (3333L, 1L)))
+    assert(harm(path, Seq(1L, 5L)) == Map(
+      2L -> (13333L, 2L), 3L -> (10000L, 2L), 4L -> (13333L, 2L)),
+      "sources beyond each other's depth must not appear as nodes")
   }
 }

@@ -259,6 +259,13 @@ class TextOpsSpec extends SparkSpec {
     assert(fitMap(t2) == Map(
       "xy" -> 12L, "x" -> 0L, "y" -> 0L, "yx" -> 0L, "xyx" -> 0L,
       "yxy" -> 0L, "xyxy" -> 0L))
+
+    // encode under the final weights: the rare word costs TWO subwords
+    // of the dominant piece, the frequent word one
+    val enc = UnigramLm
+      .encode(Seq(t2).toDF("text"), rounds = 2, maxPiece = 4, minOcc = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(enc == Map("xy" -> 1L, "xyxy" -> 2L))
   }
 
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
