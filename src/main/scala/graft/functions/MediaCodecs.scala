@@ -273,7 +273,11 @@ object MediaCodecs {
           var j = 0
           val jEnd = n - k
           while (j < jEnd) {
-            val t = j * 9 / n
+            // LONG window index: j*9 wraps Int for a legal data chunk
+            // >= ~239 MB, which would index negative and crash instead
+            // of honoring the family's "malformed input → null, never
+            // crash" contract (decodeWav's bound discipline)
+            val t = (j.toLong * 9L / n).toInt
             val d = ((bytes(off + j + k) & 0xff) - (bytes(off + j) & 0xff)).abs
             e(t)(k - 1) += d
             c(t)(k - 1) += 1
@@ -287,7 +291,8 @@ object MediaCodecs {
           var t = 0
           while (t < 8) {
             fp = (fp << 1) |
-              (if (e(t)(k - 1) * c(t + 1)(k - 1) > e(t + 1)(k - 1) * c(t)(k - 1)) 1L
+              (if (cmpProd(e(t)(k - 1), c(t + 1)(k - 1),
+                           e(t + 1)(k - 1), c(t)(k - 1)) > 0) 1L
                else 0L)
             t += 1
           }
@@ -298,6 +303,19 @@ object MediaCodecs {
       i += 8 + sz + (sz & 1)
     }
     null
+  }
+
+  /** Exact sign of a·b − c·d for non-negative longs — the cross-multiplied
+    * average comparison without the silent Long overflow a ~1.6 GB data
+    * chunk's window energies could hit (e ≤ 255·n/9 · c ≤ n/9 exceeds
+    * 2^63 for n ≳ 1.7e9). 128-bit compare via Math.multiplyHigh; the
+    * spec's naive replay uses BigInt and must agree at every size.
+    */
+  private def cmpProd(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
   }
 
   // ---------- encoders (fixture synthesis — real container bytes) ----------

@@ -77,21 +77,46 @@ object Betweenness {
     * Just the forward pass + one integer aggregate; `scale div dist`
     * is the same truncating division as the Brandes backward pass, so
     * the oracle replays it with `//`. Returns (node, hc_scaled,
-    * n_sources), non-source nodes only.
+    * n_sources); the `dist > 0` filter excludes each source's own
+    * zero-distance row only — a seed reached by ANOTHER seed within
+    * `rounds` is still scored like any node (and the oracle scores it
+    * identically).
     */
   def harmonic(edges: DataFrame, seeds: DataFrame, rounds: Int,
                scale: Long = 10000L, eager: Boolean = true): DataFrame =
-    forward(edges, seeds, rounds, eager)
+    harmonicFromForward(forward(edges, seeds, rounds, eager), scale)
+
+  /** [[harmonic]]'s aggregate half over a PRECOMPUTED forward frame —
+    * the staged-shared-state entry point (the HyperBall `packedStates`
+    * precedent): `graph_harmonic` and `graph_betweenness` share the
+    * identical (s, node, dist, σ) forward pass, so a caller running
+    * both materializes [[forward]] once and feeds it to this and to
+    * [[runFromForward]].
+    */
+  def harmonicFromForward(visited: DataFrame, scale: Long = 10000L): DataFrame =
+    visited
       .where(col("dist") > 0)
       .groupBy(col("node"))
       .agg(sum(expr(s"$scale div dist")).as("hc_scaled"),
         count(lit(1)).as("n_sources"))
 
   def run(edges: DataFrame, seeds: DataFrame, rounds: Int,
+          scale: Long = 10000L, eager: Boolean = true): DataFrame =
+    runFromForward(forward(edges, seeds, rounds, eager), edges, rounds,
+      scale, eager)
+
+  /** The backward (dependency-accumulation) half of Brandes over a
+    * PRECOMPUTED forward frame — see [[harmonicFromForward]] for the
+    * staging contract. `rounds` must equal the forward pass's depth.
+    */
+  def runFromForward(visited: DataFrame, edges: DataFrame, rounds: Int,
           scale: Long = 10000L, eager: Boolean = true): DataFrame = {
+    // rounds = 0 has no deepest level to seed δ from (the accumulator
+    // below would be empty and reduce would throw); the algorithm's
+    // meaningful domain starts at one hop
+    require(rounds >= 1, s"Brandes backward pass needs rounds >= 1, got $rounds")
     def ck(df: DataFrame) = if (eager) df.localCheckpoint(true) else df
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
-    val visited = forward(edges, seeds, rounds, eager)
 
     // backward: deepest level seeds δ = 0; each shallower level joins
     // its successor level's (σ, δ) through the edges

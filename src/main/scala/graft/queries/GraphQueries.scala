@@ -180,30 +180,30 @@ object GraphQueries {
     // .harmonic scaladoc): the forward Brandes pass + one integer
     // aggregate — Σ scale div d(s,v) over reaching sources; unreached
     // pairs contribute 0 by harmonic's definition, which is what makes
-    // the sampled estimator well-defined on disconnected graphs.
-    "graph_harmonic" -> ((s, dir) => {
-      val seeds = Tables.supplier(s, dir)
-        .where(col("s_suppkey") <= 5)
-        .select(col("s_suppkey").as("node"))
+    // the sampled estimator well-defined on disconnected graphs. The
+    // forward (s, node, dist, σ) frame is STAGED once per scale dir
+    // (StagedLayouts.brandesForward — the HyperBall packedStates
+    // precedent) and shared with graph_betweenness, which runs the
+    // identical pass; oracle rows are unchanged by staging.
+    "graph_harmonic" -> ((s, dir) =>
       graft.operators.Betweenness
-        .harmonic(supplyEdges(s, dir), seeds, rounds = 3, scale = 10000L)
-        .orderBy(col("hc_scaled").desc, col("node"))
-    }),
+        .harmonicFromForward(
+          graft.sources.StagedLayouts.brandesForward(s, dir), scale = 10000L)
+        .orderBy(col("hc_scaled").desc, col("node"))),
 
     // approximate betweenness centrality (Betweenness scaladoc):
     // Brandes dependency accumulation from the same 5 seeded sources,
-    // depth 3 — forward BFS rounds carrying exact integer path counts,
+    // depth 3 — forward BFS rounds carrying exact integer path counts
+    // (read from the SAME staged forward frame as graph_harmonic),
     // backward level-keyed joins carrying fixed-point (×10^4) scaled
     // dependencies with truncating integer division, so the oracle
     // replays both passes as unrolled CTEs under the exact hash gate.
-    "graph_betweenness" -> ((s, dir) => {
-      val seeds = Tables.supplier(s, dir)
-        .where(col("s_suppkey") <= 5)
-        .select(col("s_suppkey").as("node"))
+    "graph_betweenness" -> ((s, dir) =>
       graft.operators.Betweenness
-        .run(supplyEdges(s, dir), seeds, rounds = 3, scale = 10000L)
-        .orderBy(col("bc_scaled").desc, col("node"))
-    }))
+        .runFromForward(
+          graft.sources.StagedLayouts.brandesForward(s, dir),
+          supplyEdges(s, dir), rounds = 3, scale = 10000L)
+        .orderBy(col("bc_scaled").desc, col("node"))))
 
   /** Weighted bipartite supply graph: both directions of each distinct
     * (supplier, part) pair, edge weight = min lineitem quantity for the

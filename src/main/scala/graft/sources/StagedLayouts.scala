@@ -281,6 +281,39 @@ object StagedLayouts {
     (0 to 3).map(r => s.read.parquet(s"$dir/round$r"))
   }
 
+  // ---- shared Brandes forward states ---------------------------------
+
+  /** The seeded Brandes forward frame (s, node, dist, sigma) — 3 rounds
+    * from suppliers 1..5 over the supply graph — materialized once per
+    * scale dir. TWO registered queries consume the identical forward
+    * pass (`graph_harmonic` aggregates it directly; `graph_betweenness`
+    * runs the backward dependency walk over it) and each re-ran the 3
+    * frontier/path-count rounds independently — the HyperBall
+    * `packedStates` shape again, and like there the shared build is the
+    * dominant stage while the artifact is small (|reached| rows of 4
+    * integers). Production shape: a centrality batch checkpoints its
+    * forward SSSP/path-count states and every downstream score
+    * (harmonic, betweenness, stress, ...) reads them.
+    */
+  private def brandesDir(s: SparkSession, sfDir: String): String = {
+    require(hookInstalled)
+    staged.computeIfAbsent(s"brandes:$sfDir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_brandes").toString
+      val seeds = graft.Tables.supplier(s, sfDir)
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Betweenness
+        .forward(graft.queries.GraphQueries.supplyEdges(s, sfDir), seeds,
+          rounds = 3)
+        .write.mode("overwrite").parquet(s"$tmp/forward")
+      tmp
+    })
+  }
+
+  /** (s, node, dist, sigma) — the staged 3-round, 5-source forward frame. */
+  def brandesForward(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"${brandesDir(s, sfDir)}/forward")
+
   /** (doc_a, doc_b, ham) — verified simhash pairs, Hamming ≤ 3. */
   def simhashPairs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"${simhashDir(s, sfDir)}/pairs")
