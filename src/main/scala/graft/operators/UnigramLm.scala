@@ -12,12 +12,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the BpeTrain discipline): training runs over the
   * WORD-FREQUENCY DICT, never the corpus — one corpus-wide token
-  * count up front, then every round touches |dict| rows; the model
-  * (piece → count) is K rows (bounded by the seed threshold), carried
-  * to the segmenter as ONE map literal per round — the centroid
-  * broadcast discipline, collected under the K-row RPC rule. The
-  * E-step is a pure per-row `aggregate` fold (zero shuffle); the
-  * M-step is one narrow explode + map-side-combined groupBy.
+  * count up front, then every round touches |dict| rows. The seed
+  * vocabulary is BUDGET-BOUNDED: single chars (the alphabet) plus the
+  * top-`vocabCap` multi-char substrings by occurrence count (ties
+  * lexicographic — the `text_lm_score` top-1000 discipline), so the
+  * model is ≤ |alphabet| + vocabCap rows at ANY corpus size — an
+  * absolute-count threshold would admit every common substring at
+  * 100 TB and grow with corpus vocabulary instead. The K-row model is
+  * carried to the segmenter as one map literal per round (the centroid
+  * broadcast discipline, collected under the K-row RPC rule);
+  * [[encodeBroadcast]] is the model-as-broadcast-TABLE twin whose plan
+  * size is independent of the vocab budget (the `sim_ivf_pq_bt`
+  * pattern). The E-step is a pure per-row `aggregate` fold (zero
+  * shuffle); the M-step is one narrow explode + map-side-combined
+  * groupBy.
   *
   * Cross-engine determinism WITHOUT logs: Viterbi compares products of
   * Laplace-smoothed piece weights w(p) = (c(p)+1)/(T+P), where every
@@ -28,9 +36,12 @@ import org.apache.spark.sql.functions._
   * fit replays as unrolled SQL CTEs under the exact hash gate. Score
   * ties break to the LARGEST previous boundary (shortest final piece)
   * in both engines: the fold's strict-> chain starts at j = i−1, the
-  * SQL twin takes max(j) among max-score candidates. The vocabulary is
-  * FIXED after seeding (hard-EM counts may hit 0; smoothing keeps
-  * every weight positive), so prune-vs-keep never depends on floats.
+  * SQL twin takes max(j) among max-score candidates. In [[fit]] the
+  * vocabulary is FIXED after seeding (hard-EM counts may hit 0;
+  * smoothing keeps every weight positive), so prune-vs-keep never
+  * depends on floats; [[fitPruned]] adds the vocabulary-PRUNING half
+  * of real SentencePiece training as a deterministic integer rank
+  * filter per round.
   */
 object UnigramLm {
 
@@ -43,20 +54,28 @@ object UnigramLm {
       .where(length(col("word")) <= maxLen)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Seed vocabulary: every substring of length 1..`maxPiece` with its
-    * freq-weighted occurrence count; single chars survive
-    * unconditionally (they keep every position segmentable), longer
-    * pieces need `minOcc` corpus occurrences.
+  /** Seed vocabulary: every single char (they keep every position
+    * segmentable) plus the top-`vocabCap` substrings of length
+    * 2..`maxPiece` by freq-weighted occurrence count, ties broken
+    * lexicographic. The cap — not an absolute occurrence threshold —
+    * is what bounds the model at corpus scale: |seed| ≤ |alphabet| +
+    * vocabCap whatever the corpus volume (TextOpsSpec pins size == cap
+    * under a corpus that would blow an absolute threshold). The top-K
+    * is a TakeOrderedAndProject over the piece-count aggregate —
+    * distributed, never a full sort.
     */
-  def seedPieces(dict: DataFrame, maxPiece: Int, minOcc: Long): DataFrame =
-    dict.select(col("freq"), explode(flatten(
+  def seedPieces(dict: DataFrame, maxPiece: Int, vocabCap: Int): DataFrame = {
+    val occ = dict.select(col("freq"), explode(flatten(
         transform(sequence(lit(1), lit(maxPiece)), l =>
           when(length(col("word")) >= l,
             transform(sequence(lit(1), length(col("word")) - l + lit(1)),
               i => col("word").substr(i, l)))
             .otherwise(array().cast("array<string>"))))).as("p"))
       .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-      .where(length(col("p")) === 1 || col("cnt") >= minOcc)
+    occ.where(length(col("p")) === 1).unionAll(
+      occ.where(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(vocabCap))
+  }
 
   /** Viterbi DP over one word as a pure fold: dp[i] = best (score, j)
     * over candidates j = i−1 … i−maxPiece with word[j+1..i] in the
@@ -101,33 +120,43 @@ object UnigramLm {
       },
       st => st.getField("ps"))
 
-  /** Laplace-weight map literal for a model state: w(p) = (c+1)/(T+P)
-    * with P = the FIXED seed vocab size.
+  /** Laplace weights for a model state as driver pairs:
+    * w(p) = (c+1)/(T+P) with T = Σ counts and P = |model| — each weight
+    * ONE exact IEEE division of exact longs, shared verbatim by the
+    * map-literal and broadcast-table carriers so both are bit-identical.
     */
-  private def weightMap(model: Seq[(String, Long)], p: Int): Column = {
+  private def weights(model: Seq[(String, Long)], p: Int): Seq[(String, Double)] = {
     val t = model.map(_._2).sum
-    typedLit(model.map { case (pc, c) =>
-      pc -> (c + 1).toDouble / (t + p).toDouble
-    }.toMap)
+    model.map { case (pc, c) => pc -> (c + 1).toDouble / (t + p).toDouble }
   }
 
+  private def weightMap(model: Seq[(String, Long)], p: Int): Column =
+    typedLit(weights(model, p).toMap)
+
+  /** One E/M step: Viterbi-segment the dict under `wmap`, re-count
+    * piece usage (freq-weighted), collect the K-row count table.
+    */
+  private def emCount(dict: DataFrame, wmap: Column,
+                      maxPiece: Int): Map[String, Long] =
+    dict
+      .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
+      .select(col("freq"),
+        explode(segments(col("word"), col("dp"))).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** The hard-EM loop over a checkpointed dict: seed, then `rounds`
-    * E/M steps. Returns the final (piece, cnt) model, collect-bounded
-    * by the seed threshold (the centroid discipline).
+    * E/M steps over the FIXED seed vocabulary. Returns the final
+    * (piece, cnt) model, collect-bounded by the vocab cap (the
+    * centroid discipline).
     */
   private def emSteps(dict: DataFrame, rounds: Int, maxPiece: Int,
-                      minOcc: Long): Seq[(String, Long)] = {
-    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, minOcc)
+                      vocabCap: Int): Seq[(String, Long)] = {
+    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, vocabCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     val p = model.size
     for (_ <- 1 to rounds) {
-      val wmap = weightMap(model, p)
-      val segs = dict
-        .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
-        .select(col("freq"),
-          explode(segments(col("word"), col("dp"))).as("p"))
-        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val segs = emCount(dict, weightMap(model, p), maxPiece)
       model = model.map { case (pc, _) => pc -> segs.getOrElse(pc, 0L) }
     }
     model
@@ -139,11 +168,42 @@ object UnigramLm {
     * signal, kept in the output so the gate pins it).
     */
   def fit(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
-          maxPiece: Int = 4, minOcc: Long = 100L): DataFrame = {
+          maxPiece: Int = 4, vocabCap: Int = 200): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val dict = wordDict(docs, maxLen).localCheckpoint(true)
-    val model = emSteps(dict, rounds, maxPiece, minOcc)
+    val model = emSteps(dict, rounds, maxPiece, vocabCap)
+    dict.unpersist(blocking = false)
+    model.toDF("piece", "cnt")
+  }
+
+  /** Hard-EM with per-round vocabulary PRUNING — the half of real
+    * SentencePiece training [[fit]] fixes away (and the knob a
+    * tokenizer-fitting user actually tunes): after each M-step the
+    * model keeps the alphabet plus the top-`pruneTo` multi-char pieces
+    * by re-estimated count (ties lexicographic — a deterministic
+    * integer rank filter, so prune-vs-keep never touches a float), and
+    * the next round's Laplace weights renormalize over the SURVIVING
+    * vocabulary (P = |pruned model|, T = its count sum). Dropped
+    * pieces leave the Viterbi lattice entirely, so pruning feeds back
+    * into segmentation (TextOpsSpec pins a trace where it changes the
+    * final split). Returns the final pruned (piece, cnt) model.
+    */
+  def fitPruned(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
+                maxPiece: Int = 4, vocabCap: Int = 200,
+                pruneTo: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    for (_ <- 1 to rounds) {
+      val segs = emCount(dict, weightMap(model, model.size), maxPiece)
+      val recounted = model.map { case (pc, _) => pc -> segs.getOrElse(pc, 0L) }
+      val (singles, multis) = recounted.partition(_._1.length == 1)
+      val kept = multis.sortBy { case (pc, c) => (-c, pc) }.take(pruneTo)
+      model = (singles ++ kept).sortBy(_._1)
+    }
     dict.unpersist(blocking = false)
     model.toDF("piece", "cnt")
   }
@@ -156,15 +216,54 @@ object UnigramLm {
     * fold under one broadcast map — no training-loop cost.
     */
   def encode(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
-             maxPiece: Int = 4, minOcc: Long = 100L): DataFrame = {
+             maxPiece: Int = 4, vocabCap: Int = 200): DataFrame = {
     val dict = wordDict(docs, maxLen).localCheckpoint(true)
-    val model = emSteps(dict, rounds, maxPiece, minOcc)
+    val model = emSteps(dict, rounds, maxPiece, vocabCap)
     val wmap = weightMap(model, model.size)
     // no unpersist here: the returned frame still reads the
     // checkpointed dict (truncated lineage — eviction would be data
     // loss, not recompute); the ContextCleaner reclaims it on GC
     dict
       .withColumn("dp", dpArray(col("word"), wmap, maxPiece))
+      .select(col("word"), col("freq"),
+        size(segments(col("word"), col("dp"))).cast("long")
+          .as("n_subwords"))
+  }
+
+  /** Model-as-broadcast-TABLE encode — [[encode]]'s production twin
+    * (the `sim_ivf_pq_bt` discipline): the fitted weights travel as a
+    * tiny (piece, w) DataFrame broadcast against each word's exploded
+    * candidate substrings, re-assembled into a PER-ROW weight map
+    * (`map_from_entries`), and the identical Viterbi fold runs over
+    * that column. Plan size is independent of the vocab budget — no
+    * map literal, no per-piece expression — so the encode plans at any
+    * `vocabCap` where the literal carrier would blow analysis/codegen.
+    * Output is bit-identical to [[encode]] (same driver-computed IEEE
+    * weights, same fold; TextOpsSpec pins the equality), so it shares
+    * the literal form's oracle SQL.
+    */
+  def encodeBroadcast(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
+                      maxPiece: Int = 4, vocabCap: Int = 200): DataFrame = {
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    val model = emSteps(dict, rounds, maxPiece, vocabCap)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights(model, model.size).toDF("p", "w")
+    // each word's distinct candidate substrings (the only keys its DP
+    // can ever probe), inner-joined against the broadcast model — every
+    // word matches at least its single chars, so no word is lost
+    val cands = dict.select(col("word"), col("freq"),
+      explode(array_distinct(flatten(
+        transform(sequence(lit(1), lit(maxPiece)), l =>
+          when(length(col("word")) >= l,
+            transform(sequence(lit(1), length(col("word")) - l + lit(1)),
+              i => col("word").substr(i, l)))
+            .otherwise(array().cast("array<string>")))))).as("cp"))
+    cands.join(broadcast(wdf), col("cp") === col("p"))
+      .groupBy(col("word"), col("freq"))
+      .agg(map_from_entries(collect_list(struct(col("cp"), col("w"))))
+        .as("wmap"))
+      .withColumn("dp", dpArray(col("word"), col("wmap"), maxPiece))
       .select(col("word"), col("freq"),
         size(segments(col("word"), col("dp"))).cast("long")
           .as("n_subwords"))

@@ -138,13 +138,27 @@ object TextQueries {
     // unigram-LM (SentencePiece-style) tokenizer training (UnigramLm
     // scaladoc): 2 hard-EM rounds — Viterbi segmentation of the word
     // dict under Laplace-smoothed piece weights, then count
-    // re-estimation. Weights are single IEEE divisions of exact
-    // integers and the DP multiplies them in fixed position order, so
-    // the oracle replays both EM rounds as unrolled DP CTEs with zero
-    // float slack (no ln/exp anywhere). TextOpsSpec pins hand-computed
-    // segmentation traces.
+    // re-estimation. The seed vocabulary is BUDGET-BOUNDED (alphabet +
+    // top-200 multi-char substrings, ties lexicographic — never an
+    // absolute occurrence threshold, which is unbounded at corpus
+    // scale). Weights are single IEEE divisions of exact integers and
+    // the DP multiplies them in fixed position order, so the oracle
+    // replays both EM rounds as unrolled DP CTEs with zero float slack
+    // (no ln/exp anywhere). TextOpsSpec pins hand-computed
+    // segmentation traces and the vocab==cap bound.
     "text_unigram_lm" -> ((s, dir) =>
       graft.operators.UnigramLm.fit(docs(s, dir), rounds = 2)
+        .orderBy("piece")),
+
+    // per-round vocabulary PRUNING (UnigramLm.fitPruned scaladoc): the
+    // half of real SentencePiece training the fixed-vocab fit trades
+    // away — after each M-step keep the alphabet + top-24 multi-char
+    // pieces by re-estimated count (deterministic integer rank filter)
+    // and renormalize the next round's weights over the survivors.
+    // Oracle = the same unrolled chain with a prune CTE per round.
+    "text_unigram_lm_pruned" -> ((s, dir) =>
+      graft.operators.UnigramLm.fitPruned(docs(s, dir), rounds = 2,
+          pruneTo = 24)
         .orderBy("piece")),
 
     // the trained unigram LM applied back (BpeTrain.encode's twin):
@@ -153,6 +167,17 @@ object TextQueries {
     // the same unrolled chain plus a third DP round, read out per word.
     "text_unigram_encode" -> ((s, dir) =>
       graft.operators.UnigramLm.encode(docs(s, dir), rounds = 2)
+        .orderBy("word")),
+
+    // model-as-broadcast-TABLE encode (UnigramLm.encodeBroadcast
+    // scaladoc): the fitted weights travel as a broadcast (piece, w)
+    // table joined to each word's candidate substrings and re-packed
+    // into a per-row map — plan size independent of the vocab budget
+    // (the sim_ivf_pq_bt discipline). Bit-identical to
+    // text_unigram_encode (TextOpsSpec pins it), so it shares the
+    // literal form's oracle.
+    "text_unigram_encode_bt" -> ((s, dir) =>
+      graft.operators.UnigramLm.encodeBroadcast(docs(s, dir), rounds = 2)
         .orderBy("word")))
 
   private def langidSql: String = {
@@ -290,24 +315,49 @@ object TextQueries {
     * steps, and the count re-estimate over the FIXED model set.
     */
   private def unigramSql(rounds: Int, maxLen: Int, maxPiece: Int,
-                         minOcc: Long): String = {
+                         vocabCap: Int): String = {
     def roundCtes(r: Int): String = unigramViterbiCtes(r, maxLen, maxPiece) +
       unigramCountCtes(r, maxLen)
-    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, minOcc)},
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, vocabCap)},
        |${(1 to rounds).map(roundCtes).mkString(",\n")}
        |SELECT p AS piece, cnt FROM m$rounds ORDER BY piece""".stripMargin
+  }
+
+  /** `text_unigram_lm_pruned`'s oracle: the same chain with a PRUNE
+    * CTE after each round's count re-estimate (alphabet + top-`pruneTo`
+    * multi-char pieces by count, ties lexicographic — the identical
+    * integer rank filter as UnigramLm.fitPruned), the next round's
+    * weights renormalizing over the pruned survivors.
+    */
+  private def unigramPrunedSql(rounds: Int, maxLen: Int, maxPiece: Int,
+                               vocabCap: Int, pruneTo: Int): String = {
+    def roundCtes(r: Int): String = {
+      val prev = if (r == 1) "m0" else s"mp${r - 1}"
+      unigramViterbiCtes(r, maxLen, maxPiece, prev) +
+        unigramCountCtes(r, maxLen, prev) +
+        s""",
+           |mp$r AS MATERIALIZED (
+           |  SELECT p, cnt FROM m$r WHERE length(p) = 1
+           |  UNION ALL
+           |  SELECT p, cnt FROM (
+           |    SELECT p, cnt FROM m$r WHERE length(p) > 1
+           |    ORDER BY cnt DESC, p LIMIT $pruneTo) tp$r)""".stripMargin
+    }
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, vocabCap)},
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |SELECT p AS piece, cnt FROM mp$rounds ORDER BY piece""".stripMargin
   }
 
   /** One more Viterbi pass at the FINAL model's weights, read out as
     * per-word subword counts — `text_unigram_encode`'s oracle tail.
     */
   private def unigramEncodeSql(rounds: Int, maxLen: Int, maxPiece: Int,
-                               minOcc: Long): String = {
+                               vocabCap: Int): String = {
     val r = rounds + 1
     val pieces = (1 to maxLen)
       .map(k => s"SELECT word, freq, piece FROM b${r}_$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, minOcc)},
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, vocabCap)},
        |${(1 to rounds).map(i => unigramViterbiCtes(i, maxLen, maxPiece) +
             unigramCountCtes(i, maxLen)).mkString(",\n")},
        |${unigramViterbiCtes(r, maxLen, maxPiece)}
@@ -316,31 +366,37 @@ object TextQueries {
   }
 
   private def unigramSeedCtes(maxLen: Int, maxPiece: Int,
-                              minOcc: Long): String =
+                              vocabCap: Int): String =
     s"""toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
        |  FROM documents),
        |dict AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM toks WHERE word <> '' AND length(word) <= $maxLen
        |  GROUP BY word),
-       |occ AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
+       |occ AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
        |    CAST(sum(freq) AS BIGINT) AS cnt
        |  FROM dict, (SELECT unnest([${(1 to maxPiece).mkString(", ")}]) AS l) ls,
        |    LATERAL (SELECT unnest(generate_series(1, length(word) - l + 1)) AS i) js
        |  GROUP BY 1),
-       |m0 AS MATERIALIZED (SELECT p, cnt FROM occ
-       |  WHERE length(p) = 1 OR cnt >= $minOcc)""".stripMargin
+       |m0 AS MATERIALIZED (
+       |  SELECT p, cnt FROM occ WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, cnt FROM (
+       |    SELECT p, cnt FROM occ WHERE length(p) > 1
+       |    ORDER BY cnt DESC, p LIMIT $vocabCap) topm)""".stripMargin
 
   /** Weight CTE + forward DP positions + backward reconstruction for
-    * EM round `r` (weights from m_{r-1}), ending in the b$r step CTEs.
+    * EM round `r` (weights from `prev`, default m_{r-1}; P = |prev| —
+    * for the fixed-vocab chain that equals |m0|, for the pruned chain
+    * the survivors), ending in the b$r step CTEs.
     */
-  private def unigramViterbiCtes(r: Int, maxLen: Int,
-                                 maxPiece: Int): String = {
-    val prev = s"m${r - 1}"
+  private def unigramViterbiCtes(r: Int, maxLen: Int, maxPiece: Int,
+                                 prev0: String = ""): String = {
+    val prev = if (prev0.nonEmpty) prev0 else s"m${r - 1}"
     val wt =
       s"""wt$r AS MATERIALIZED (SELECT p,
          |  CAST(cnt + 1 AS DOUBLE) /
          |    CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM $prev)
-         |      + (SELECT count(*) FROM m0) AS DOUBLE) AS w
+         |      + (SELECT count(*) FROM $prev) AS DOUBLE) AS w
          |  FROM $prev)""".stripMargin
       val dp0 = s"dp${r}_0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS score FROM dict)"
       val fwd = (1 to maxLen).map { i =>
@@ -377,9 +433,12 @@ object TextQueries {
   }
 
   /** Count re-estimate + next model state for EM round `r` — appended
-    * after [[unigramViterbiCtes]] (leading comma included).
+    * after [[unigramViterbiCtes]] (leading comma included; `prev`
+    * names the model state the re-count re-keys, default m_{r-1}).
     */
-  private def unigramCountCtes(r: Int, maxLen: Int): String = {
+  private def unigramCountCtes(r: Int, maxLen: Int,
+                               prev0: String = ""): String = {
+    val prev = if (prev0.nonEmpty) prev0 else s"m${r - 1}"
     val pieces = (1 to maxLen)
       .map(k => s"SELECT freq, piece FROM b${r}_$k")
       .mkString("\n  UNION ALL ")
@@ -387,16 +446,21 @@ object TextQueries {
        |cn$r AS (SELECT piece AS p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
        |  $pieces) GROUP BY 1),
        |m$r AS MATERIALIZED (SELECT m.p, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
-       |  FROM m${r - 1} m LEFT JOIN cn$r c ON c.p = m.p)""".stripMargin
+       |  FROM $prev m LEFT JOIN cn$r c ON c.p = m.p)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSql(8),
     "text_bpe_encode" -> bpeEncodeSql(8),
     "text_unigram_lm" -> unigramSql(rounds = 2, maxLen = 12, maxPiece = 4,
-      minOcc = 100L),
+      vocabCap = 200),
+    "text_unigram_lm_pruned" -> unigramPrunedSql(rounds = 2, maxLen = 12,
+      maxPiece = 4, vocabCap = 200, pruneTo = 24),
     "text_unigram_encode" -> unigramEncodeSql(rounds = 2, maxLen = 12,
-      maxPiece = 4, minOcc = 100L),
+      maxPiece = 4, vocabCap = 200),
+    // bit-identical to the literal-map form — shares its oracle
+    "text_unigram_encode_bt" -> unigramEncodeSql(rounds = 2, maxLen = 12,
+      maxPiece = 4, vocabCap = 200),
 
     "text_langid" -> langidSql,
 

@@ -240,8 +240,11 @@ class TextOpsSpec extends SparkSpec {
 
   test("unigram-lm: hand-computed hard-EM traces (whole-word vs multi-piece winners)") {
     import graft.operators.UnigramLm
+    // vocabCap large enough to admit every multi-char substring — the
+    // cap form degenerates to the keep-everything seed these traces
+    // were hand-computed for
     def fitMap(text: String) = UnigramLm
-      .fit(Seq(text).toDF("text"), rounds = 2, maxPiece = 4, minOcc = 1L)
+      .fit(Seq(text).toDF("text"), rounds = 2, maxPiece = 4, vocabCap = 100)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // corpus "abab abab cd": T=23, P=10 → w(abab)=3/33 beats
@@ -263,9 +266,68 @@ class TextOpsSpec extends SparkSpec {
     // encode under the final weights: the rare word costs TWO subwords
     // of the dominant piece, the frequent word one
     val enc = UnigramLm
-      .encode(Seq(t2).toDF("text"), rounds = 2, maxPiece = 4, minOcc = 1L)
+      .encode(Seq(t2).toDF("text"), rounds = 2, maxPiece = 4, vocabCap = 100)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(enc == Map("xy" -> 1L, "xyxy" -> 2L))
+  }
+
+  test("unigram-lm: seed vocab is budget-bounded — size == cap under a corpus an absolute threshold would blow") {
+    import graft.operators.UnigramLm
+    // 300 distinct 2-char pieces (words "aa".."yx" over a 25-letter
+    // alphabet via pairs), EACH occurring 150 times — the old absolute
+    // minOcc=100 rule would admit all 300+; the cap keeps exactly 40
+    val words = for {
+      a <- 'a' to 'y'; b <- 'a' to 'y' if a != b
+    } yield s"$a$b"
+    val text = (1 to 150).flatMap(_ => words.take(300)).mkString(" ")
+    val model = UnigramLm
+      .fit(Seq(text).toDF("text"), rounds = 1, maxPiece = 4, vocabCap = 40)
+      .collect().map(r => r.getString(0))
+    val multis = model.count(_.length > 1)
+    assert(multis == 40, s"multi-char seed must equal the cap, got $multis")
+    // ties (all counts equal) broke lexicographic: the kept multis are
+    // the 40 lexicographically-smallest pieces
+    val kept = model.filter(_.length > 1).sorted.toSeq
+    val expected = words.take(300).distinct.sorted.take(40)
+    assert(kept == expected, s"tie-break must be lexicographic: $kept")
+  }
+
+  test("unigram-lm: per-round pruning changes the final segmentation vs the unpruned model") {
+    import graft.operators.UnigramLm
+    // "ab" dominates, "cd" is mid-frequency: unpruned, both words stay
+    // whole pieces; pruneTo=1 keeps only "ab" after round 1, so "cd"
+    // falls out of the lattice and must re-segment into single chars
+    val text = ((1 to 30).map(_ => "ab") ++ (1 to 5).map(_ => "cd")).mkString(" ")
+    val d = Seq(text).toDF("text")
+    val unpruned = UnigramLm.fit(d, rounds = 2, maxPiece = 2, vocabCap = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unpruned("cd") == 5L, s"unpruned keeps cd whole: $unpruned")
+    val pruned = UnigramLm
+      .fitPruned(d, rounds = 2, maxPiece = 2, vocabCap = 100, pruneTo = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!pruned.contains("cd"), s"cd must be pruned from the model: $pruned")
+    assert(pruned("ab") == 30L, s"ab survives the prune: $pruned")
+    // cd's occurrences re-segmented into chars under the pruned model
+    assert(pruned("c") == 5L && pruned("d") == 5L,
+      s"pruning must change the segmentation (cd -> c d): $pruned")
+  }
+
+  test("unigram-lm: broadcast-table encode is bit-identical to the literal-map encode") {
+    import graft.operators.UnigramLm
+    val d = docsOf(
+      1L -> "alpha beta alpha gamma beta beta",
+      2L -> "gamma delta epsilon alpha",
+      3L -> "beta beta zeta").select(col("text"))
+    val lit0 = UnigramLm.encode(d, rounds = 2, maxPiece = 4, vocabCap = 10)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val bt = UnigramLm
+      .encodeBroadcast(d, rounds = 2, maxPiece = 4, vocabCap = 10)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lit0 == bt, s"broadcast-table encode diverged:\n$lit0\n$bt")
+    assert(lit0.nonEmpty && lit0.exists(_._3 > 1),
+      s"trace must exercise multi-subword words: $lit0")
   }
 
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
