@@ -596,6 +596,54 @@ object Similarity {
       .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("adc5"))
   }
 
+  /** Broadcast-table IVF cell assignment — the ingest half of
+    * incremental ANN: each vector's nearest coarse cell via ONE
+    * broadcast join against the (cid, centroid) model table + ONE
+    * map-side-combined `min(struct(d, cid))` argmin (strict-<,
+    * lowest-cid ties — bit-identical to the literal
+    * Assign.withNearestND chain, the `sim_ivf_pq_bt` discipline).
+    * Returns (cell, vec_id, v, nrm) — the postings-row shape
+    * [[ivfServe]] consumes and StagedLayouts persists bucketed by
+    * cell. Plan size is independent of nlist; the assignment is a
+    * narrow scan + broadcast at any batch volume.
+    */
+  def ivfAssignBroadcast(embDf: DataFrame, coarse: Seq[CentroidND]): DataFrame = {
+    val spark = embDf.sparkSession
+    import spark.implicits._
+    val cellsDf = coarse.sortBy(_.cid).map(c => (c.cid, c.vec.toSeq))
+      .toDF("ccid", "cvec")
+    withNorm(embDf).crossJoin(broadcast(cellsDf))
+      .withColumn("cd", ArrayKernels.distSqFast(col("v"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd"), col("ccid"))).getField("ccid").as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+  }
+
+  /** Top-k cosine serve over an assembled IVF postings index — the
+    * query half of incremental ANN ingest (`sim_ann_incremental`):
+    * `index` is (cell, vec_id, v, nrm) rows (persisted store UNIONed
+    * with a freshly-assigned batch — append-only, never rebuilt;
+    * assignment is per-vector independent, so store ∪ batch equals the
+    * whole-corpus index by construction and serving is batch-split
+    * associative, IncrementalSpec-pinned); `queries` is (cell, qid,
+    * qv, qnrm) probe rows, broadcast against the index scan so the
+    * store side needs NO exchange whatever its volume (the
+    * dedup_incremental probe discipline). Ranking is the
+    * (5-dp-rounded cosine, vec_id) contract shared by the whole
+    * `sim_*` family.
+    */
+  def ivfServe(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(queries).join(index, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos5", rnd5(
+        ArrayKernels.dotFast(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos5").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("cos5"))
+  }
+
   /** ANN top-k: same-bucket candidates only, ranked like [[bruteTopK]].
     * Recall < 1 by construction (LSH), but deterministic: the oracle
     * computes the identical buckets.

@@ -118,6 +118,26 @@ object SimilarityQueries {
           nQueries = 10, k = 3, nprobe = 2)
         .orderBy("qid", "rk")),
 
+    // incremental ANN ingest (Similarity.ivfServe scaladoc — the sim_*
+    // twin of dedup_incremental): the embedding prefix (vec_id ≤
+    // 4/5·max) is persisted ONCE as a cell-bucketed IVF postings store
+    // (StagedLayouts.ivfPostingsStore); the new batch assigns itself
+    // via the broadcast centroid table, appends (a union — the store
+    // is never rebuilt), and the 10 smallest batch ids serve top-3
+    // over store∪batch. Oracle = whole-corpus IVF recompute that
+    // never sees the split (the dedup_incremental discipline);
+    // IncrementalSpec pins batch-split associativity.
+    "sim_ann_incremental" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.ivfPostingsStore(s, dir)
+      val batch = Similarity.ivfAssignBroadcast(
+        Similarity.emb(s, dir).where(col("vec_id") > thr), coarse)
+      val index = s.table(tbl).unionByName(batch)
+      val q = batch.orderBy("vec_id").limit(10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell"))
+      Similarity.ivfServe(index, q, k = 3).orderBy("qid", "rk")
+    }),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -233,6 +253,30 @@ object SimilarityQueries {
        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
        |        FROM cd) WHERE crk = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM cc WHERE vec_id < 10),
+       |j AS (SELECT q.qid, q.cell, b.vec_id, ${rndSql(cosN("q.qv", "b.v", "q.qnrm", "b.nrm"), 5)} AS cos5
+       |      FROM q JOIN cc b USING (cell) WHERE b.vec_id <> q.qid),
+       |r AS (SELECT qid, cell, vec_id, cos5,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
+       |      FROM j)
+       |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
+  /** `sim_ann_incremental`'s oracle: the whole-corpus IVF recompute —
+    * identical assignment/serve chain as [[ivfSql]], queries = the 10
+    * smallest vec_ids above the ingest threshold (the batch's head).
+    * The oracle never sees the store/batch split; equality proves
+    * append-based ingest ≡ full index rebuild.
+    */
+  private def ivfIncrSql: String =
+    s"""WITH $embCte,
+       |$centCteSql,
+       |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+       |      FROM en CROSS JOIN cent),
+       |cc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |        FROM cd) WHERE crk = 1),
+       |thr AS (SELECT (max(vec_id) * 4) // 5 AS t FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM cc
+       |      WHERE vec_id > (SELECT t FROM thr) ORDER BY vec_id LIMIT 10),
        |j AS (SELECT q.qid, q.cell, b.vec_id, ${rndSql(cosN("q.qv", "b.v", "q.qnrm", "b.nrm"), 5)} AS cos5
        |      FROM q JOIN cc b USING (cell) WHERE b.vec_id <> q.qid),
        |r AS (SELECT qid, cell, vec_id, cos5,
@@ -389,6 +433,7 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_ann_ivf" -> ivfSql,
+    "sim_ann_incremental" -> ivfIncrSql,
     "sim_ann_ivf_mp" -> ivfMpSql,
     "sim_near_pairs_lsh_mt" -> lshMtSql,
     "sim_pq_topk" -> pqSql,

@@ -185,6 +185,38 @@ object StagedLayouts {
     })
   }
 
+  /** The persisted IVF postings STORE for incremental ANN ingest
+    * (`sim_ann_incremental`) — the `sim_*` twin of [[simhashStore]]:
+    * the already-ingested embedding prefix (vec_id ≤ 4/5·max, the
+    * fixture's "yesterday's corpus") assigned to its coarse cells via
+    * the broadcast centroid table
+    * (Similarity.ivfAssignBroadcast / TrainedIvfCentroids) and written
+    * BUCKETED on `cell` — at production scale this table is
+    * append-only across ingests (assignment is per-vector independent,
+    * so appending a batch lands on the same rows a full rebuild would)
+    * and the serve probe streams it with no store-side exchange.
+    * Returns (table name, prefix threshold); batch = vec_id > thr.
+    */
+  def ivfPostingsStore(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"ivf:$sfDir", _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_ivfstore_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+      staged.put(s"ivfstore:$sfDir", tmp)
+      val embDf = graft.operators.Similarity.emb(s, sfDir)
+      val thr = embDf.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+      graft.operators.Similarity.ivfAssignBroadcast(
+          embDf.where(col("vec_id") <= thr),
+          graft.operators.TrainedIvfCentroids.cells)
+        .repartition(8, col("cell"))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
   // ---- shared co-occurrence edge list (graph consumers) --------------
 
   /** Part co-occurrence (market-basket) edge list `(u, v)` with u < v,

@@ -81,6 +81,52 @@ class IncrementalSpec extends SparkSpec {
       "sub-batch minhash ingest must land on the byte-identical decision table")
   }
 
+  test("ANN ingest: sub-batch appends ≡ one batch ≡ whole-corpus index rebuild") {
+    import graft.operators.{Similarity, TrainedIvfCentroids}
+    val cells = TrainedIvfCentroids.cells
+    val emb = Similarity.emb(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val thr = maxId * 4 / 5
+    val store = Similarity.ivfAssignBroadcast(
+      emb.where(col("vec_id") <= thr), cells)
+    val batch = emb.where(col("vec_id") > thr)
+    val q = Similarity.ivfAssignBroadcast(batch, cells)
+      .orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+
+    def serve(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfServe(index, q, k = 3)
+        .orderBy("qid", "rk").collect().toSeq
+
+    val oneShot = serve(store.unionByName(
+      Similarity.ivfAssignBroadcast(batch, cells)))
+    val mid = (thr + maxId) / 2
+    val split = serve(store
+      .unionByName(Similarity.ivfAssignBroadcast(
+        batch.where(col("vec_id") <= mid), cells))
+      .unionByName(Similarity.ivfAssignBroadcast(
+        batch.where(col("vec_id") > mid), cells)))
+    assert(split == oneShot,
+      "sub-batch appends must land on the byte-identical serve table")
+    // the substantive pin: cell assignment is per-vector independent,
+    // so the append-only store equals a full index rebuild
+    val rebuild = serve(Similarity.ivfAssignBroadcast(emb, cells))
+    assert(rebuild == oneShot,
+      "append-based ingest must equal the whole-corpus index rebuild")
+    assert(oneShot.nonEmpty, "serve must produce rows")
+  }
+
+  test("ANN serve plan: queries broadcast against the bucketed postings scan") {
+    val df = graft.queries.SimilarityQueries
+      .queries("sim_ann_incremental")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "serve must broadcast the query probes")
+    assert(p.contains("Bucketed: true"),
+      "store side must be the bucketed postings scan (no store exchange)")
+  }
+
   test("incremental decisions equal the whole-corpus recompute") {
     val (thr, _) = bounds
     val store = Dedup.fpBlockKeys(
