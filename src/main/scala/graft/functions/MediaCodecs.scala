@@ -192,6 +192,72 @@ object MediaCodecs {
     java.lang.Long.valueOf(bits)
   }
 
+  /** Temporal fingerprint (vHash) of a concatenated-P6 video stream —
+    * the frame-SEQUENCE member of the perceptual-hash family
+    * (dHash = one image, aHash = one waveform, this = one clip):
+    * demux the frames with the same header walk as
+    * [[decodePpmFrames]], flatten them IN FRAME ORDER into one luma
+    * signal l[j] = r+g+b of the clip's j-th pixel, and fingerprint
+    * that signal with the identical lag-band energy kernel as
+    * [[decodeWavAhash]] (9 time windows × lags 1..8, cross-multiplied
+    * window comparisons, 64 bits k-major MSB-first). Lag diffs cross
+    * frame boundaries, so the hash is ORDER-SENSITIVE — reordering or
+    * dropping frames moves bits, which is exactly what separates a
+    * clip fingerprint from a bag-of-frame-hashes. All-integer
+    * arithmetic (exact [[cmpProd]] comparison), LONG window index —
+    * the hardened decodeWavAhash contract. Null when byte 0 isn't a
+    * valid frame or the clip holds fewer than 81 pixels (the last
+    * window must still own a full lag-8 pair).
+    */
+  def decodePpmVhash(bytes: Array[Byte]): java.lang.Long = {
+    var hd = parsePpmHeader(bytes, 0)
+    if (hd == null) return null
+    val luma = new scala.collection.mutable.ArrayBuilder.ofInt
+    while (hd != null) {
+      val Array(w, h, p) = hd
+      val np = w * h
+      var k = 0
+      while (k < np) {
+        val j = p + k * 3
+        luma += (bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)
+        k += 1
+      }
+      val off = p + np * 3
+      hd = if (off >= bytes.length) null else parsePpmHeader(bytes, off)
+    }
+    val l = luma.result()
+    val n = l.length
+    if (n < 81) return null
+    val e = Array.ofDim[Long](9, 8)
+    val c = Array.ofDim[Long](9, 8)
+    var k = 1
+    while (k <= 8) {
+      var j = 0
+      val jEnd = n - k
+      while (j < jEnd) {
+        val t = (j.toLong * 9L / n).toInt
+        e(t)(k - 1) += (l(j + k) - l(j)).abs
+        c(t)(k - 1) += 1
+        j += 1
+      }
+      k += 1
+    }
+    var fp = 0L
+    k = 1
+    while (k <= 8) {
+      var t = 0
+      while (t < 8) {
+        fp = (fp << 1) |
+          (if (cmpProd(e(t)(k - 1), c(t + 1)(k - 1),
+                       e(t + 1)(k - 1), c(t)(k - 1)) > 0) 1L
+           else 0L)
+        t += 1
+      }
+      k += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
   // ---------- WAV (RIFF / PCM) ----------
 
   private def le32(b: Array[Byte], i: Int): Int =
@@ -356,6 +422,7 @@ object MediaCodecs {
 
   def ppmDecode(c: Column): Column = toCol(PpmDecodeExpr(toExpr(c)))
   def ppmDhash(c: Column): Column = toCol(PpmDhashExpr(toExpr(c)))
+  def ppmVhash(c: Column): Column = toCol(PpmVhashExpr(toExpr(c)))
   def ppmFrames(c: Column): Column = toCol(PpmFramesExpr(toExpr(c)))
   def ppmResizeHalf(c: Column): Column = toCol(PpmResizeExpr(toExpr(c)))
   def wavDecode(c: Column): Column = toCol(WavDecodeExpr(toExpr(c)))
@@ -445,6 +512,24 @@ case class PpmDhashExpr(child: Expression) extends UnaryExpression {
     })
   override protected def nullSafeEval(b: Any): Any =
     MediaCodecs.decodePpmDhash(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class PpmVhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ppm_vhash"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("vhash")
+      s"""
+         |java.lang.Long $tmp = graft.functions.MediaCodecs.decodePpmVhash($c);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+       """.stripMargin
+    })
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodePpmVhash(b.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

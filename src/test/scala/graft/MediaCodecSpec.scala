@@ -141,6 +141,50 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.decodeWavAhash("not a wav".getBytes) == null)
   }
 
+  test("ppm vhash: clip luma lag-band bits match a naive replay; order-sensitive; null cases") {
+    // naive reference: the wav-ahash naive replay over the clip's
+    // flattened luma signal (BigInt cross-multiplication, plain loops)
+    def naive(l: Array[Int]): Long = {
+      val n = l.length
+      val e = Array.ofDim[Long](9, 8); val c = Array.ofDim[Long](9, 8)
+      for (k <- 1 to 8; j <- 0 until n - k) {
+        val t = j * 9 / n
+        e(t)(k - 1) += math.abs(l(j + k) - l(j))
+        c(t)(k - 1) += 1
+      }
+      var bits = 0L
+      for (k <- 1 to 8; t <- 0 until 8)
+        bits = (bits << 1) | (if (BigInt(e(t)(k - 1)) * c(t + 1)(k - 1) >
+          BigInt(e(t + 1)(k - 1)) * c(t)(k - 1)) 1L else 0L)
+      bits
+    }
+    // the synthesis formula at a few ids (m % 3 == 2 are the video rows)
+    for (m <- Seq(2L, 5L, 17L, 401L)) {
+      val w = (8 + m % 9).toInt; val h = (6 + m % 5).toInt
+      val f = (2 + m % 4).toInt; val wh = w * h
+      val bytes = (0 until f).toArray.flatMap(fi =>
+        MediaCodecs.encodePpm(w, h, j => ((m * 31 + fi * 13 + j * 7) % 256).toInt))
+      val luma = Array.tabulate(f * wh) { j =>
+        val fi = j / wh; val p = j % wh
+        (0 to 2).map(c => ((m * 31 + fi * 13 + (p * 3 + c) * 7) % 256).toInt).sum
+      }
+      val got = MediaCodecs.decodePpmVhash(bytes)
+      assert(got != null && got.longValue() == naive(luma), s"m=$m")
+    }
+    // ORDER sensitivity — the property separating a clip fingerprint
+    // from a bag of frame hashes: swapping the two frames moves bits
+    val fa = MediaCodecs.encodePpm(10, 9, j => (j * 11) % 256)
+    val fb = MediaCodecs.encodePpm(10, 9, j => 255 - (j * 5) % 256)
+    val ab = MediaCodecs.decodePpmVhash(fa ++ fb)
+    val ba = MediaCodecs.decodePpmVhash(fb ++ fa)
+    assert(ab != null && ba != null && ab.longValue() != ba.longValue(),
+      "frame order must move fingerprint bits")
+    // null cases: junk bytes; a clip with fewer than 81 pixels
+    assert(MediaCodecs.decodePpmVhash("not a ppm".getBytes) == null)
+    val tiny = MediaCodecs.encodePpm(8, 5, _ => 7) // 40 px/frame
+    assert(MediaCodecs.decodePpmVhash(tiny ++ tiny) == null) // 80 < 81
+  }
+
   test("wav decode: overflowing chunk sizes return null, never crash") {
     // an unknown chunk declaring size 0x7FFFFFFF: the cursor math must
     // not wrap negative and index out of bounds
