@@ -106,7 +106,15 @@ object PlanAudit {
     // round 13: incremental ingest — bucketed store scan streamed with
     // NO exchange, batch block index broadcast, Hamming verify pushed
     // into the probe join condition
-    "dedup_incremental")
+    "dedup_incremental",
+    // round 14: incremental ANN — bucketed postings scan with NO
+    // store-side exchange, batch assigned via the broadcast centroid
+    // table, query probes broadcast against store ∪ batch
+    "sim_ann_incremental",
+    // round 14: broadcast-table unigram encode — the model travels as
+    // data (broadcast join + map_from_entries), NOT as a typedLit map:
+    // no vocab-sized literal anywhere in the plan
+    "text_unigram_encode_bt")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
@@ -224,6 +232,20 @@ object PlanAudit {
         .union(pairs.selectExpr("prt AS src", "sup AS dst"))
       graft.operators.HyperBall.neighborhoodSizes(edges, rounds = 1,
         eager = false)
+    }),
+    // round 14: clip fingerprint pairs — narrow codegen'd demux+hash
+    // map over the binary column, then the generic 4×16-bit pigeonhole
+    // block join; only (id, fp) longs ever shuffle, never frames
+    "dedup_vhash (pre-checkpoint pipeline)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val fp = graft.operators.Multimodal.synthesizeMedia(s, dir).toDF()
+        .where(col("kind") === "video")
+        .select(col("media_id").as("doc_id"),
+          graft.functions.MediaCodecs.ppmVhash(col("content")).as("fp"))
+        .where(col("fp").isNotNull)
+      graft.operators.Dedup.hammingBlockPairs(fp, maxHam = 3)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("ham"))
     }),
     // round 13: Brandes forward+backward rounds — frontier joins carry
     // path counts, level-keyed backward joins carry fixed-point
