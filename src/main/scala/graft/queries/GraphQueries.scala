@@ -146,9 +146,24 @@ object GraphQueries {
     // smallest — fixed rounds because synchronous LPA has no guaranteed
     // fixpoint). The oracle replays the identical rounds; the argmax is
     // integer-exact on both engines.
+    // labels come from the per-scale-dir staged partition table
+    // (StagedLayouts.lpaLabels — the basket-edges staging shape),
+    // shared with graph_modularity; oracle rows unchanged.
     "graph_label_prop" -> ((s, dir) =>
-      graft.operators.LabelProp.run(supplyEdges(s, dir), rounds = 3)
+      graft.sources.StagedLayouts.lpaLabels(s, dir)
         .orderBy("node")),
+
+    // Newman modularity of that partition (Modularity scaladoc): the
+    // SCORE half of community detection. Exact-integer per-community
+    // numerators q_num = M·i_c − d_c² over the shared M² denominator —
+    // no float anywhere, exact hash gate; the 1-row edge count rides a
+    // broadcast, never a collect. Oracle re-derives the labels through
+    // the identical unrolled LPA rounds, then the same integer algebra.
+    "graph_modularity" -> ((s, dir) =>
+      graft.operators.Modularity
+        .score(supplyEdges(s, dir),
+          graft.sources.StagedLayouts.lpaLabels(s, dir))
+        .orderBy("community")),
 
     // 3-hop multi-source BFS over the bipartite supply graph from
     // suppliers 1..5 — frontier form, so per-round work is the frontier
@@ -280,7 +295,11 @@ object GraphQueries {
     * counts, then the plurality label with ties to the smallest, exactly
     * [[graft.operators.LabelProp]]'s min(struct(−count, label)).
     */
-  private def lpaSql(rounds: Int): String = {
+  /** The LPA round chain as a WITH-body (pairs, edges, l0, rounds) —
+    * shared by [[lpaSql]] and [[modularitySql]] so the scoring oracle
+    * re-derives the labels through the identical unrolled rounds.
+    */
+  private def lpaCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""c$i AS (SELECT e.src AS d, l.lbl, count(*) AS c
          |  FROM edges e JOIN l${i - 1} l ON l.d = e.dst GROUP BY 1, 2),
@@ -289,7 +308,7 @@ object GraphQueries {
          |    row_number() OVER (PARTITION BY d ORDER BY c DESC, lbl ASC) AS rk
          |  FROM c$i) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""pairs AS (
        |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
        |  FROM lineitem
        |), edges AS MATERIALIZED (
@@ -299,9 +318,38 @@ object GraphQueries {
        |), l0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS d, src AS lbl FROM edges
        |),
-       |$roundCtes
-       |SELECT d AS node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+       |$roundCtes""".stripMargin
   }
+
+  private def lpaSql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
+       |SELECT d AS node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+
+  /** `graph_modularity`'s oracle: labels through the identical LPA
+    * chain, then the exact-integer per-community algebra
+    * q_num = M·i_c − d_c² (Modularity scaladoc) — count/sum kept in
+    * BIGINT, no float anywhere.
+    */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+       |lab AS MATERIALIZED (SELECT d AS node, lbl AS community FROM l$rounds),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM edges),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |  FROM edges GROUP BY 1),
+       |ds AS (SELECT l.community, CAST(sum(g.d) AS BIGINT) AS d_sum,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM deg g JOIN lab l USING (node) GROUP BY 1),
+       |ia AS (SELECT a.community, CAST(count(*) AS BIGINT) AS e_dir
+       |  FROM edges e JOIN lab a ON a.node = e.src
+       |  JOIN lab b ON b.node = e.dst AND b.community = a.community
+       |  GROUP BY 1)
+       |SELECT ds.community, ds.n_nodes,
+       |  coalesce(ia.e_dir, CAST(0 AS BIGINT)) AS e_dir, ds.d_sum,
+       |  CAST((SELECT m_dir FROM mm) * coalesce(ia.e_dir, CAST(0 AS BIGINT))
+       |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num,
+       |  (SELECT m_dir FROM mm) AS m_dir
+       |FROM ds LEFT JOIN ia ON ia.community = ds.community
+       |ORDER BY ds.community""".stripMargin
 
   /** Unrolled frontier rounds — round i discovers the distinct
     * neighbors of the dist = i−1 frontier that are not yet visited,
@@ -457,6 +505,7 @@ object GraphQueries {
       "graph_cc" -> ccSql(rounds = 8),
 
       "graph_label_prop" -> lpaSql(rounds = 3),
+      "graph_modularity" -> modularitySql(rounds = 3),
 
       "graph_bfs" -> bfsSql(rounds = 3),
 

@@ -313,6 +313,30 @@ object StagedLayouts {
     (0 to 3).map(r => s.read.parquet(s"$dir/round$r"))
   }
 
+  // ---- shared label-prop community labels ----------------------------
+
+  /** The 3-round label-prop partition (node, community) over the
+    * supply graph, materialized once per scale dir — the
+    * basket-edges/simhash-labels shape again: TWO registered queries
+    * consume the identical round loop (`graph_label_prop` the labels
+    * themselves; `graph_modularity` scores the partition) and the
+    * loop is the dominant cost of both while the artifact is |V| rows
+    * of two longs. Production shape: community detection writes its
+    * partition table once and every consumer (scores, rollups,
+    * routing) scans it.
+    */
+  def lpaLabels(s: SparkSession, sfDir: String): DataFrame = {
+    require(hookInstalled)
+    val dir = staged.computeIfAbsent(s"lpa:$sfDir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lpa").toString
+      graft.operators.LabelProp
+        .run(graft.queries.GraphQueries.supplyEdges(s, sfDir), rounds = 3)
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      tmp
+    })
+    s.read.parquet(s"$dir/labels")
+  }
+
   // ---- shared Brandes forward states ---------------------------------
 
   /** The seeded Brandes forward frame (s, node, dist, sigma) — 3 rounds

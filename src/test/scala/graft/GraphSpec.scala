@@ -232,6 +232,29 @@ class GraphSpec extends SparkSpec {
       "shuffle and broadcast regimes diverged")
   }
 
+  test("modularity: hand-computed two-triangle partition; one-community Q is exactly 0") {
+    import spark.implicits._
+    import graft.operators.Modularity
+    // two triangles bridged by 3−4: m = 7 undirected → M = 14 directed;
+    // perfect split {1,2,3}/{4,5,6}: i_c = 6, d_c = 7 per side →
+    // q_num = 14·6 − 49 = 35 each, Q = 70/196 = 5/14 (textbook value)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 200L, 5L -> 200L, 6L -> 200L).toDF("node", "community")
+    val got = Modularity.score(edges, labels).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((100L, 3L, 6L, 7L, 35L, 14L),
+      (200L, 3L, 6L, 7L, 35L, 14L)), s"modularity table diverged: $got")
+    // everything in ONE community: i = M, d_sum = M → q_num = M·M − M² = 0
+    val one = labels.select(col("node"), lit(7L).as("community"))
+    val q0 = Modularity.score(edges, one).collect()
+    assert(q0.length == 1 && q0.head.getLong(4) == 0L,
+      "single-community modularity must be exactly 0")
+  }
+
   test("label-prop and cc broadcast gates: regimes agree bit-for-bit") {
     import spark.implicits._
     import graft.operators.{ConnectedComponents, LabelProp}
