@@ -230,28 +230,16 @@ object UnigramLm {
           .as("n_subwords"))
   }
 
-  /** Model-as-broadcast-TABLE encode — [[encode]]'s production twin
-    * (the `sim_ivf_pq_bt` discipline): the fitted weights travel as a
-    * tiny (piece, w) DataFrame broadcast against each word's exploded
-    * candidate substrings, re-assembled into a PER-ROW weight map
-    * (`map_from_entries`), and the identical Viterbi fold runs over
-    * that column. Plan size is independent of the vocab budget — no
-    * map literal, no per-piece expression — so the encode plans at any
-    * `vocabCap` where the literal carrier would blow analysis/codegen.
-    * Output is bit-identical to [[encode]] (same driver-computed IEEE
-    * weights, same fold; TextOpsSpec pins the equality), so it shares
-    * the literal form's oracle SQL.
+  /** The broadcast-model Viterbi encode tail shared by
+    * [[encodeBroadcast]] and [[encodeFromModel]]: each word's DISTINCT
+    * candidate substrings (the only keys its DP can ever probe)
+    * inner-joined against the broadcast (p, w) weight table — every
+    * word matches at least its single chars, so no word is lost —
+    * re-assembled into a PER-ROW weight map (`map_from_entries`), then
+    * the identical Viterbi fold over that column.
     */
-  def encodeBroadcast(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
-                      maxPiece: Int = 4, vocabCap: Int = 200): DataFrame = {
-    val dict = wordDict(docs, maxLen).localCheckpoint(true)
-    val model = emSteps(dict, rounds, maxPiece, vocabCap)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wdf = weights(model, model.size).toDF("p", "w")
-    // each word's distinct candidate substrings (the only keys its DP
-    // can ever probe), inner-joined against the broadcast model — every
-    // word matches at least its single chars, so no word is lost
+  private def viterbiEncode(dict: DataFrame, wdf: DataFrame,
+                            maxPiece: Int): DataFrame = {
     val cands = dict.select(col("word"), col("freq"),
       explode(array_distinct(flatten(
         transform(sequence(lit(1), lit(maxPiece)), l =>
@@ -267,5 +255,44 @@ object UnigramLm {
       .select(col("word"), col("freq"),
         size(segments(col("word"), col("dp"))).cast("long")
           .as("n_subwords"))
+  }
+
+  /** Model-as-broadcast-TABLE encode — [[encode]]'s production twin
+    * (the `sim_ivf_pq_bt` discipline): the fitted weights travel as a
+    * tiny (piece, w) DataFrame instead of a map literal, so plan size
+    * is independent of the vocab budget and the encode plans at any
+    * `vocabCap` where the literal carrier would blow analysis/codegen.
+    * Output is bit-identical to [[encode]] (same driver-computed IEEE
+    * weights, same fold; TextOpsSpec pins the equality), so it shares
+    * the literal form's oracle SQL.
+    */
+  def encodeBroadcast(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
+                      maxPiece: Int = 4, vocabCap: Int = 200): DataFrame = {
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    val model = emSteps(dict, rounds, maxPiece, vocabCap)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    viterbiEncode(dict, weights(model, model.size).toDF("p", "w"), maxPiece)
+  }
+
+  /** Encode against a PERSISTED model table (piece, cnt) — the
+    * serving shape of a production tokenizer: the model was fitted
+    * once (yesterday) and written as a table; today's corpus is
+    * encoded with ZERO driver-side steps — T and P come from one
+    * 1-row aggregate broadcast back (the text_bm25 discipline), each
+    * Laplace weight is the same single IEEE division of exact longs
+    * computed IN-PLAN, and the Viterbi tail is [[viterbiEncode]].
+    * Output is bit-identical to [[encode]] over the same corpus +
+    * fitted model (TextOpsSpec pins it): Long→Double casts and the
+    * division are exact-rounded IEEE ops wherever they run.
+    */
+  def encodeFromModel(docs: DataFrame, model: DataFrame, maxLen: Int = 12,
+                      maxPiece: Int = 4): DataFrame = {
+    val tp = model.agg(sum(col("cnt")).as("t"), count(lit(1)).as("np"))
+    val wdf = model.crossJoin(broadcast(tp))
+      .select(col("piece").as("p"),
+        ((col("cnt") + lit(1L)).cast("double")
+          / (col("t") + col("np")).cast("double")).as("w"))
+    viterbiEncode(wordDict(docs, maxLen), wdf, maxPiece)
   }
 }

@@ -178,6 +178,18 @@ object TextQueries {
     // literal form's oracle.
     "text_unigram_encode_bt" -> ((s, dir) =>
       graft.operators.UnigramLm.encodeBroadcast(docs(s, dir), rounds = 2)
+        .orderBy("word")),
+
+    // tokenizer SERVING from the persisted model table
+    // (UnigramLm.encodeFromModel scaladoc): the model was fitted once
+    // and staged per scale dir (StagedLayouts.unigramModel); encoding
+    // computes T/P via one broadcast 1-row aggregate and every Laplace
+    // weight in-plan — ZERO driver collect anywhere in the query path.
+    // Bit-identical to text_unigram_encode (spec-pinned), shares its
+    // oracle.
+    "text_unigram_encode_store" -> ((s, dir) =>
+      graft.operators.UnigramLm.encodeFromModel(docs(s, dir),
+          graft.sources.StagedLayouts.unigramModel(s, dir))
         .orderBy("word")))
 
   private def langidSql: String = {
@@ -460,6 +472,10 @@ object TextQueries {
       maxPiece = 4, vocabCap = 200),
     // bit-identical to the literal-map form — shares its oracle
     "text_unigram_encode_bt" -> unigramEncodeSql(rounds = 2, maxLen = 12,
+      maxPiece = 4, vocabCap = 200),
+    // serving from the staged model table computes the identical
+    // weights in-plan — same oracle again
+    "text_unigram_encode_store" -> unigramEncodeSql(rounds = 2, maxLen = 12,
       maxPiece = 4, vocabCap = 200),
 
     "text_langid" -> langidSql,

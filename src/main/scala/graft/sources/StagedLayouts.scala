@@ -313,6 +313,27 @@ object StagedLayouts {
     (0 to 3).map(r => s.read.parquet(s"$dir/round$r"))
   }
 
+  // ---- persisted unigram-LM tokenizer model --------------------------
+
+  /** The fitted 2-round unigram-LM model (piece, cnt) materialized
+    * once per scale dir — the tokenizer-SERVING store: training runs
+    * once (UnigramLm.fit, the cap-bounded EM) and writes its model
+    * table; every encode consumer reads the table and computes the
+    * Laplace weights in-plan, so the serving path has zero driver
+    * collect at any corpus size (`text_unigram_encode_store`).
+    */
+  def unigramModel(s: SparkSession, sfDir: String): DataFrame = {
+    require(hookInstalled)
+    val dir = staged.computeIfAbsent(s"unigram:$sfDir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_unigram").toString
+      graft.operators.UnigramLm
+        .fit(graft.Tables.documents(s, sfDir), rounds = 2)
+        .write.mode("overwrite").parquet(s"$tmp/model")
+      tmp
+    })
+    s.read.parquet(s"$dir/model")
+  }
+
   // ---- shared label-prop community labels ----------------------------
 
   /** The 3-round label-prop partition (node, community) over the

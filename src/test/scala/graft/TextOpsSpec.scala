@@ -328,6 +328,16 @@ class TextOpsSpec extends SparkSpec {
     assert(lit0 == bt, s"broadcast-table encode diverged:\n$lit0\n$bt")
     assert(lit0.nonEmpty && lit0.exists(_._3 > 1),
       s"trace must exercise multi-subword words: $lit0")
+    // serving from a model TABLE (weights computed in-plan from the
+    // stored counts) lands on the same bytes: Long→Double casts and
+    // the Laplace division are exact IEEE ops wherever they run
+    val store = UnigramLm
+      .encodeFromModel(d,
+        UnigramLm.fit(d, rounds = 2, maxPiece = 4, vocabCap = 10),
+        maxPiece = 4)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lit0 == store, s"model-store encode diverged:\n$lit0\n$store")
   }
 
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
