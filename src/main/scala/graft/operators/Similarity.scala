@@ -394,20 +394,43 @@ object Similarity {
   def ivfPqTopKBroadcast(
       embDf: DataFrame, coarse: Seq[CentroidND], books: Seq[Seq[CentroidND]],
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val corpus = ivfPqEncodeBroadcast(embDf, coarse, books)
+    val queries = ivfPqQueriesBroadcast(
+      embDf.where(col("vec_id") < nQueries), coarse, books, nprobe)
+    ivfPqServe(corpus, queries, books.length, k)
+  }
+
+  /** The (s, mcid, mvec) model table shared by the broadcast IVF+PQ
+    * pieces: s = −1 rows are the coarse cells, s ≥ 0 rows the
+    * subspace codebooks.
+    */
+  private def pqModelDf(embDf: DataFrame, coarse: Seq[CentroidND],
+      books: Seq[Seq[CentroidND]]): DataFrame = {
     val spark = embDf.sparkSession
     import spark.implicits._
-    val m = books.length
-    val subDim = books.head.head.vec.length
-    val model = (coarse.sortBy(_.cid).map(c => (-1, c.cid, c.vec.toSeq)) ++
+    (coarse.sortBy(_.cid).map(c => (-1, c.cid, c.vec.toSeq)) ++
       (for { s <- books.indices; c <- books(s).sortBy(_.cid) }
         yield (s, c.cid, c.vec.toSeq))).toDF("s", "mcid", "mvec")
+  }
 
+  /** Broadcast-model IVF+PQ corpus ENCODE — the ingest half of the
+    * compressed ANN store (`sim_ann_incremental_pq`): cell + M code
+    * ids per vector from ONE broadcast model join + ONE
+    * map-side-combined `min(struct(d, id))` argmin. The output row is
+    * the postings-store shape (cell, vec_id, code0..code{M-1}) — a few
+    * SMALL INTS per vector; the original floats never enter the store.
+    */
+  def ivfPqEncodeBroadcast(embDf: DataFrame, coarse: Seq[CentroidND],
+      books: Seq[Seq[CentroidND]]): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val model = pqModelDf(embDf, coarse, books)
     val n = embDf.select(col("vec_id"), col("v"))
     val dist = when(col("s") === -1,
         ArrayKernels.distSqFast(col("v"), col("mvec")))
       .otherwise(ArrayKernels.distSqFast(
         slice(col("v"), col("s") * lit(subDim) + lit(1), lit(subDim)), col("mvec")))
-    val corpus = n.crossJoin(broadcast(model)).withColumn("d", dist)
+    n.crossJoin(broadcast(model)).withColumn("d", dist)
       .groupBy(col("vec_id"))
       .agg(
         min(when(col("s") === -1, struct(col("d"), col("mcid"))))
@@ -415,8 +438,21 @@ object Similarity {
         (0 until m).map(s =>
           min(when(col("s") === s, struct(col("d"), col("mcid"))))
             .getField("mcid").as(s"code$s")): _*)
+      .select(col("cell") +: col("vec_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+  }
 
-    val q = n.where(col("vec_id") < nQueries)
+  /** Broadcast-model IVF+PQ QUERY side: per query vector, the nprobe
+    * nearest cells (row_number over the broadcast cell table) joined
+    * with the M×K ADC lookup tables (array_sort(collect_list)) —
+    * (qid, cell, dt0..dt{M-1}), one row per probe.
+    */
+  def ivfPqQueriesBroadcast(qDf: DataFrame, coarse: Seq[CentroidND],
+      books: Seq[Seq[CentroidND]], nprobe: Int): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.vec.length
+    val model = pqModelDf(qDf, coarse, books)
+    val q = qDf.select(col("vec_id"), col("v"))
     val cellsDf = model.where(col("s") === -1)
       .select(col("mcid").as("pcell"), col("mvec").as("cvec"))
     val probes = q.crossJoin(broadcast(cellsDf))
@@ -439,12 +475,24 @@ object Similarity {
             when(col("s") === s, struct(col("mcid"), col("dt"))))),
             e => e.getField("dt")).as(s"dt$s")): _*)
       .withColumnRenamed("vec_id", "qid")
-    val queries = probes.join(dts, "qid")
+    probes.join(dts, "qid")
+  }
 
+  /** ADC top-k serve over an assembled CODED postings index — the
+    * compressed twin of [[ivfServe]]: `index` is (cell, vec_id,
+    * code0..code{M-1}) rows (persisted store UNIONed with a
+    * freshly-encoded batch — append-only; encoding is per-vector
+    * independent, so store ∪ batch ≡ a whole-corpus re-encode and
+    * serving is batch-split associative, IncrementalSpec-pinned);
+    * `queries` comes from [[ivfPqQueriesBroadcast]] and broadcasts
+    * against the index scan, M table lookups + adds per candidate.
+    */
+  def ivfPqServe(index: DataFrame, queries: DataFrame, m: Int,
+      k: Int): DataFrame = {
     val adc = (0 until m)
       .map(s => element_at(col(s"dt$s"), col(s"code$s") + 1))
       .reduce(_ + _)
-    val joined = broadcast(queries).join(corpus, Seq("cell"))
+    val joined = broadcast(queries).join(index, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("adc5", rnd5(adc))
     val w = Window.partitionBy(col("qid"))

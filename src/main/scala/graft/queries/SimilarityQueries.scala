@@ -138,6 +138,25 @@ object SimilarityQueries {
       Similarity.ivfServe(index, q, k = 3).orderBy("qid", "rk")
     }),
 
+    // the COMPRESSED incremental ANN (Similarity.ivfPqServe scaladoc):
+    // the postings store holds PQ codes, not floats
+    // (StagedLayouts.ivfPqPostingsStore — a few small ints/vector at
+    // any corpus size); the batch encodes itself via the broadcast
+    // model and appends; serve is ADC over store∪batch with the query
+    // tables broadcast. Oracle = whole-corpus IVF+PQ recompute with
+    // the batch-head query set (never sees the split).
+    "sim_ann_incremental_pq" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.ivfPqPostingsStore(s, dir)
+      val books = graft.operators.TrainedPqCodebooks.books
+      val batchRaw = Similarity.emb(s, dir).where(col("vec_id") > thr)
+      val index = s.table(tbl).unionByName(
+        Similarity.ivfPqEncodeBroadcast(batchRaw, coarse, books))
+      val queries = Similarity.ivfPqQueriesBroadcast(
+        batchRaw.orderBy("vec_id").limit(10), coarse, books, nprobe = 2)
+      Similarity.ivfPqServe(index, queries, books.length, k = 3)
+        .orderBy("qid", "rk")
+    }),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -339,7 +358,24 @@ object SimilarityQueries {
     * composed with the PQ encode / query-table CTEs (as in pqSql);
     * candidates join on the probed cell and rank by the ordered ADC fold.
     */
-  private def ivfPqSql: String = {
+  private def ivfPqSql: String = ivfPqSqlWith()
+
+  /** `sim_ann_incremental_pq`'s oracle: the identical whole-corpus
+    * IVF+PQ chain with the batch-head query set — never sees the
+    * store/batch split; equality proves coded-append ingest ≡ full
+    * re-encode.
+    */
+  private def ivfPqIncrSql: String = ivfPqSqlWith(
+    """SELECT vec_id AS qid FROM en
+      |      WHERE vec_id > (SELECT (max(vec_id) * 4) // 5 FROM en)
+      |      ORDER BY vec_id LIMIT 10""".stripMargin)
+
+  /** Shared IVF+PQ chain; `qidsCte` selects the query set (default:
+    * the 10 smallest vec_ids; the incremental variant takes the batch
+    * head above the ingest threshold).
+    */
+  private def ivfPqSqlWith(
+      qidsCte: String = "SELECT vec_id AS qid FROM en WHERE vec_id < 10"): String = {
     val books = graft.operators.TrainedPqCodebooks.books
     val subDim = books.head.head.vec.length
     s"""WITH $embCte,
@@ -355,11 +391,13 @@ object SimilarityQueries {
        |cc AS (SELECT vec_id, s, cid AS code FROM (
        |        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS crk
        |        FROM code_d) WHERE crk = 1),
+       |qids AS MATERIALIZED ($qidsCte),
        |pr AS (SELECT vec_id AS qid, cid AS pcell,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
-       |      FROM vd WHERE vec_id < 10),
+       |      FROM vd WHERE vec_id IN (SELECT qid FROM qids)),
        |p2 AS (SELECT qid, pcell FROM pr WHERE prk <= 2),
-       |dt AS (SELECT vec_id AS qid, s, cid, d FROM code_d WHERE vec_id < 10),
+       |dt AS (SELECT vec_id AS qid, s, cid, d FROM code_d
+       |      WHERE vec_id IN (SELECT qid FROM qids)),
        |pair AS (SELECT p2.qid, a.cell, a.vec_id, cc.s, dt.d
        |      FROM p2 JOIN asg a ON a.cell = p2.pcell AND a.vec_id <> p2.qid
        |      JOIN cc ON cc.vec_id = a.vec_id
@@ -434,6 +472,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_ann_ivf" -> ivfSql,
     "sim_ann_incremental" -> ivfIncrSql,
+    "sim_ann_incremental_pq" -> ivfPqIncrSql,
     "sim_ann_ivf_mp" -> ivfMpSql,
     "sim_near_pairs_lsh_mt" -> lshMtSql,
     "sim_pq_topk" -> pqSql,

@@ -313,6 +313,34 @@ object StagedLayouts {
     (0 to 3).map(r => s.read.parquet(s"$dir/round$r"))
   }
 
+  /** The compressed (PQ-coded) twin of [[ivfPostingsStore]]: the
+    * embedding prefix encoded to (cell, vec_id, code0..code3) via the
+    * broadcast IVF+PQ model (Similarity.ivfPqEncodeBroadcast) and
+    * written bucketed on `cell` — at 100 TB the store carries a few
+    * small ints per vector (the original floats never enter it) and
+    * is append-only across ingests. Returns (table name, threshold).
+    */
+  def ivfPqPostingsStore(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"ivfpq:$sfDir", _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_ivfpqstore_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqstore").toString
+      staged.put(s"ivfpqstore:$sfDir", tmp)
+      val embDf = graft.operators.Similarity.emb(s, sfDir)
+      val thr = embDf.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+      graft.operators.Similarity.ivfPqEncodeBroadcast(
+          embDf.where(col("vec_id") <= thr),
+          graft.operators.TrainedIvfCentroids.cells,
+          graft.operators.TrainedPqCodebooks.books)
+        .repartition(8, col("cell"))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
   // ---- persisted unigram-LM tokenizer model --------------------------
 
   /** The fitted 2-round unigram-LM model (piece, cnt) materialized

@@ -117,6 +117,37 @@ class IncrementalSpec extends SparkSpec {
     assert(oneShot.nonEmpty, "serve must produce rows")
   }
 
+  test("coded ANN ingest: sub-batch appends ≡ one batch ≡ whole-corpus re-encode") {
+    import graft.operators.{Similarity, TrainedIvfCentroids, TrainedPqCodebooks}
+    val cells = TrainedIvfCentroids.cells
+    val books = TrainedPqCodebooks.books
+    val emb = Similarity.emb(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val thr = maxId * 4 / 5
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqEncodeBroadcast(df, cells, books)
+    val store = enc(emb.where(col("vec_id") <= thr))
+    val batch = emb.where(col("vec_id") > thr)
+    val q = Similarity.ivfPqQueriesBroadcast(
+      batch.orderBy("vec_id").limit(5), cells, books, nprobe = 2)
+
+    def serve(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqServe(index, q, books.length, k = 3)
+        .orderBy("qid", "rk").collect().toSeq
+
+    val oneShot = serve(store.unionByName(enc(batch)))
+    val mid = (thr + maxId) / 2
+    val split = serve(store
+      .unionByName(enc(batch.where(col("vec_id") <= mid)))
+      .unionByName(enc(batch.where(col("vec_id") > mid))))
+    assert(split == oneShot,
+      "coded sub-batch appends must land on the byte-identical serve table")
+    val rebuild = serve(enc(emb))
+    assert(rebuild == oneShot,
+      "coded append ingest must equal the whole-corpus re-encode")
+    assert(oneShot.nonEmpty, "serve must produce rows")
+  }
+
   test("ANN serve plan: queries broadcast against the bucketed postings scan") {
     val df = graft.queries.SimilarityQueries
       .queries("sim_ann_incremental")(spark, sf)
