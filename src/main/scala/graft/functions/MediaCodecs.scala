@@ -192,6 +192,36 @@ object MediaCodecs {
     java.lang.Long.valueOf(bits)
   }
 
+  /** Per-frame payload hashes of a concatenated-P6 video stream — the
+    * frame-granular companion of [[decodePpmVhash]]: one polynomial
+    * rolling hash per demuxed frame (h = (h·131 + byte) mod 2³¹−1 over
+    * the frame's pixel payload, header excluded), frame order
+    * preserved. This is the EXACT-frame identity a subsequence
+    * containment pass joins on (`dedup_vhash_contain`): two frames
+    * share a hash iff their payload bytes agree (modulo the documented
+    * 2³¹ collision budget — the digest discipline of every hash-keyed
+    * dedup here). Accumulator stays < 2³¹ so the fold never overflows
+    * a Long. Null if byte 0 isn't a valid frame.
+    */
+  def decodePpmFrameHashes(bytes: Array[Byte]): ArrayData = {
+    val P = 2147483647L
+    val B = 131L
+    var hd = parsePpmHeader(bytes, 0)
+    if (hd == null) return null
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    while (hd != null) {
+      val Array(w, h, p) = hd
+      val len = w * h * 3
+      var acc = 0L
+      var j = p
+      val end = p + len
+      while (j < end) { acc = (acc * B + (bytes(j) & 0xff)) % P; j += 1 }
+      out += acc
+      hd = if (end >= bytes.length) null else parsePpmHeader(bytes, end)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Temporal fingerprint (vHash) of a concatenated-P6 video stream —
     * the frame-SEQUENCE member of the perceptual-hash family
     * (dHash = one image, aHash = one waveform, this = one clip):
@@ -423,6 +453,7 @@ object MediaCodecs {
   def ppmDecode(c: Column): Column = toCol(PpmDecodeExpr(toExpr(c)))
   def ppmDhash(c: Column): Column = toCol(PpmDhashExpr(toExpr(c)))
   def ppmVhash(c: Column): Column = toCol(PpmVhashExpr(toExpr(c)))
+  def ppmFrameHashes(c: Column): Column = toCol(PpmFrameHashesExpr(toExpr(c)))
   def ppmFrames(c: Column): Column = toCol(PpmFramesExpr(toExpr(c)))
   def ppmResizeHalf(c: Column): Column = toCol(PpmResizeExpr(toExpr(c)))
   def wavDecode(c: Column): Column = toCol(WavDecodeExpr(toExpr(c)))
@@ -512,6 +543,16 @@ case class PpmDhashExpr(child: Expression) extends UnaryExpression {
     })
   override protected def nullSafeEval(b: Any): Any =
     MediaCodecs.decodePpmDhash(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class PpmFrameHashesExpr(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ppm_frame_hashes"
+  override protected def method: String = "decodePpmFrameHashes"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodePpmFrameHashes(b.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

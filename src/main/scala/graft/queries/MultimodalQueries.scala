@@ -66,6 +66,17 @@ object MultimodalQueries {
     // text → image → audio → video.
     "dedup_vhash" -> ((s, dir) =>
       Multimodal.vhashPairs(media(s, dir), maxHam = 3)
+        .orderBy("media_a", "media_b")),
+
+    // frame-subsequence containment (Multimodal.vhashContainment
+    // scaladoc): a shorter clip contiguously inside a longer one —
+    // the trims/re-encodes whole-clip vhash can't pair. Real demux →
+    // per-frame payload hashes → shared-hash candidate join → one
+    // narrow HOF verify over the hash arrays. Oracle re-derives every
+    // frame hash from the closed-form generator and replays the
+    // identical offset search.
+    "dedup_vhash_contain" -> ((s, dir) =>
+      Multimodal.vhashContainment(media(s, dir))
         .orderBy("media_a", "media_b")))
 
   /** Shared CTE prefix: per-kind dimension formulas (mirror
@@ -287,10 +298,46 @@ object MultimodalQueries {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  /** Closed-form containment oracle: per-frame payload hashes
+    * re-derived from the generator with the identical
+    * `(acc·131 + byte) mod 2³¹−1` fold (list_prepend(0) seeds the
+    * accumulator), shared-hash candidate join, and the same
+    * offset-search lambda — generate_series(0, f_b−f_a) is inclusive
+    * on both engines, lists ascend so offs[1] is the first offset.
+    */
+  private val vhashContainSql =
+    s"""WITH $dims,
+       |fr AS (SELECT media_id, w, h, f, unnest(generate_series(0, f - 1)) AS fi FROM vid),
+       |fh AS MATERIALIZED (SELECT media_id, f, fi,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(0, w*h*3 - 1),
+       |        j -> (media_id*31 + fi*13 + j*7) % 256)),
+       |      (a, v) -> (a * 131 + v) % 2147483647) AS fp
+       |  FROM fr),
+       |arr AS MATERIALIZED (SELECT media_id, f, list(fp ORDER BY fi) AS hs
+       |  FROM fh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |  FROM fh x JOIN fh y ON x.fp = y.fp AND x.media_id <> y.media_id),
+       |pair AS (SELECT c.media_a, c.media_b, a.hs AS ha, b.hs AS hb,
+       |    a.f AS f_a, b.f AS f_b
+       |  FROM cand c JOIN arr a ON a.media_id = c.media_a
+       |  JOIN arr b ON b.media_id = c.media_b
+       |  WHERE a.f < b.f),
+       |ver AS (SELECT media_a, media_b, f_a, f_b,
+       |    list_filter(generate_series(0, f_b - f_a), o ->
+       |      len(list_filter(generate_series(1, f_a), i ->
+       |        ha[i] = hb[o + i])) = f_a) AS offs
+       |  FROM pair)
+       |SELECT media_a, media_b, CAST(f_a AS INT) AS f_a,
+       |  CAST(f_b AS INT) AS f_b, CAST(offs[1] AS INT) AS off
+       |FROM ver WHERE len(offs) > 0
+       |ORDER BY media_a, media_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_phash" -> phashSql,
     "dedup_ahash" -> ahashSql,
     "dedup_vhash" -> vhashSql,
+    "dedup_vhash_contain" -> vhashContainSql,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

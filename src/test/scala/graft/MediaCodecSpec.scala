@@ -185,6 +185,29 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.decodePpmVhash(tiny ++ tiny) == null) // 80 < 81
   }
 
+  test("ppm frame hashes: per-frame polynomial fold matches a naive replay; null on junk") {
+    def naive(payload: Array[Int]): Long =
+      payload.foldLeft(0L)((a, v) => (a * 131L + v) % 2147483647L)
+    val m = 5L // a video id (m % 3 == 2)
+    val w = (8 + m % 9).toInt; val h = (6 + m % 5).toInt
+    val f = (2 + m % 4).toInt
+    val bytes = (0 until f).toArray.flatMap(fi =>
+      MediaCodecs.encodePpm(w, h, j => ((m * 31 + fi * 13 + j * 7) % 256).toInt))
+    val got = MediaCodecs.decodePpmFrameHashes(bytes)
+    assert(got != null && got.numElements() == f)
+    for (fi <- 0 until f) {
+      val exp = naive(Array.tabulate(w * h * 3)(j =>
+        ((m * 31 + fi * 13 + j * 7) % 256).toInt))
+      assert(got.getLong(fi) == exp, s"frame $fi hash diverged")
+    }
+    // a hash is frame-identity: two frames with one differing byte differ
+    val fa = MediaCodecs.encodePpm(9, 8, j => j % 256)
+    val fb = MediaCodecs.encodePpm(9, 8, j => if (j == 0) 1 else j % 256)
+    val ha = MediaCodecs.decodePpmFrameHashes(fa ++ fb)
+    assert(ha.getLong(0) != ha.getLong(1))
+    assert(MediaCodecs.decodePpmFrameHashes("junk".getBytes) == null)
+  }
+
   test("wav decode: overflowing chunk sizes return null, never crash") {
     // an unknown chunk declaring size 0x7FFFFFFF: the cursor math must
     // not wrap negative and index out of bounds
