@@ -640,6 +640,66 @@ object Dedup {
         col("nearest_prior"), col("min_ham"))
   }
 
+  /** Incremental near-dup CLUSTER maintenance — the label half of
+    * [[incrementalDedup]]: the prefix corpus's cluster state is a pair
+    * of persisted artifacts (the bucketed block-key signature store +
+    * the CONVERGED prefix labels), and a new batch updates the
+    * labeling WITHOUT touching prefix-prefix pairs again. The delta
+    * graph is: batch↔store verified pairs with the old endpoint
+    * COLLAPSED to its component label (hash-min labels are component
+    * min-ids, so a label node stands for its whole component), plus
+    * batch↔batch pairs; a converged hash-min CC over that (small)
+    * delta graph yields the merge map, and composition re-roots every
+    * previously-clustered doc through its old label while
+    * newly-clustered docs (batch, or old singletons first touched by
+    * the batch) take their delta label directly.
+    *
+    * Correctness is the union-find composition identity: min-ids are
+    * associative under merging, so the composed labeling equals the
+    * whole-corpus CONVERGED recompute — which is exactly what the
+    * DuckDB oracle re-derives (shared with `dedup_cluster`, which
+    * never sees the store/batch split), and batch-split ingestion is
+    * associative (IncrementalSpec pins both). At 100 TB the delta
+    * graph is O(batch pairs), never O(corpus pairs): cluster
+    * maintenance costs the day's ingest, not the corpus.
+    *
+    * Returns (d, lbl) for EVERY clustered doc corpus-wide (prefix
+    * members re-rooted + newly clustered).
+    */
+  def incrementalCluster(storeBlocks: DataFrame, prefixLabels: DataFrame,
+                         batch: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "4-block LSH is only complete for maxHam <= 3")
+    val bfp = simhash(batch).localCheckpoint(true)
+    val bblk = fpBlockKeys(bfp)
+      .select(col("bk"), col("doc_id").as("b_doc"), col("fp").as("b_fp"))
+    val probe = storeBlocks
+      .select(col("bk"), col("doc_id").as("p_doc"), col("fp").as("p_fp"))
+      .join(broadcast(bblk), Seq("bk"))
+      .where(col("p_doc") < col("b_doc"))
+      .select(col("p_doc"), col("b_doc"), col("p_fp"), col("b_fp"))
+      .distinct()
+      .where(bit_count(col("p_fp").bitwiseXOR(col("b_fp"))) <= maxHam)
+      .select(col("p_doc").as("doc_a"), col("b_doc").as("doc_b"))
+    // collapse the old endpoint to its converged component label; old
+    // singletons (no label row) stand for themselves
+    val lbl = prefixLabels.select(col("d").as("doc_a"), col("lbl"))
+    val collapsed = probe.join(lbl, Seq("doc_a"), "left")
+      .select(coalesce(col("lbl"), col("doc_a")).as("doc_a"), col("doc_b"))
+    val inBatch = hammingBlockPairs(bfp, maxHam)
+      .select(col("doc_a"), col("doc_b"))
+    val delta = connectedComponentsConverged(
+      collapsed.unionByName(inBatch).localCheckpoint(true))
+    // previously-clustered docs re-root through their old label …
+    val reRooted = prefixLabels.select(col("d"), col("lbl").as("l0"))
+      .join(delta.select(col("d").as("l0"), col("lbl").as("root")),
+        Seq("l0"), "left")
+      .select(col("d"), coalesce(col("root"), col("l0")).as("lbl"))
+    // … newly-clustered nodes (batch docs + first-touched old
+    // singletons — never previously members) take their delta label
+    val fresh = delta.join(prefixLabels.select(col("d")), Seq("d"), "left_anti")
+    reRooted.unionByName(fresh)
+  }
+
   /** MinHash band rows for a signature frame (doc_id, h0..h{n-1}):
     * (band, k0..k{rowsPerBand-1}, doc_id, h0..h{n-1}) — the signature
     * rides on every band row so a probe can verify (count matching

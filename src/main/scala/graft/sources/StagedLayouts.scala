@@ -159,6 +159,28 @@ object StagedLayouts {
     })
   }
 
+  /** The CONVERGED cluster labels of the corpus PREFIX (doc_id ≤
+    * 4/5·max — [[simhashStore]]'s threshold contract), materialized
+    * once per scale dir: the second half of the incremental-cluster
+    * state (`dedup_cluster_incremental` probes the block-key store for
+    * delta pairs and re-roots THESE labels through the merge map). At
+    * production scale this is yesterday's label table — written by
+    * yesterday's ingest, read-only today.
+    */
+  def prefixClusterLabels(s: SparkSession, sfDir: String): DataFrame = {
+    require(hookInstalled)
+    val dir = staged.computeIfAbsent(s"prefixcc:$sfDir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_prefixcc").toString
+      val docs = graft.Tables.documents(s, sfDir)
+      val thr = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+      graft.operators.Dedup.connectedComponentsConverged(
+          graft.operators.Dedup.simhashPairs(docs.where(col("doc_id") <= thr)))
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      tmp
+    })
+    s.read.parquet(s"$dir/labels")
+  }
+
   /** The MinHash twin of [[simhashStore]]: band rows (band, k0, k1,
     * doc_id, h0..h11) of the already-ingested prefix, signatures riding
     * the band rows, bucketed on the band key — the persisted probe side

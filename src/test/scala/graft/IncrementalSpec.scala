@@ -158,6 +158,36 @@ class IncrementalSpec extends SparkSpec {
       "store side must be the bucketed postings scan (no store exchange)")
   }
 
+  test("incremental cluster maintenance ≡ whole-corpus converged labels; two-day ingest ≡ one") {
+    val (thr, maxId) = bounds
+    val prefix = docs.where(col("doc_id") <= thr)
+    val batch = docs.where(col("doc_id") > thr)
+    val store = Dedup.fpBlockKeys(Dedup.simhash(prefix))
+    val labels0 = Dedup.connectedComponentsConverged(Dedup.simhashPairs(prefix))
+
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("d").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+
+    val oneShot = tbl(Dedup.incrementalCluster(store, labels0, batch))
+    // the substantive pin: composition equals the whole-corpus
+    // converged recompute (the oracle's view, which never sees the split)
+    val whole = tbl(Dedup.connectedComponentsConverged(Dedup.simhashPairs(docs)))
+    assert(oneShot == whole,
+      "incremental cluster maintenance must equal the whole-corpus recompute")
+
+    // the daily loop: ingest half the batch, roll the state forward
+    // (store += half-1 signatures, labels := day-1 output), ingest the rest
+    val mid = (thr + maxId) / 2
+    val half1 = batch.where(col("doc_id") <= mid)
+    val day1 = Dedup.incrementalCluster(store, labels0, half1)
+      .localCheckpoint(true)
+    val store2 = store.unionByName(Dedup.fpBlockKeys(Dedup.simhash(half1)))
+    val day2 = tbl(Dedup.incrementalCluster(store2, day1,
+      batch.where(col("doc_id") > mid)))
+    assert(day2 == oneShot,
+      "two-day ingest must land on the byte-identical label table")
+  }
+
   test("incremental decisions equal the whole-corpus recompute") {
     val (thr, _) = bounds
     val store = Dedup.fpBlockKeys(
