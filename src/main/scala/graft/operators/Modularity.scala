@@ -43,11 +43,14 @@ object Modularity {
       .groupBy(col("ca").as("community"))
       .agg(count(lit(1)).as("e_dir"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // one |V|-row frame feeds d_sum AND m_dir
     val dsum = deg
       .join(labels.select(col("node").as("src"), col("community")), "src")
       .groupBy(col("community"))
       .agg(sum(col("d")).as("d_sum"), count(lit(1)).as("n_nodes"))
-    val mRow = edges.agg(count(lit(1)).as("m_dir"))
+    // M = Σ out-degrees — the edge list is scanned twice (degrees +
+    // intra), never a third time for the count
+    val mRow = deg.agg(sum(col("d")).as("m_dir"))
     dsum.join(intra, Seq("community"), "left")
       .crossJoin(broadcast(mRow))
       .select(col("community"), col("n_nodes"),

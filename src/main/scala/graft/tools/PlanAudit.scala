@@ -114,7 +114,19 @@ object PlanAudit {
     // round 14: broadcast-table unigram encode — the model travels as
     // data (broadcast join + map_from_entries), NOT as a typedLit map:
     // no vocab-sized literal anywhere in the plan
-    "text_unigram_encode_bt")
+    "text_unigram_encode_bt",
+    // round 14: coded incremental ANN — bucketed CODE-columns postings
+    // scan (no floats, no exchange), ADC lookups against broadcast
+    // query tables
+    "sim_ann_incremental_pq",
+    // round 14: modularity — two label joins streaming the edge list,
+    // map-side-combined degree aggregate, 1-row edge count broadcast
+    // back (no collect)
+    "graph_modularity",
+    // round 14: model-store tokenizer serving — weights computed
+    // in-plan from the staged model scan + one 1-row aggregate; zero
+    // driver collect anywhere
+    "text_unigram_encode_store")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
@@ -246,6 +258,26 @@ object PlanAudit {
       graft.operators.Dedup.hammingBlockPairs(fp, maxHam = 3)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("ham"))
+    }),
+    // round 14: containment verify — shared-frame-hash candidate join
+    // + one narrow HOF offset search over the per-clip hash arrays;
+    // pixels never join or shuffle
+    "dedup_vhash_contain (pre-checkpoint pipeline)" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val fh = graft.operators.Multimodal.synthesizeMedia(s, dir).toDF()
+        .where(col("kind") === "video")
+        .select(col("media_id"),
+          graft.functions.MediaCodecs.ppmFrameHashes(col("content")).as("hs"))
+        .where(col("hs").isNotNull)
+      val ex = fh.select(col("media_id"), explode(col("hs")).as("fp")).distinct()
+      val cand = ex.select(col("media_id").as("media_a"), col("fp"))
+        .join(ex.select(col("media_id").as("media_b"), col("fp")), Seq("fp"))
+        .where(col("media_a") =!= col("media_b"))
+        .select(col("media_a"), col("media_b")).distinct()
+      cand
+        .join(fh.select(col("media_id").as("media_a"), col("hs").as("ha")), Seq("media_a"))
+        .join(fh.select(col("media_id").as("media_b"), col("hs").as("hb")), Seq("media_b"))
+        .where(size(col("ha")) < size(col("hb")))
     }),
     // round 13: Brandes forward+backward rounds — frontier joins carry
     // path counts, level-keyed backward joins carry fixed-point
