@@ -39,7 +39,20 @@ object LabelProp {
     */
   def run(edges: DataFrame, rounds: Int,
       broadcastLabels: Option[Boolean] = None,
-      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+      broadcastMaxNodes: Long = 5000000L): DataFrame =
+    runStates(edges, rounds, broadcastLabels, broadcastMaxNodes).last
+
+  /** Every intermediate partition (node, community) after rounds
+    * 1..`rounds` — ONE loop run, `rounds` materialized label tables
+    * (each round already localCheckpoints, so keeping the
+    * intermediates is free). This is the staging shape for
+    * modularity-guided round-count tuning (`graph_modularity_sweep`):
+    * the sweep prices every state without re-running the loop per
+    * candidate. [[run]] is `runStates(...).last`.
+    */
+  def runStates(edges: DataFrame, rounds: Int,
+      broadcastLabels: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 5000000L): Seq[DataFrame] = {
     require(rounds >= 1, s"LPA needs at least one round, got $rounds" +
       " (round 1 is fused into the label init)")
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -56,6 +69,7 @@ object LabelProp {
       .agg(min(struct((col("c") * lit(-1L)).as("nc"), col("lbl"))).as("m"))
       .select(col("d"), col("m.lbl").as("lbl"))
       .localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer(labels)
     val doBroadcast = PageRank.chooseBroadcast(broadcastLabels,
       eager = true, labels.count(), broadcastMaxNodes)
     for (_ <- 2 to rounds) {
@@ -67,8 +81,10 @@ object LabelProp {
         .agg(min(struct((col("c") * lit(-1L)).as("nc"), col("lbl"))).as("m"))
         .select(col("d"), col("m.lbl").as("lbl"))
         .localCheckpoint(true)
+      states += labels
     }
     e.unpersist(blocking = true)
-    labels.select(col("d").as("node"), col("lbl").as("community"))
+    states.toSeq
+      .map(_.select(col("d").as("node"), col("lbl").as("community")))
   }
 }

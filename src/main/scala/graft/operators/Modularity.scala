@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Newman modularity of a community partition — the SCORE half of
   * community detection (LabelProp finds the partition, this prices it;
@@ -15,25 +16,43 @@ import org.apache.spark.sql.functions._
   * where M = |directed rows| = 2m, i_c = directed intra-community rows
   * (= 2·e_c) and d_c = Σ degrees in c — so each community's
   * contribution has the exact-integer numerator q_num = M·i_c − d_c²
-  * over the shared denominator M². The output carries ONLY integers
-  * (the PageRank fixed-point discipline): no float ever forms, the
-  * gate is exact, and Q itself is Σ q_num / m_dir² for any consumer
-  * that wants the scalar.
+  * over the shared denominator M². The output carries ONLY exact
+  * integers (the PageRank fixed-point discipline): no float ever
+  * forms, the gate is exact, and Q itself is Σ q_num / m_dir² for any
+  * consumer that wants the scalar.
   *
   * Scale shape: two O(|E|) label joins (the |V|-row label table
   * broadcasts under the LabelProp/PageRank gate regime or shuffles
   * above it — either way the edge list streams), one map-side-combined
   * degree aggregate, one 1-row edge-count aggregate broadcast back
-  * (the text_bm25 discipline — never a driver collect). Integer-range
-  * note: q_num is exact while d_c² < 2^63, i.e. M < ~3·10^9 directed
-  * edges; beyond that the numerator needs the decimal(38) widening —
-  * the documented trade for the exact hash gate at tested volumes.
+  * (the text_bm25 discipline — never a driver collect). Integer range:
+  * q_num is formed in DECIMAL(38,0) via [[qNumExact]] — both products
+  * are decimal(19,0)×decimal(19,0) (each factor ≤ 2^63 by
+  * construction), so the numerator is exact up to 2^126 < 10^38: no
+  * BIGINT wrap at ANY edge count a 64-bit degree sum can express
+  * (GraphSpec pins the boundary past 2^63 against BigInt arithmetic;
+  * the pre-r15 Long form wrapped at d_c² ≥ 2^63, ~3·10⁹ directed
+  * edges).
   */
 object Modularity {
 
+  private val d19 = DecimalType(19, 0)
+  private val d38 = DecimalType(38, 0)
+
+  /** Exact modularity numerator m·e − d² in DECIMAL(38,0). Each input
+    * is a BIGINT-valued column; both products are formed as
+    * decimal(19,0) × decimal(19,0) → decimal(38,0), so every
+    * intermediate fits: |m·e|, |d²| ≤ 2^126 < 10^38 − 1. This is the
+    * widening the Long form lacked (it wrapped silently once
+    * d² ≥ 2^63 — a real social-scale graph exceeds that).
+    */
+  def qNumExact(mDir: Column, eDir: Column, dSum: Column): Column =
+    (mDir.cast(d19) * eDir.cast(d19) - dSum.cast(d19) * dSum.cast(d19))
+      .cast(d38)
+
   /** Per-community modularity table: (community, n_nodes, e_dir,
-    * d_sum, q_num, m_dir), ordered by the caller. `labels` is
-    * (node, community) covering every node of `edges`.
+    * d_sum, q_num DECIMAL(38,0), m_dir), ordered by the caller.
+    * `labels` is (node, community) covering every node of `edges`.
     */
   def score(edges: DataFrame, labels: DataFrame): DataFrame = {
     val la = labels.select(col("node").as("src"), col("community").as("ca"))
@@ -55,8 +74,55 @@ object Modularity {
       .crossJoin(broadcast(mRow))
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_dir"), lit(0L)).as("e_dir"), col("d_sum"),
-        (col("m_dir") * coalesce(col("e_dir"), lit(0L))
-          - col("d_sum") * col("d_sum")).as("q_num"),
+        qNumExact(col("m_dir"), coalesce(col("e_dir"), lit(0L)),
+          col("d_sum")).as("q_num"),
         col("m_dir"))
+  }
+
+  /** Modularity-guided partition tuning: price SEVERAL candidate
+    * partitions of the SAME graph and pick the argmax — the query a
+    * pipeline actually runs with this score (e.g. LPA round counts
+    * 1..4, each a staged label table). Degrees and M are computed
+    * ONCE and shared; each candidate partition costs exactly one
+    * extra edge-list scan (its intra-community count) plus one
+    * |V|-row label join against the shared degree frame — the
+    * brandesForward staging discipline applied to the sweep.
+    *
+    * Because every candidate shares the denominator M², comparing
+    * total numerators Σ_c q_num IS comparing Q; the argmax needs no
+    * division and stays exact decimal.
+    *
+    * Returns one row per candidate: (rounds, n_comm,
+    * q_num_sum DECIMAL(38,0), m_dir, best) ordered by the caller;
+    * `best` marks the argmax (ties all flagged — deterministic).
+    */
+  def sweep(edges: DataFrame, labelStates: Seq[(Int, DataFrame)]): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val mRow = deg.agg(sum(col("d")).as("m_dir")).localCheckpoint(true)
+    val perRound = labelStates.map { case (r, labels) =>
+      val la = labels.select(col("node").as("src"), col("community").as("ca"))
+      val lb = labels.select(col("node").as("dst"), col("community").as("cb"))
+      val intraRow = edges.join(la, "src").join(lb, "dst")
+        .where(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("intra"))
+      val dsqRow = deg
+        .join(labels.select(col("node").as("src"), col("community")), "src")
+        .groupBy(col("community"))
+        .agg(sum(col("d")).as("ds"))
+        .agg(count(lit(1)).as("n_comm"),
+          sum((col("ds").cast(d19) * col("ds").cast(d19)).cast(d38))
+            .cast(d38).as("dsq"))
+      intraRow.crossJoin(dsqRow).crossJoin(broadcast(mRow))
+        .select(lit(r).as("rounds"), col("n_comm"),
+          (col("m_dir").cast(d19) * col("intra").cast(d19) - col("dsq"))
+            .cast(d38).as("q_num_sum"),
+          col("m_dir"))
+    }
+    val u = perRound.reduce(_ unionByName _)
+    val mx = u.agg(max(col("q_num_sum")).as("qmax"))
+    u.crossJoin(broadcast(mx))
+      .select(col("rounds"), col("n_comm"), col("q_num_sum"), col("m_dir"),
+        (col("q_num_sum") === col("qmax")).as("best"))
   }
 }

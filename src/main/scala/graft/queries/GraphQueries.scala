@@ -154,16 +154,35 @@ object GraphQueries {
         .orderBy("node")),
 
     // Newman modularity of that partition (Modularity scaladoc): the
-    // SCORE half of community detection. Exact-integer per-community
-    // numerators q_num = M·i_c − d_c² over the shared M² denominator —
-    // no float anywhere, exact hash gate; the 1-row edge count rides a
-    // broadcast, never a collect. Oracle re-derives the labels through
-    // the identical unrolled LPA rounds, then the same integer algebra.
+    // SCORE half of community detection. Exact per-community
+    // numerators q_num = M·i_c − d_c² over the shared M² denominator,
+    // formed in DECIMAL(38,0) (Modularity.qNumExact — exact past the
+    // 2^63 wrap a BIGINT d_c² hits at ~3·10⁹ directed edges; GraphSpec
+    // pins the boundary against BigInt) — no float anywhere, exact
+    // hash gate; the 1-row edge count rides a broadcast, never a
+    // collect. Oracle re-derives the labels through the identical
+    // unrolled LPA rounds, then the same decimal algebra.
     "graph_modularity" -> ((s, dir) =>
       graft.operators.Modularity
         .score(supplyEdges(s, dir),
           graft.sources.StagedLayouts.lpaLabels(s, dir))
         .orderBy("community")),
+
+    // modularity-guided partition TUNING (Modularity.sweep scaladoc):
+    // Q's exact numerator for the staged LPA partitions at round
+    // counts 1..4 (StagedLayouts.lpaLabelStates — one loop run staged,
+    // the brandesForward discipline), argmax flagged. Degrees + M are
+    // computed once and shared; each extra candidate costs exactly one
+    // edge-list scan (its intra count). Same denominator M² across
+    // candidates, so comparing numerators IS comparing Q — no division
+    // ever forms. Oracle re-derives all four label states through ONE
+    // materialized unrolled LPA chain, then the same decimal algebra
+    // and window-max argmax.
+    "graph_modularity_sweep" -> ((s, dir) =>
+      graft.operators.Modularity
+        .sweep(supplyEdges(s, dir),
+          graft.sources.StagedLayouts.lpaLabelStates(s, dir))
+        .orderBy("rounds")),
 
     // 3-hop multi-source BFS over the bipartite supply graph from
     // suppliers 1..5 — frontier form, so per-round work is the frontier
@@ -326,9 +345,10 @@ object GraphQueries {
        |SELECT d AS node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
 
   /** `graph_modularity`'s oracle: labels through the identical LPA
-    * chain, then the exact-integer per-community algebra
-    * q_num = M·i_c − d_c² (Modularity scaladoc) — count/sum kept in
-    * BIGINT, no float anywhere.
+    * chain, then the exact per-community algebra q_num = M·i_c − d_c²
+    * (Modularity scaladoc) — counts/sums in BIGINT, both products
+    * formed as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) exactly
+    * like Modularity.qNumExact, no float anywhere.
     */
   private def modularitySql(rounds: Int): String =
     s"""WITH ${lpaCtes(rounds)},
@@ -345,11 +365,49 @@ object GraphQueries {
        |  GROUP BY 1)
        |SELECT ds.community, ds.n_nodes,
        |  coalesce(ia.e_dir, CAST(0 AS BIGINT)) AS e_dir, ds.d_sum,
-       |  CAST((SELECT m_dir FROM mm) * coalesce(ia.e_dir, CAST(0 AS BIGINT))
-       |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num,
+       |  CAST(CAST((SELECT m_dir FROM mm) AS DECIMAL(19,0))
+       |      * CAST(coalesce(ia.e_dir, CAST(0 AS BIGINT)) AS DECIMAL(19,0))
+       |    - CAST(ds.d_sum AS DECIMAL(19,0)) * CAST(ds.d_sum AS DECIMAL(19,0))
+       |    AS DECIMAL(38,0)) AS q_num,
        |  (SELECT m_dir FROM mm) AS m_dir
        |FROM ds LEFT JOIN ia ON ia.community = ds.community
        |ORDER BY ds.community""".stripMargin
+
+  /** `graph_modularity_sweep`'s oracle: ONE materialized LPA chain to
+    * round 4 (each lN MATERIALIZED, so the four candidates share the
+    * replay exactly like the staged Spark states), then per candidate
+    * the total-numerator algebra Σ_c q_num = M·I − Σ_c d_c² in the
+    * identical DECIMAL(19,0)→(38,0) widening, argmax via window max.
+    */
+  private def modularitySweepSql(maxRounds: Int): String = {
+    val per = (1 to maxRounds).map { r =>
+      s"""i$r AS (SELECT CAST(count(*) AS BIGINT) AS intra
+         |  FROM edges e JOIN l$r a ON a.d = e.src
+         |  JOIN l$r b ON b.d = e.dst AND b.lbl = a.lbl),
+         |g$r AS (SELECT l.lbl, CAST(sum(g.d) AS BIGINT) AS ds
+         |  FROM deg g JOIN l$r l ON l.d = g.node GROUP BY 1),
+         |d$r AS (SELECT CAST(count(*) AS BIGINT) AS n_comm,
+         |  CAST(sum(CAST(ds AS DECIMAL(19,0)) * CAST(ds AS DECIMAL(19,0)))
+         |    AS DECIMAL(38,0)) AS dsq FROM g$r),
+         |s$r AS (SELECT CAST($r AS INT) AS rounds, d$r.n_comm,
+         |  CAST(CAST((SELECT m_dir FROM mm) AS DECIMAL(19,0))
+         |      * CAST(i$r.intra AS DECIMAL(19,0)) - d$r.dsq
+         |    AS DECIMAL(38,0)) AS q_num_sum,
+         |  (SELECT m_dir FROM mm) AS m_dir
+         |  FROM i$r, d$r)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to maxRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${lpaCtes(maxRounds)},
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM edges),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |  FROM edges GROUP BY 1),
+       |$per,
+       |u AS ($un)
+       |SELECT rounds, n_comm, q_num_sum, m_dir,
+       |  q_num_sum = max(q_num_sum) OVER () AS best
+       |FROM u ORDER BY rounds""".stripMargin
+  }
 
   /** Unrolled frontier rounds — round i discovers the distinct
     * neighbors of the dist = i−1 frontier that are not yet visited,
@@ -506,6 +564,7 @@ object GraphQueries {
 
       "graph_label_prop" -> lpaSql(rounds = 3),
       "graph_modularity" -> modularitySql(rounds = 3),
+      "graph_modularity_sweep" -> modularitySweepSql(maxRounds = 4),
 
       "graph_bfs" -> bfsSql(rounds = 3),
 

@@ -245,14 +245,44 @@ class GraphSpec extends SparkSpec {
       4L -> 200L, 5L -> 200L, 6L -> 200L).toDF("node", "community")
     val got = Modularity.score(edges, labels).orderBy("community")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        r.getLong(3), r.getDecimal(4).longValueExact, r.getLong(5))).toSeq
     assert(got == Seq((100L, 3L, 6L, 7L, 35L, 14L),
       (200L, 3L, 6L, 7L, 35L, 14L)), s"modularity table diverged: $got")
     // everything in ONE community: i = M, d_sum = M → q_num = M·M − M² = 0
     val one = labels.select(col("node"), lit(7L).as("community"))
     val q0 = Modularity.score(edges, one).collect()
-    assert(q0.length == 1 && q0.head.getLong(4) == 0L,
+    assert(q0.length == 1 && q0.head.getDecimal(4).longValueExact == 0L,
       "single-community modularity must be exactly 0")
+  }
+
+  test("modularity numerator is exact past the BIGINT wrap (decimal widening boundary)") {
+    import spark.implicits._
+    import graft.operators.Modularity
+    // social-scale magnitudes where the pre-r15 Long form wrapped:
+    // d_sum² ≥ 2^63 once d_sum ≥ ~3.04e9 (≈ 2^31.5·√M band). Drive
+    // qNumExact with literal (m_dir, e_dir, d_sum) triples straddling
+    // the boundary and pin against BigInt arithmetic — including the
+    // extreme corner (2^63−1 everywhere, |q_num| ~ 8.5e37, 38 digits).
+    val cases = Seq(
+      (14L, 6L, 7L),                                     // textbook row
+      (3000000000L, 1499999999L, 3037000499L),           // just below d² wrap
+      (6000000000L, 2999999999L, 5999999999L),           // |q| ≥ 2^63: Long is WRONG
+      (4000000000L, 100L, 3800000000L),                  // |q| ≥ 2^63: Long is WRONG
+      (8000000000L, 7999999999L, 100L),                  // |q| ≥ 2^63: Long is WRONG
+      (9223372036854775807L, 9223372036854775807L, 9223372036854775807L))
+    val got = cases.toDF("m_dir", "e_dir", "d_sum")
+      .select(Modularity.qNumExact(col("m_dir"), col("e_dir"),
+        col("d_sum")).as("q"))
+      .collect().map(r => BigInt(r.getDecimal(0).toBigIntegerExact))
+    val want = cases.map { case (m, e, d) =>
+      BigInt(m) * BigInt(e) - BigInt(d) * BigInt(d) }
+    assert(got.toSeq == want,
+      s"decimal q_num diverged from BigInt truth: $got vs $want")
+    // and the wrapped Long form DID differ where it matters — the
+    // widening is load-bearing, not decorative
+    val wrapped = cases.map { case (m, e, d) => m * e - d * d }
+    assert(wrapped.zip(want).count { case (w, t) => BigInt(w) != t } >= 3,
+      "boundary cases no longer exercise the Long wrap")
   }
 
   test("label-prop and cc broadcast gates: regimes agree bit-for-bit") {
