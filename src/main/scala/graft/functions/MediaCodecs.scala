@@ -401,6 +401,56 @@ object MediaCodecs {
     null
   }
 
+  /** Per-FRAME payload hashes of one 8-bit mono PCM WAV —
+    * [[decodePpmFrameHashes]]' audio twin: the waveform split into
+    * fixed `frameSamples`-sample frames (64 by default — the audio
+    * "frame" a trimmed-clip containment search aligns on; the tail
+    * partial frame is dropped, mirroring how the video twin only
+    * hashes complete frames), each hashed with the IDENTICAL
+    * `(acc·131 + byte) mod 2³¹−1` fold over its unsigned samples.
+    * Same fold ⇒ the frame-subsequence containment machinery
+    * (rarest-hash candidates + offset-search HOF) is shared verbatim
+    * across modalities. Null for anything but PCM 8-bit mono or fewer
+    * than `frameSamples` samples.
+    */
+  def decodeWavFrameHashes(bytes: Array[Byte]): ArrayData = {
+    val frameSamples = 64
+    if (!tag(bytes, 0, "RIFF") || bytes.length < 12 || !tag(bytes, 8, "WAVE")) return null
+    var i = 12
+    var rate = -1; var bits = -1; var channels = -1
+    while (i + 8 <= bytes.length) {
+      val sz = le32(bytes, i + 4)
+      if (sz < 0 || i.toLong + 8L + sz.toLong > bytes.length.toLong) return null
+      if (tag(bytes, i, "fmt ")) {
+        if (sz < 16 || le16(bytes, i + 8) != 1) return null
+        channels = le16(bytes, i + 10)
+        rate = le32(bytes, i + 12)
+        bits = le16(bytes, i + 22)
+      } else if (tag(bytes, i, "data")) {
+        if (rate < 0 || bits != 8 || channels != 1) return null
+        val n = sz
+        val nf = n / frameSamples
+        if (nf < 1) return null
+        val P = 2147483647L
+        val B = 131L
+        val off = i + 8
+        val out = new Array[Any](nf)
+        var f = 0
+        while (f < nf) {
+          var acc = 0L
+          var j = off + f * frameSamples
+          val end = j + frameSamples
+          while (j < end) { acc = (acc * B + (bytes(j) & 0xff)) % P; j += 1 }
+          out(f) = acc
+          f += 1
+        }
+        return new GenericArrayData(out)
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    null
+  }
+
   /** Exact sign of a·b − c·d for non-negative longs — the cross-multiplied
     * average comparison without the silent Long overflow a ~1.6 GB data
     * chunk's window energies could hit (e ≤ 255·n/9 · c ≤ n/9 exceeds
@@ -458,6 +508,7 @@ object MediaCodecs {
   def ppmResizeHalf(c: Column): Column = toCol(PpmResizeExpr(toExpr(c)))
   def wavDecode(c: Column): Column = toCol(WavDecodeExpr(toExpr(c)))
   def wavAhash(c: Column): Column = toCol(WavAhashExpr(toExpr(c)))
+  def wavFrameHashes(c: Column): Column = toCol(WavFrameHashesExpr(toExpr(c)))
 
   val ppmStruct: StructType = StructType(Seq(
     StructField("w", IntegerType), StructField("h", IntegerType),
@@ -589,6 +640,16 @@ case class WavAhashExpr(child: Expression) extends UnaryExpression {
     })
   override protected def nullSafeEval(b: Any): Any =
     MediaCodecs.decodeWavAhash(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class WavFrameHashesExpr(child: Expression) extends MediaDecodeExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wav_frame_hashes"
+  override protected def method: String = "decodeWavFrameHashes"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def nullSafeEval(b: Any): Any =
+    MediaCodecs.decodeWavFrameHashes(b.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

@@ -224,30 +224,103 @@ object Multimodal {
     * [[vhashPairs]]' whole-clip fingerprint can't pair because the
     * lengths differ). Each clip decodes to its per-frame payload-hash
     * sequence ([[graft.functions.MediaCodecs.decodePpmFrameHashes]],
-    * codegen'd); candidates are clip pairs SHARING any frame hash
-    * (the pigeonhole discipline: a contained clip must share every
-    * frame, so the block join is lossless); the verify is one
-    * narrow HOF over the two hash arrays — ∃ offset o: ∀ i:
-    * ha[i] = hb[o+i] — never touching pixels. Shuffles carry
-    * (id, hash) longs; the arrays ride only the verified-candidate
-    * join. Measured density (closed-form sim): 166 clips → 68
-    * containments at sf0.01, 1,813 → 1,085 at the sampled derived
-    * dir (4k candidate pairs — no blowup).
+    * codegen'd); candidates come from each clip's RAREST frame hash
+    * only ([[frameSeqContainment]] — lossless by the containment
+    * pigeonhole, and the join bound drops from the any-shared-hash
+    * Σ df², which goes quadratic on real video's ubiquitous frames,
+    * to Σ df(rarest)); the verify is one narrow HOF over the two
+    * hash arrays — ∃ offset o: ∀ i: ha[i] = hb[o+i] — never touching
+    * pixels. Shuffles carry (id, hash) longs; the arrays ride only
+    * the verified-candidate join. Measured density (closed-form sim):
+    * 166 clips → 68 containments / 68 rarest-hash candidates at
+    * sf0.01, 1,813 → 1,085 / 1,552 at the sampled derived dir (the
+    * any-shared form generated 460 / 8,288 directed candidates —
+    * 5× more even at fixture skew). MediaCodecSpec pins verified-pair
+    * equality between the two generators on the fixture.
     *
     * Returns (media_a, media_b, f_a, f_b, off): clip a (f_a frames)
     * contained in clip b (f_b > f_a) at first offset `off`.
     */
-  def vhashContainment(media: DataFrame): DataFrame = {
+  def vhashContainment(media: DataFrame,
+      rarestOnly: Boolean = true): DataFrame = {
     val fh = media.where(col("kind") === "video")
       .select(col("media_id"),
         MediaCodecs.ppmFrameHashes(col("content")).as("hs"))
       .where(col("hs").isNotNull)
-      .cache()
+    frameSeqContainment(fh, rarestOnly)
+  }
+
+  /** Audio frame-subsequence containment — [[vhashContainment]]'s
+    * audio twin, completing the containment ladder across modalities
+    * (text [[Dedup.containmentPairs]] → video → audio): a trimmed or
+    * re-cut clip whose whole 64-sample-frame hash sequence appears
+    * contiguously inside a longer recording (the radio/podcast dedup
+    * case). Decode is the codegen'd
+    * [[graft.functions.MediaCodecs.decodeWavFrameHashes]] (the
+    * IDENTICAL `(acc·131+v) mod 2³¹−1` frame fold as the video twin);
+    * candidates and verify are [[frameSeqContainment]] verbatim —
+    * rarest-hash candidate generation, one narrow offset-search HOF,
+    * samples never join or shuffle. Measured density (closed-form sim
+    * over the synthetic corpus): 167 audio clips → 142 containments /
+    * 284 rarest-hash candidates at sf0.01; 1,813 → 18,209 / 49,768 at
+    * the sampled derived dir (vs 199,072 any-shared candidates — the
+    * rarest discipline cuts 4× even at fixture skew).
+    */
+  def ahashContainment(media: DataFrame): DataFrame = {
+    val fh = media.where(col("kind") === "audio")
+      .select(col("media_id"),
+        MediaCodecs.wavFrameHashes(col("content")).as("hs"))
+      .where(col("hs").isNotNull)
+    frameSeqContainment(fh, rarestOnly = true)
+  }
+
+  /** Shared frame-subsequence containment kernel over a per-clip hash
+    * sequence table `fh` = (media_id, hs ARRAY<BIGINT>): emit
+    * (media_a, media_b, f_a, f_b, off) where clip a's whole sequence
+    * appears contiguously inside clip b (strictly longer) at first
+    * offset `off`.
+    *
+    * Candidate generation is RAREST-HASH-ONLY (the containment
+    * pigeonhole, lossless): if a ⊆ b then EVERY frame hash of a —
+    * in particular its globally rarest one (min document frequency,
+    * ties to the smaller hash) — appears among b's hashes, so joining
+    * each clip's single rarest hash against the exploded corpus index
+    * finds every true pair while bounding the join by Σ df(rarest)
+    * instead of the any-shared-hash Σ df² — which goes quadratic on a
+    * real corpus's ubiquitous frames (black frames, title cards,
+    * silence). It also emits each candidate in ONE orientation row
+    * per container instead of both. `rarestOnly = false` keeps the
+    * any-shared-hash generator for the spec's equality pin
+    * (MediaCodecSpec: identical verified pairs on the fixture).
+    *
+    * The (df, fp) argmin rides ONE combined BIGINT key
+    * df·2³¹ + fp (frame hashes live in [0, 2³¹−1), so the modulus
+    * recovers fp exactly) — one map-side-combined aggregate, no
+    * struct ordering. Verify is one narrow HOF over the two hash
+    * arrays — ∃ offset o: ∀ i: ha[i] = hb[o+i] — never touching
+    * payload bytes; the arrays ride only the verified-candidate join.
+    */
+  private[graft] def frameSeqContainment(fhRaw: DataFrame,
+      rarestOnly: Boolean): DataFrame = {
+    val fh = fhRaw.cache()
     val ex = fh.select(col("media_id"), explode(col("hs")).as("fp")).distinct()
-    val cand = ex.select(col("media_id").as("media_a"), col("fp"))
-      .join(ex.select(col("media_id").as("media_b"), col("fp")), Seq("fp"))
-      .where(col("media_a") =!= col("media_b"))
-      .select(col("media_a"), col("media_b")).distinct()
+    val cand = if (rarestOnly) {
+      val dfc = ex.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val rare = ex.join(dfc, Seq("fp"))
+        .groupBy(col("media_id").as("media_a"))
+        .agg(min(col("dfc") * lit(2147483648L) + col("fp")).as("rk"))
+        .select(col("media_a"), (col("rk") % lit(2147483648L)).as("fp"))
+      // ex is distinct (media, fp) and rare has ONE row per media_a,
+      // so the join emits each (a, b) at most once — no distinct pass
+      rare.join(ex.select(col("media_id").as("media_b"), col("fp")), Seq("fp"))
+        .where(col("media_a") =!= col("media_b"))
+        .select(col("media_a"), col("media_b"))
+    } else {
+      ex.select(col("media_id").as("media_a"), col("fp"))
+        .join(ex.select(col("media_id").as("media_b"), col("fp")), Seq("fp"))
+        .where(col("media_a") =!= col("media_b"))
+        .select(col("media_a"), col("media_b")).distinct()
+    }
     val withArrs = cand
       .join(fh.select(col("media_id").as("media_a"), col("hs").as("ha")), Seq("media_a"))
       .join(fh.select(col("media_id").as("media_b"), col("hs").as("hb")), Seq("media_b"))

@@ -71,12 +71,27 @@ object MultimodalQueries {
     // frame-subsequence containment (Multimodal.vhashContainment
     // scaladoc): a shorter clip contiguously inside a longer one —
     // the trims/re-encodes whole-clip vhash can't pair. Real demux →
-    // per-frame payload hashes → shared-hash candidate join → one
-    // narrow HOF verify over the hash arrays. Oracle re-derives every
-    // frame hash from the closed-form generator and replays the
-    // identical offset search.
+    // per-frame payload hashes → RAREST-hash candidate join (lossless
+    // by the containment pigeonhole; bounds the join by Σ df(rarest)
+    // instead of the any-shared Σ df² that goes quadratic on real
+    // video's ubiquitous frames) → one narrow HOF verify over the
+    // hash arrays. Oracle re-derives every frame hash from the
+    // closed-form generator and replays the identical rarest-hash
+    // argmin and offset search.
     "dedup_vhash_contain" -> ((s, dir) =>
       Multimodal.vhashContainment(media(s, dir))
+        .orderBy("media_a", "media_b")),
+
+    // audio frame-subsequence containment (Multimodal.ahashContainment
+    // scaladoc): a trimmed/re-cut clip inside a longer recording —
+    // the radio/podcast dedup case, completing the containment ladder
+    // across modalities (text → video → audio). Real RIFF/PCM decode
+    // → 64-sample-frame payload hashes (the identical fold as the
+    // video twin) → the SAME rarest-hash candidate + offset-search
+    // kernel. Oracle re-derives the frame hashes from the closed-form
+    // PCM generator and replays the identical chain.
+    "dedup_ahash_contain" -> ((s, dir) =>
+      Multimodal.ahashContainment(media(s, dir))
         .orderBy("media_a", "media_b")))
 
   /** Shared CTE prefix: per-kind dimension formulas (mirror
@@ -298,46 +313,81 @@ object MultimodalQueries {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
-  /** Closed-form containment oracle: per-frame payload hashes
+  /** Shared containment-oracle suffix over a `fh` = (media_id, fi,
+    * fp) CTE: the exact replay of Multimodal.frameSeqContainment —
+    * distinct per-clip hash index, global df, per-clip rarest hash
+    * via the identical min(df·2³¹ + fp) combined key, candidates
+    * from the rarest hash only, and the same offset-search lambda —
+    * generate_series(0, f_b−f_a) is inclusive on both engines, lists
+    * ascend so offs[1] is the first offset.
+    */
+  private val containChainSql =
+    """arr AS MATERIALIZED (SELECT media_id, list(fp ORDER BY fi) AS hs
+      |  FROM fh GROUP BY 1),
+      |exd AS MATERIALIZED (SELECT DISTINCT media_id, fp FROM fh),
+      |dfc AS (SELECT fp, CAST(count(*) AS BIGINT) AS c FROM exd GROUP BY 1),
+      |rare AS (SELECT e.media_id AS media_a,
+      |    min(d.c * 2147483648 + e.fp) AS rk
+      |  FROM exd e JOIN dfc d USING (fp) GROUP BY 1),
+      |cand AS (SELECT r.media_a, e.media_id AS media_b
+      |  FROM (SELECT media_a, rk % 2147483648 AS fp FROM rare) r
+      |  JOIN exd e USING (fp) WHERE e.media_id <> r.media_a),
+      |pair AS (SELECT c.media_a, c.media_b, a.hs AS ha, b.hs AS hb,
+      |    len(a.hs) AS f_a, len(b.hs) AS f_b
+      |  FROM cand c JOIN arr a ON a.media_id = c.media_a
+      |  JOIN arr b ON b.media_id = c.media_b
+      |  WHERE len(a.hs) < len(b.hs)),
+      |ver AS (SELECT media_a, media_b, f_a, f_b,
+      |    list_filter(generate_series(0, f_b - f_a), o ->
+      |      len(list_filter(generate_series(1, f_a), i ->
+      |        ha[i] = hb[o + i])) = f_a) AS offs
+      |  FROM pair)
+      |SELECT media_a, media_b, CAST(f_a AS INT) AS f_a,
+      |  CAST(f_b AS INT) AS f_b, CAST(offs[1] AS INT) AS off
+      |FROM ver WHERE len(offs) > 0
+      |ORDER BY media_a, media_b""".stripMargin
+
+  /** Closed-form video containment oracle: per-frame payload hashes
     * re-derived from the generator with the identical
     * `(acc·131 + byte) mod 2³¹−1` fold (list_prepend(0) seeds the
-    * accumulator), shared-hash candidate join, and the same
-    * offset-search lambda — generate_series(0, f_b−f_a) is inclusive
-    * on both engines, lists ascend so offs[1] is the first offset.
+    * accumulator), then [[containChainSql]].
     */
   private val vhashContainSql =
     s"""WITH $dims,
        |fr AS (SELECT media_id, w, h, f, unnest(generate_series(0, f - 1)) AS fi FROM vid),
-       |fh AS MATERIALIZED (SELECT media_id, f, fi,
+       |fh AS MATERIALIZED (SELECT media_id, fi,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(generate_series(0, w*h*3 - 1),
        |        j -> (media_id*31 + fi*13 + j*7) % 256)),
        |      (a, v) -> (a * 131 + v) % 2147483647) AS fp
        |  FROM fr),
-       |arr AS MATERIALIZED (SELECT media_id, f, list(fp ORDER BY fi) AS hs
-       |  FROM fh GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
-       |  FROM fh x JOIN fh y ON x.fp = y.fp AND x.media_id <> y.media_id),
-       |pair AS (SELECT c.media_a, c.media_b, a.hs AS ha, b.hs AS hb,
-       |    a.f AS f_a, b.f AS f_b
-       |  FROM cand c JOIN arr a ON a.media_id = c.media_a
-       |  JOIN arr b ON b.media_id = c.media_b
-       |  WHERE a.f < b.f),
-       |ver AS (SELECT media_a, media_b, f_a, f_b,
-       |    list_filter(generate_series(0, f_b - f_a), o ->
-       |      len(list_filter(generate_series(1, f_a), i ->
-       |        ha[i] = hb[o + i])) = f_a) AS offs
-       |  FROM pair)
-       |SELECT media_a, media_b, CAST(f_a AS INT) AS f_a,
-       |  CAST(f_b AS INT) AS f_b, CAST(offs[1] AS INT) AS off
-       |FROM ver WHERE len(offs) > 0
-       |ORDER BY media_a, media_b""".stripMargin
+       |$containChainSql""".stripMargin
+
+  /** Closed-form AUDIO containment oracle: 64-sample frame hashes
+    * re-derived from the PCM generator s[j] = (m·17 + j·5) % 256
+    * (tail partial frame dropped, like the decoder), the identical
+    * fold, then [[containChainSql]] verbatim.
+    */
+  private val ahashContainSql =
+    s"""WITH m AS (SELECT doc_id AS media_id FROM documents),
+       |aud AS (SELECT media_id, CAST(256 + media_id % 513 AS BIGINT) AS n
+       |        FROM m WHERE media_id % 3 = 1),
+       |fr AS (SELECT media_id, unnest(generate_series(0, n // 64 - 1)) AS fi
+       |       FROM aud),
+       |fh AS MATERIALIZED (SELECT media_id, fi,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(0, 63),
+       |        j -> (media_id*17 + (fi*64 + j)*5) % 256)),
+       |      (a, v) -> (a * 131 + v) % 2147483647) AS fp
+       |  FROM fr),
+       |$containChainSql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_phash" -> phashSql,
     "dedup_ahash" -> ahashSql,
     "dedup_vhash" -> vhashSql,
     "dedup_vhash_contain" -> vhashContainSql,
+    "dedup_ahash_contain" -> ahashContainSql,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

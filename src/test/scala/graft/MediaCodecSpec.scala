@@ -248,6 +248,48 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodecs.decodeWav(stereo) == null)
   }
 
+  test("wav frame hashes: 64-sample frame fold matches a naive replay; tail dropped; null on junk") {
+    def naive(payload: Array[Int]): Long =
+      payload.foldLeft(0L)((a, v) => (a * 131L + v) % 2147483647L)
+    val m = 4L // an audio id (m % 3 == 1)
+    val n = (256 + m % 513).toInt
+    val samples = Array.tabulate(n)(j => ((m * 17 + j * 5) % 256).toByte)
+    val bytes = MediaCodecs.encodeWav((8000 + (m % 5) * 1000).toInt, samples)
+    val got = MediaCodecs.decodeWavFrameHashes(bytes)
+    val nf = n / 64
+    assert(got != null && got.numElements() == nf,
+      s"expected $nf full frames (tail of ${n % 64} samples dropped)")
+    for (fi <- 0 until nf) {
+      val exp = naive(Array.tabulate(64)(j => samples(fi * 64 + j) & 0xff))
+      assert(got.getLong(fi) == exp, s"frame $fi hash diverged")
+    }
+    // identity: one differing sample inside a frame moves its hash only
+    val s2 = samples.clone(); s2(3) = (s2(3) + 1).toByte
+    val g2 = MediaCodecs.decodeWavFrameHashes(MediaCodecs.encodeWav(8000, s2))
+    assert(g2.getLong(0) != got.getLong(0))
+    for (fi <- 1 until nf) assert(g2.getLong(fi) == got.getLong(fi))
+    assert(MediaCodecs.decodeWavFrameHashes("junk".getBytes) == null)
+    assert(MediaCodecs.decodeWavFrameHashes(
+      MediaCodecs.encodeWav(8000, Array.fill(63)(1.toByte))) == null)
+  }
+
+  test("containment candidates: rarest-hash generator finds the identical verified pairs") {
+    // the lossless-by-pigeonhole claim, pinned on the real fixture:
+    // rarest-frame-only candidate generation must verify to exactly
+    // the pairs the exhaustive any-shared-hash generator verifies —
+    // for BOTH modalities that share frameSeqContainment
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesizeMedia(spark, "/root/testdata/sf0.001").toDF()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_a", "media_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSeq
+    val rare = pairs(Multimodal.vhashContainment(media, rarestOnly = true))
+    val all = pairs(Multimodal.vhashContainment(media, rarestOnly = false))
+    assert(rare.nonEmpty, "fixture must exercise containment")
+    assert(rare == all, "rarest-hash candidates dropped a verified pair")
+  }
+
   test("expression form: decode round-trips through codegen on a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
