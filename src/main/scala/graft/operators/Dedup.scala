@@ -700,6 +700,54 @@ object Dedup {
     reRooted.unionByName(fresh)
   }
 
+  /** DELETE maintenance for the cluster state — the inverse operation
+    * [[incrementalCluster]] can't express: removing docs can SPLIT a
+    * component (the deleted doc may have been the only bridge), so
+    * min-label composition is not reversible and the affected
+    * components must be RE-SOLVED. The affected set is exactly the
+    * components containing a deleted doc; their surviving members'
+    * fingerprints are already IN the signature store (every ingested
+    * doc's fp, 16 bytes/doc), so the re-solve is: recompute verified
+    * pairs among the survivors (the same pigeonhole LSH — a few
+    * cluster-sized groups, never the corpus) and run a converged CC
+    * over them; members left with no pair drop out of the label table
+    * (they are singletons now), and every untouched component keeps
+    * its label row verbatim.
+    *
+    * Cost at 100 TB: O(members of touched clusters), not O(corpus) —
+    * near-dup clusters are small by construction (they'd have been
+    * collapsed otherwise), so a delete batch costs about as much as
+    * an ingest batch. Correctness: converged min-id labels of the
+    * affected survivors equal the whole-corpus-minus-deleted
+    * recompute's labels for those docs (IncrementalSpec pins the
+    * step; the `dedup_cluster_delete` oracle pins delete + re-ingest
+    * end to end).
+    *
+    * Returns the post-delete (d, lbl) label table.
+    */
+  def deleteFromCluster(storeBlocks: DataFrame, prefixLabels: DataFrame,
+      deleted: DataFrame, maxHam: Int = 3): DataFrame = {
+    val del = deleted.select(col("doc_id")).distinct().localCheckpoint(true)
+    // labels of components that lost a member
+    val delLbl = prefixLabels
+      .join(del.select(col("doc_id").as("d")), Seq("d"))
+      .select(col("lbl")).distinct()
+    // all members of those components, minus the deleted docs
+    val affected = prefixLabels.join(broadcast(delLbl), Seq("lbl"))
+    val survivors = affected
+      .join(del.select(col("doc_id").as("d")), Seq("d"), "left_anti")
+    // fingerprints straight from the store (no re-hash of text)
+    val fps = storeBlocks.select(col("doc_id"), col("fp")).distinct()
+      .join(survivors.select(col("d").as("doc_id")), Seq("doc_id"))
+      .localCheckpoint(true)
+    val relabeled = connectedComponentsConverged(
+      hammingBlockPairs(fps, maxHam)
+        .select(col("doc_a"), col("doc_b")))
+    prefixLabels.join(broadcast(delLbl), Seq("lbl"), "left_anti")
+      .select(col("d"), col("lbl"))
+      .unionByName(relabeled)
+  }
+
   /** MinHash band rows for a signature frame (doc_id, h0..h{n-1}):
     * (band, k0..k{rowsPerBand-1}, doc_id, h0..h{n-1}) — the signature
     * rides on every band row so a probe can verify (count matching

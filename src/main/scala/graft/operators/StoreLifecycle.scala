@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the persisted incremental stores (simhash blocks,
+  * minhash bands, IVF / IVF-PQ postings, prefix cluster labels): the
+  * two operations a production ingest pipeline runs besides append —
+  *
+  *   DELETE: takedowns / right-to-be-forgotten must vanish from dedup
+  *   and ANN serving. The mechanism is a TOMBSTONE table (the day's
+  *   deleted ids — small by definition, like the ingest batch) applied
+  *   as a broadcast anti-join at serve time ([[applyTombstones]]):
+  *   the store scan streams unchanged, no store rewrite on the delete
+  *   path, and every probe sees the post-delete corpus. The oracle
+  *   gates prove serving over (store ▷ tombstones) ≡ a whole-corpus
+  *   recompute that never ingested the deleted rows.
+  *
+  *   COMPACT: repeated small appends fragment a bucketed store (every
+  *   append writes its own file per bucket — N appends ⇒ N·buckets
+  *   files, the classic small-files decay); compaction is the
+  *   copy-on-write rewrite (the Compact / q_merge_upsert precedent)
+  *   that folds accumulated tombstones in AND restores one file per
+  *   bucket. Physical layout changes; serving must not
+  *   (`dedup_incremental_compact` / `sim_ann_delete_pq` share their
+  *   oracle with the logical-delete twin; IncrementalSpec pins the
+  *   file-count A/B). Stores stay bucketed on the probe key through
+  *   the rewrite, so the exchange-free probe plan survives compaction.
+  *
+  * The fixture's deterministic tombstone sets are re-derivable by the
+  * DuckDB oracle from the same predicates, and were density-measured
+  * BEFORE build so every gate is non-vacuous at sf0.01: docs ≡ 3
+  * (mod 17) within the prefix (≈6%) flip 2 `dedup_incremental`
+  * decisions and touch 148 near-dup pairs (affected clusters); vecs
+  * need the denser ≡ 3 (mod 7) (≈14%) because the mod-17 set grazed
+  * the PQ top-3 lists with 0 hits — measured: 3 raw / 4 PQ served
+  * rows change.
+  */
+object StoreLifecycle {
+
+  /** Deterministic DOC tombstones: doc_id ≡ 3 (mod 17) AND ≤ `thr`
+    * (only already-ingested rows can be deleted).
+    */
+  def tombstonedDocs(idCol: Column, thr: Long): Column =
+    idCol % 17 === 3 && idCol <= thr
+
+  /** Deterministic VECTOR tombstones: vec_id ≡ 3 (mod 7) AND ≤ `thr`
+    * — denser than the doc set because the fixture's mod-17 slice
+    * never intersected a PQ top-3 list (the gate would have been
+    * vacuous; measured first, per the density-before-build
+    * discipline).
+    */
+  def tombstonedVecs(idCol: Column, thr: Long): Column =
+    idCol % 7 === 3 && idCol <= thr
+
+  /** Logical delete: anti-join the (small, broadcast) tombstone table
+    * out of the store scan — the serve-time form; the store file
+    * layout is untouched and the probe plan keeps streaming it.
+    */
+  def applyTombstones(store: DataFrame, tombstones: DataFrame,
+      key: String): DataFrame =
+    store.join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
+}

@@ -189,6 +189,63 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // store-lifecycle DELETE (StoreLifecycle scaladoc): takedowns must
+    // vanish from incremental-dedup serving. The tombstone table (the
+    // deterministic ≡3 mod 17 prefix slice) is applied as a broadcast
+    // anti-join at serve time — the store layout is untouched, the
+    // probe plan unchanged. Oracle = the whole-corpus recompute where
+    // deleted docs never count as priors (they are > thr-safe: only
+    // prefix rows are ever tombstoned); equality proves logical
+    // deletion ≡ a corpus that never ingested those docs.
+    "dedup_incremental_delete" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.simhashStore(s, dir)
+      val tomb = docs(s, dir)
+        .where(graft.operators.StoreLifecycle.tombstonedDocs(col("doc_id"), thr))
+      Dedup.incrementalDedup(
+          graft.operators.StoreLifecycle.applyTombstones(
+            s.table(tbl), tomb, "doc_id"),
+          docs(s, dir).where(col("doc_id") > thr))
+        .orderBy("doc_id")
+    }),
+
+    // store-lifecycle COMPACTION: the same decisions served from the
+    // PHYSICALLY rewritten store — the 3-append fragmented layout
+    // (StagedLayouts.simhashStoreAppended, 24 files) with tombstones
+    // folded in copy-on-write, back to one file per bucket
+    // (simhashStoreCompacted). Shares dedup_incremental_delete's
+    // oracle verbatim: compaction must change layout, never answers.
+    // IncrementalSpec pins the file-count A/B.
+    "dedup_incremental_compact" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.simhashStoreCompacted(s, dir)
+      Dedup.incrementalDedup(s.table(tbl),
+          docs(s, dir).where(col("doc_id") > thr))
+        .orderBy("doc_id")
+    }),
+
+    // store-lifecycle DELETE for the CLUSTER state
+    // (Dedup.deleteFromCluster scaladoc): removing docs can SPLIT
+    // components, so the affected components (and only those) are
+    // re-solved from the store's fingerprints, then the batch ingests
+    // incrementally on the post-delete state — the full lifecycle
+    // delete + append in one query. Oracle = the converged
+    // whole-corpus cluster recompute over documents-minus-deleted
+    // (never sees store, tombstones, or the split).
+    "dedup_cluster_delete" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.simhashStore(s, dir)
+      val store = s.table(tbl)
+      val tomb = docs(s, dir)
+        .where(graft.operators.StoreLifecycle.tombstonedDocs(col("doc_id"), thr))
+      val postDelete = Dedup.deleteFromCluster(store,
+        graft.sources.StagedLayouts.prefixClusterLabels(s, dir), tomb)
+      Dedup.incrementalCluster(
+          graft.operators.StoreLifecycle.applyTombstones(store, tomb, "doc_id"),
+          postDelete,
+          docs(s, dir).where(col("doc_id") > thr))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("csize"), max(col("d")).as("max_d"))
+        .orderBy("cluster_id")
+    }),
+
     // the MinHash-banded twin of dedup_incremental (Jaccard-similar
     // docs the token-frequency simhash profile can't catch): persisted
     // band-row store with signatures riding the rows, broadcast batch
@@ -386,18 +443,33 @@ object DedupQueries {
   }
 
   /** Shared toks→hs→sums→fp CTE chain for the simhash queries. */
-  private def simhashCtes: String = {
+  private def simhashCtes: String = simhashCtesWhere("")
+
+  /** The lifecycle-delete oracles pass `docWhere` to re-derive the
+    * corpus as if tombstoned docs were never ingested; thresholds
+    * inside the predicate read the UNFILTERED documents table (thr is
+    * fixed at ingest time, before any delete — matching
+    * StagedLayouts.simhashStore's contract).
+    */
+  private def simhashCtesWhere(docWhere: String): String = {
     val sums = (0 until Dedup.SimhashBits).map(b =>
       s"sum(${Dedup.simhashContribSql(b, "h")}) AS s$b").mkString(",\n        ")
     s"""toks AS (SELECT DISTINCT doc_id, tok FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-       |    FROM documents) t WHERE tok <> ''),
+       |    FROM documents$docWhere) t WHERE tok <> ''),
        |hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
        |sums AS (SELECT doc_id,
        |        $sums
        |      FROM hs GROUP BY doc_id),
        |fp AS MATERIALIZED (SELECT doc_id, ${Dedup.simhashFpSql} AS fp FROM sums)""".stripMargin
   }
+
+  /** WHERE clause deriving the post-delete corpus: NOT tombstoned
+    * (≡3 mod 17 within the ingest prefix — the exact
+    * StoreLifecycle.tombstonedDocs predicate).
+    */
+  private val notDeletedWhere =
+    " WHERE NOT (doc_id % 17 = 3 AND doc_id <= (SELECT (max(doc_id) * 4) // 5 FROM documents))"
 
   private def simhashSql: String =
     s"""WITH $simhashCtes
@@ -467,7 +539,20 @@ object DedupQueries {
     * recompute. Thresholds are integer-exact: `(max*4)//5` in DuckDB,
     * `max*4/5` in Long arithmetic on the Spark side.
     */
-  private def incrementalSql: String =
+  private def incrementalSql: String = incrementalSqlWith(excludeDeleted = false)
+
+  /** `excludeDeleted` re-derives the lifecycle-delete gate: tombstoned
+    * docs (≡3 mod 17, prefix-only — StoreLifecycle.tombstonedDocs)
+    * simply never count as priors, exactly "a corpus that never
+    * ingested them" (they are ≤ thr by construction, so the batch
+    * side is untouched). Shared verbatim by `dedup_incremental_delete`
+    * (logical tombstone read) and `dedup_incremental_compact` (the
+    * physically rewritten store) — compaction must never change
+    * answers.
+    */
+  private def incrementalSqlWith(excludeDeleted: Boolean): String = {
+    val del = if (excludeDeleted)
+      " AND NOT (doc_a % 17 = 3 AND doc_a <= (SELECT t FROM thr))" else ""
     s"""WITH $simhashCtes,
        |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
        |blocks AS (SELECT doc_id, fp,
@@ -481,13 +566,14 @@ object DedupQueries {
        |      FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3),
        |agg AS (SELECT doc_b AS doc_id, count(*) AS n_prior_dups,
        |               min(doc_a) AS nearest_prior, min(ham) AS min_ham
-       |        FROM p WHERE doc_b > (SELECT t FROM thr) GROUP BY doc_b)
+       |        FROM p WHERE doc_b > (SELECT t FROM thr)$del GROUP BY doc_b)
        |SELECT f.doc_id, (a.doc_id IS NULL) AS kept,
        |  coalesce(a.n_prior_dups, CAST(0 AS BIGINT)) AS n_prior_dups,
        |  a.nearest_prior, a.min_ham
        |FROM fp f LEFT JOIN agg a ON a.doc_id = f.doc_id
        |WHERE f.doc_id > (SELECT t FROM thr)
        |ORDER BY f.doc_id""".stripMargin
+  }
 
   /** Unrolled hash-min label propagation over the verified
     * simhash-Hamming pairs — the SQL twin of
@@ -500,7 +586,10 @@ object DedupQueries {
     * Dedup.connectedComponents). Used by both the cluster-profile and
     * canonical-selection oracles.
     */
-  private def clusterLabelCtes(iters: Int): String = {
+  private def clusterLabelCtes(iters: Int): String =
+    clusterLabelCtesWhere(iters, "")
+
+  private def clusterLabelCtesWhere(iters: Int, docWhere: String): String = {
     // every lN is referenced twice by lN+1 (and `e` by every round):
     // without MATERIALIZED DuckDB re-executes the whole upstream chain
     // per reference — 2^iters recomputations of the simhash pipeline.
@@ -514,7 +603,7 @@ object DedupQueries {
          |  SELECT e.u AS d, l.lbl FROM e JOIN l${i - 1} l ON l.d = e.v
          |) GROUP BY d)""".stripMargin
     }.mkString(",\n")
-    s"""$simhashCtes,
+    s"""${simhashCtesWhere(docWhere)},
        |blocks AS MATERIALIZED (SELECT doc_id, fp, b, (fp >> (16 * b)) & 65535 AS k
        |           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) bs),
        |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, x.fp AS fp_a,
@@ -531,6 +620,18 @@ object DedupQueries {
 
   private def clusterSql(iters: Int): String =
     s"""WITH ${clusterLabelCtes(iters)}
+       |SELECT lbl AS cluster_id, count(*) AS csize, max(d) AS max_d
+       |FROM l$iters GROUP BY lbl ORDER BY cluster_id""".stripMargin
+
+  /** `dedup_cluster_delete`'s oracle: the identical converged cluster
+    * recompute over the post-delete corpus — tombstoned docs filtered
+    * out BEFORE fingerprinting, so the oracle never sees the store,
+    * the tombstone table, the affected-component re-solve, or the
+    * batch split; equality proves delete + re-ingest composition ≡
+    * whole-corpus-minus-deleted rebuild.
+    */
+  private def clusterDeleteSql(iters: Int): String =
+    s"""WITH ${clusterLabelCtesWhere(iters, notDeletedWhere)}
        |SELECT lbl AS cluster_id, count(*) AS csize, max(d) AS max_d
        |FROM l$iters GROUP BY lbl ORDER BY cluster_id""".stripMargin
 
@@ -709,6 +810,9 @@ object DedupQueries {
     // keeps its declared fixed-6 contract, this query pins the
     // converged one)
     "dedup_cluster_incremental" -> clusterSql(12),
+    "dedup_cluster_delete" -> clusterDeleteSql(12),
+    "dedup_incremental_delete" -> incrementalSqlWith(excludeDeleted = true),
+    "dedup_incremental_compact" -> incrementalSqlWith(excludeDeleted = true),
 
     "dedup_canonical" -> canonicalSql(6),
 

@@ -157,6 +157,51 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // store-lifecycle DELETE for ANN serving (StoreLifecycle scaladoc):
+    // taken-down vectors must vanish from the index. The tombstone
+    // table (the deterministic ≡3 mod 7 prefix slice — denser than the
+    // doc set, measured to actually flip top-3 lists) anti-joins the
+    // postings store at serve time; the batch appends as usual. Oracle
+    // = the whole-corpus IVF recompute where tombstoned vecs never
+    // enter the candidate side (queries are batch-head, never
+    // tombstoned) — logical deletion ≡ an index that never ingested
+    // them.
+    "sim_ann_delete" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.ivfPostingsStore(s, dir)
+      val embDf = Similarity.emb(s, dir)
+      val tomb = embDf.where(
+        graft.operators.StoreLifecycle.tombstonedVecs(col("vec_id"), thr))
+      val batch = Similarity.ivfAssignBroadcast(
+        embDf.where(col("vec_id") > thr), coarse)
+      val index = graft.operators.StoreLifecycle
+        .applyTombstones(s.table(tbl), tomb, "vec_id")
+        .unionByName(batch)
+      val q = batch.orderBy("vec_id").limit(10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell"))
+      Similarity.ivfServe(index, q, k = 3).orderBy("qid", "rk")
+    }),
+
+    // delete + COMPACTION on the compressed store — the PQ postings
+    // store grows fastest per append in production (codes per vector,
+    // many batches), so it gets the physical pass: tombstones folded
+    // in copy-on-write, one file per cell bucket
+    // (StagedLayouts.ivfPqStoreCompacted), ADC serve unchanged over
+    // compacted-store ∪ batch. Oracle = the whole-corpus IVF+PQ
+    // recompute minus tombstoned candidates — compaction must change
+    // layout, never answers.
+    "sim_ann_delete_pq" -> ((s, dir) => {
+      val (ctbl, thr) = graft.sources.StagedLayouts.ivfPqStoreCompacted(s, dir)
+      val books = graft.operators.TrainedPqCodebooks.books
+      val batchRaw = Similarity.emb(s, dir).where(col("vec_id") > thr)
+      val index = s.table(ctbl).unionByName(
+        Similarity.ivfPqEncodeBroadcast(batchRaw, coarse, books))
+      val queries = Similarity.ivfPqQueriesBroadcast(
+        batchRaw.orderBy("vec_id").limit(10), coarse, books, nprobe = 2)
+      Similarity.ivfPqServe(index, queries, books.length, k = 3)
+        .orderBy("qid", "rk")
+    }),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -285,7 +330,16 @@ object SimilarityQueries {
     * The oracle never sees the store/batch split; equality proves
     * append-based ingest ≡ full index rebuild.
     */
-  private def ivfIncrSql: String =
+  private def ivfIncrSql: String = ivfIncrSqlWith(excludeDeleted = false)
+
+  /** `excludeDeleted` re-derives `sim_ann_delete`: tombstoned vecs
+    * (≡3 mod 7 within the prefix — StoreLifecycle.tombstonedVecs)
+    * never enter the candidate side; queries are the batch head
+    * (> thr) so the query set is untouched by construction.
+    */
+  private def ivfIncrSqlWith(excludeDeleted: Boolean): String = {
+    val del = if (excludeDeleted)
+      " AND NOT (b.vec_id % 7 = 3 AND b.vec_id <= (SELECT t FROM thr))" else ""
     s"""WITH $embCte,
        |$centCteSql,
        |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
@@ -297,11 +351,12 @@ object SimilarityQueries {
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM cc
        |      WHERE vec_id > (SELECT t FROM thr) ORDER BY vec_id LIMIT 10),
        |j AS (SELECT q.qid, q.cell, b.vec_id, ${rndSql(cosN("q.qv", "b.v", "q.qnrm", "b.nrm"), 5)} AS cos5
-       |      FROM q JOIN cc b USING (cell) WHERE b.vec_id <> q.qid),
+       |      FROM q JOIN cc b USING (cell) WHERE b.vec_id <> q.qid$del),
        |r AS (SELECT qid, cell, vec_id, cos5,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
        |      FROM j)
        |SELECT qid, cell, rk, vec_id, cos5 FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+  }
 
   /** Multi-probe IVF oracle: probe ranking by (d, cid) — the same
     * (d, c) struct order the Spark sort_array uses; d is the identical
@@ -375,7 +430,8 @@ object SimilarityQueries {
     * head above the ingest threshold).
     */
   private def ivfPqSqlWith(
-      qidsCte: String = "SELECT vec_id AS qid FROM en WHERE vec_id < 10"): String = {
+      qidsCte: String = "SELECT vec_id AS qid FROM en WHERE vec_id < 10",
+      indexFilter: String = ""): String = {
     val books = graft.operators.TrainedPqCodebooks.books
     val subDim = books.head.head.vec.length
     s"""WITH $embCte,
@@ -399,7 +455,7 @@ object SimilarityQueries {
        |dt AS (SELECT vec_id AS qid, s, cid, d FROM code_d
        |      WHERE vec_id IN (SELECT qid FROM qids)),
        |pair AS (SELECT p2.qid, a.cell, a.vec_id, cc.s, dt.d
-       |      FROM p2 JOIN asg a ON a.cell = p2.pcell AND a.vec_id <> p2.qid
+       |      FROM p2 JOIN asg a ON a.cell = p2.pcell AND a.vec_id <> p2.qid$indexFilter
        |      JOIN cc ON cc.vec_id = a.vec_id
        |      JOIN dt ON dt.qid = p2.qid AND dt.s = cc.s AND dt.cid = cc.code),
        |j AS (SELECT qid, cell, vec_id, ${rndSql(adcFold, 5)} AS adc5
@@ -473,6 +529,13 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ivfSql,
     "sim_ann_incremental" -> ivfIncrSql,
     "sim_ann_incremental_pq" -> ivfPqIncrSql,
+    "sim_ann_delete" -> ivfIncrSqlWith(excludeDeleted = true),
+    "sim_ann_delete_pq" -> ivfPqSqlWith(
+      """SELECT vec_id AS qid FROM en
+        |      WHERE vec_id > (SELECT (max(vec_id) * 4) // 5 FROM en)
+        |      ORDER BY vec_id LIMIT 10""".stripMargin,
+      indexFilter =
+        " AND NOT (a.vec_id % 7 = 3 AND a.vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM en))"),
     "sim_ann_ivf_mp" -> ivfMpSql,
     "sim_near_pairs_lsh_mt" -> lshMtSql,
     "sim_pq_topk" -> pqSql,

@@ -239,6 +239,116 @@ object StagedLayouts {
     })
   }
 
+  // ---- store lifecycle: multi-append + compacted variants -------------
+
+  /** The simhash signature store REBUILT as three bucketed APPENDS
+    * (sub-ranges doc_id % 3 of [[simhashStore]]'s rows — the fixture's
+    * stand-in for three ingest days): every append writes its own file
+    * per bucket, so the table accumulates 3×8 files — the small-files
+    * decay a real append-only store suffers, staged honestly so
+    * compaction has something real to fix (IncrementalSpec pins the
+    * before/after file counts). Rows are identical to the one-shot
+    * store; the probe plan is unchanged (still bucketed on `bk`).
+    * Returns (table name, prefix threshold).
+    */
+  def simhashStoreAppended(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"sigapp:$sfDir", _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_sigstore_app_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_app").toString
+      staged.put(s"sigappstore:$sfDir", tmp)
+      val (base, thr) = simhashStore(s, sfDir)
+      val rows = s.table(base)
+      (0 until 3).foreach { day =>
+        val w = rows.where(col("doc_id") % 3 === day)
+          .repartition(8, col("bk"))
+          .write.bucketBy(8, "bk").sortBy("bk")
+        (if (day == 0) w.option("path", s"$tmp/$name").mode("overwrite")
+         else w.mode("append")).saveAsTable(name)
+      }
+      (name, thr)
+    })
+  }
+
+  /** The COMPACTED simhash store: [[simhashStoreAppended]] with the
+    * lifecycle tombstones (StoreLifecycle.tombstonedDocs) folded in
+    * and the layout rewritten copy-on-write — back to ONE file per
+    * bucket, still bucketed on `bk` so the exchange-free probe plan
+    * survives the rewrite. This is the compaction pass a production
+    * store runs after accumulated appends + deletes; serving from it
+    * must equal serving from (appended store ▷ tombstones) — the
+    * `dedup_incremental_compact` gate. Returns (table name, thr).
+    */
+  def simhashStoreCompacted(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"sigcmp:$sfDir", _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_sigstore_cmp_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_cmp").toString
+      staged.put(s"sigcmpstore:$sfDir", tmp)
+      val (app, thr) = simhashStoreAppended(s, sfDir)
+      // read the store's FILES as a plain parquet scan (what a real
+      // compactor does): reading via the catalog table claims
+      // HashPartitioning(bk, 8), which lets Catalyst drop the
+      // repartition as redundant — and then autoBucketedScan executes
+      // the scan UNBUCKETED (nothing downstream needs the
+      // distribution), so write tasks hold mixed buckets and the
+      // rewrite fragments to ~17 files instead of 8 (observed; the
+      // IncrementalSpec A/B caught it). A plain scan advertises no
+      // partitioning, so the bucket-aligned exchange actually runs.
+      s.read.parquet(tableLocation(s, app))
+        .where(!graft.operators.StoreLifecycle.tombstonedDocs(col("doc_id"), thr))
+        .repartition(8, col("bk"))
+        .write.bucketBy(8, "bk").sortBy("bk")
+        .option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
+  /** The COMPACTED IVF-PQ postings store — [[simhashStoreCompacted]]'s
+    * twin on the fastest-growing store (codes per vector, many
+    * batches): [[ivfPqPostingsStore]] with the vector tombstones
+    * (StoreLifecycle.tombstonedVecs) folded in, rewritten one file
+    * per `cell` bucket. `sim_ann_delete_pq` serves from it and must
+    * match the whole-corpus-minus-deleted recompute. Returns
+    * (table name, thr).
+    */
+  def ivfPqStoreCompacted(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"ivfpqcmp:$sfDir", _ => {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_ivfpqstore_cmp_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqcmp").toString
+      staged.put(s"ivfpqcmpstore:$sfDir", tmp)
+      val (base, thr) = ivfPqPostingsStore(s, sfDir)
+      // plain-file scan for the same reason as simhashStoreCompacted
+      s.read.parquet(tableLocation(s, base))
+        .where(!graft.operators.StoreLifecycle.tombstonedVecs(col("vec_id"), thr))
+        .repartition(8, col("cell"))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
+  private def tableLocation(s: SparkSession, tableName: String): String =
+    s.sql(s"DESCRIBE TABLE EXTENDED $tableName")
+      .where(col("col_name") === "Location")
+      .head.getString(1)
+
+  /** Parquet data-file count of a staged TABLE's directory — the
+    * compaction A/B measurement (IncrementalSpec).
+    */
+  def tableFileCount(s: SparkSession, tableName: String): Int = {
+    val loc = tableLocation(s, tableName).stripPrefix("file:")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(loc)).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+  }
+
   // ---- shared co-occurrence edge list (graph consumers) --------------
 
   /** Part co-occurrence (market-basket) edge list `(u, v)` with u < v,

@@ -188,6 +188,89 @@ class IncrementalSpec extends SparkSpec {
       "two-day ingest must land on the byte-identical label table")
   }
 
+  test("lifecycle: append + delete + append ≡ a store that never ingested the deleted docs") {
+    import graft.operators.StoreLifecycle
+    val (thr, maxId) = bounds
+    val mid = (thr + maxId) / 2
+    val store0 = Dedup.fpBlockKeys(
+      Dedup.simhash(docs.where(col("doc_id") <= thr)))
+    val b1 = docs.where(col("doc_id") > thr && col("doc_id") <= mid)
+    val b2 = docs.where(col("doc_id") > mid)
+    // day 1: ingest b1 and append its signatures; then a delete batch
+    // lands (tombstones over everything ingested so far); day 2
+    // ingests b2 against the post-delete state
+    val store1 = store0.unionByName(Dedup.fpBlockKeys(Dedup.simhash(b1)))
+    val tomb = docs.where(StoreLifecycle.tombstonedDocs(col("doc_id"), mid))
+    assert(tomb.count() > 0, "tombstone slice must be non-empty")
+    val got = Dedup
+      .incrementalDedup(StoreLifecycle.applyTombstones(store1, tomb, "doc_id"), b2)
+      .orderBy("doc_id").collect().toSeq
+    // rebuild: a store built from a corpus that never ingested them
+    val rebuilt = Dedup.fpBlockKeys(Dedup.simhash(docs.where(
+      col("doc_id") <= mid &&
+        !StoreLifecycle.tombstonedDocs(col("doc_id"), mid))))
+    val want = Dedup.incrementalDedup(rebuilt, b2)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want,
+      "append + delete + append must equal the never-ingested rebuild")
+  }
+
+  test("lifecycle: compaction rewrites layout, never answers (file-count A/B)") {
+    import graft.sources.StagedLayouts
+    val (app, _) = StagedLayouts.simhashStoreAppended(spark, sf)
+    val (cmp, thr) = StagedLayouts.simhashStoreCompacted(spark, sf)
+    val (base, _) = StagedLayouts.simhashStore(spark, sf)
+    // the A/B: three appends fragmented the store (a file per bucket
+    // PER APPEND); compaction restores one file per bucket
+    val nApp = StagedLayouts.tableFileCount(spark, app)
+    val nCmp = StagedLayouts.tableFileCount(spark, cmp)
+    assert(nApp > nCmp && nCmp <= 8,
+      s"expected fragmented > compacted <= 8 files, got $nApp vs $nCmp")
+    // appended rows ≡ the one-shot store's rows
+    assert(spark.table(app).exceptAll(spark.table(base)).isEmpty &&
+      spark.table(base).exceptAll(spark.table(app)).isEmpty,
+      "multi-append store must carry the identical rows")
+    // compacted rows ≡ appended minus tombstones
+    val tombRows = spark.table(app).where(
+      graft.operators.StoreLifecycle.tombstonedDocs(col("doc_id"), thr))
+    assert(spark.table(cmp).count() ==
+      spark.table(app).count() - tombRows.count(),
+      "compaction must fold in exactly the tombstoned rows")
+    // serving equality at the query layer: compacted store ≡ logical
+    // tombstone read — and the probe plan survives the rewrite
+    // (still the bucketed exchange-free scan + broadcast batch)
+    val del = graft.queries.DedupQueries
+      .queries("dedup_incremental_delete")(spark, sf).collect().toSeq
+    val viaCmp = graft.queries.DedupQueries
+      .queries("dedup_incremental_compact")(spark, sf)
+    assert(viaCmp.collect().toSeq == del,
+      "compaction changed serving answers")
+    val p = plan(viaCmp)
+    assert(p.contains("BroadcastHashJoin") && p.contains("Bucketed: true"),
+      "compacted store must keep the exchange-free bucketed probe plan")
+  }
+
+  test("lifecycle: cluster delete re-solve ≡ converged recompute on the post-delete prefix") {
+    import graft.operators.StoreLifecycle
+    val (thr, _) = bounds
+    val prefix = docs.where(col("doc_id") <= thr)
+    val store = Dedup.fpBlockKeys(Dedup.simhash(prefix))
+    val labels0 = Dedup.connectedComponentsConverged(Dedup.simhashPairs(prefix))
+      .localCheckpoint(true)
+    val tomb = prefix.where(StoreLifecycle.tombstonedDocs(col("doc_id"), thr))
+    // non-vacuity: at least one deleted doc was actually clustered, so
+    // an affected component exists and the re-solve path runs
+    assert(labels0.join(tomb.select(col("doc_id").as("d")), Seq("d")).count() > 0,
+      "fixture tombstones must touch a clustered doc")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("d").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val got = tbl(Dedup.deleteFromCluster(store, labels0, tomb))
+    val want = tbl(Dedup.connectedComponentsConverged(Dedup.simhashPairs(
+      prefix.where(!StoreLifecycle.tombstonedDocs(col("doc_id"), thr)))))
+    assert(got == want,
+      "affected-component re-solve must equal the post-delete converged recompute")
+  }
+
   test("incremental decisions equal the whole-corpus recompute") {
     val (thr, _) = bounds
     val store = Dedup.fpBlockKeys(
