@@ -81,6 +81,19 @@ object Bench {
     val total = results.map(_._2).sum
     val totalWarm = results.map(_._3).sum
     val errJson = errors.map { case (n, m) => s"\"$n\":\"$m\"" }.mkString("{", ",", "}")
+    // Staging attribution (round-14 adjudication ask): staged artifacts
+    // move a round loop / index build out of the queries that scan
+    // them; their one-time build cost lands inside whichever consumer
+    // runs first and is reported HERE by artifact so cross-engine
+    // comparisons can attribute it. Only the measured dir's builds
+    // count (the sf0.001 warm-canary stagings are JIT warmup, not
+    // measurement).
+    val staging = graft.sources.StagedLayouts.stagingSeconds
+      .filter(_._1.endsWith(s":$sfDir")).toSeq.sortBy(_._1)
+    val stagingTotal = staging.map(_._2).sum
+    val stagingJson = staging
+      .map { case (k, v) => "\"" + k.takeWhile(_ != ':') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     // Protocol self-description (round-9 adjudication ask): the driver
     // invokes this main ONCE, in-load with the rest of its round work,
     // while BASELINE.md's closing numbers come from 3 isolated fresh-JVM
@@ -102,7 +115,7 @@ object Bench {
           txt.length < 600) txt else "null"
       } else "null"
     }
-    val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"mode":"$mode","n_repeats":1,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmt(_._2)},"value_warm":${fmt3(totalWarm)},"queries_warm":${fmt(_._3)},"n_errors":${errors.size},"errors":$errJson,"staging_sec":${fmt3(stagingTotal)},"staging":$stagingJson,"mode":"$mode","n_repeats":1,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     val headline = Set(
@@ -116,7 +129,7 @@ object Bench {
       "graph_pagerank", "q_bucket_join", "q_merge_upsert", "q_dq_checks",
       "graph_kcore", "q_incr_agg",
       "dedup_incremental", "graph_betweenness", "text_unigram_lm")
-    val proto = s""""mode":"$mode","n_repeats":1,"closing":$closing"""
+    val proto = s""""staging_sec":${fmt3(stagingTotal)},"mode":"$mode","n_repeats":1,"closing":$closing"""
     val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${fmtMap(_._2, fmt2, headline)},"value_warm":${fmt3(totalWarm)},"n_queries":${results.size},"n_errors":${errors.size},$proto,"detail":"bench_detail.json","sf":"$sfDir"}"""
     // If the headline subset ever outgrows the driver's ~2.5KB stdout
     // capture, fall back to a totals-only line rather than throwing away

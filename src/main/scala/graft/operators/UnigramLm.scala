@@ -234,7 +234,11 @@ object UnigramLm {
     * [[encodeBroadcast]] and [[encodeFromModel]]: each word's DISTINCT
     * candidate substrings (the only keys its DP can ever probe)
     * inner-joined against the broadcast (p, w) weight table — every
-    * word matches at least its single chars, so no word is lost —
+    * word matches at least its single chars, so no word is lost,
+    * PROVIDED the weight table covers every character of the corpus
+    * being encoded (true by construction when serving the fit corpus;
+    * [[encodeFromModel]] augments the table with OOV-character
+    * fallback weights so it also holds for a fresh serving corpus) —
     * re-assembled into a PER-ROW weight map (`map_from_entries`), then
     * the identical Viterbi fold over that column.
     */
@@ -285,6 +289,21 @@ object UnigramLm {
     * Output is bit-identical to [[encode]] over the same corpus +
     * fitted model (TextOpsSpec pins it): Long→Double casts and the
     * division are exact-rounded IEEE ops wherever they run.
+    *
+    * OOV contract: the fit corpus seeds every single character it
+    * contains into the model, but TODAY'S corpus can carry characters
+    * the model never saw — without a defined fallback the candidate
+    * inner join has no weight for them, the DP cannot cross the
+    * unknown position, and the word either stalls (partially-unknown)
+    * or vanishes from the output entirely (fully-unknown — the
+    * silent-row-loss serving bug). So the weight table is augmented
+    * IN-PLAN with today's OOV single characters at the natural
+    * Laplace-unseen weight (0+1)/(T+P): character-level segmentation
+    * is always reachable, every word of the serving corpus yields
+    * exactly one deterministic row (TextOpsSpec pins it), and serving
+    * the fit corpus is unchanged (its OOV set is empty by
+    * construction, so `text_unigram_encode_store`'s oracle is
+    * untouched).
     */
   def encodeFromModel(docs: DataFrame, model: DataFrame, maxLen: Int = 12,
                       maxPiece: Int = 4): DataFrame = {
@@ -293,6 +312,15 @@ object UnigramLm {
       .select(col("piece").as("p"),
         ((col("cnt") + lit(1L)).cast("double")
           / (col("t") + col("np")).cast("double")).as("w"))
-    viterbiEncode(wordDict(docs, maxLen), wdf, maxPiece)
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    val oov = dict
+      .select(explode(split(col("word"), "")).as("p"))
+      .where(col("p") =!= "").distinct()
+      .join(model.select(col("piece").as("p")), Seq("p"), "left_anti")
+      .crossJoin(broadcast(tp))
+      .select(col("p"),
+        (lit(1L).cast("double")
+          / (col("t") + col("np")).cast("double")).as("w"))
+    viterbiEncode(dict, wdf.unionByName(oov), maxPiece)
   }
 }

@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
 object StagedLayouts {
 
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // ---- staging-cost attribution -------------------------------------
+  // Staged artifacts move a round loop / index build out of the
+  // queries that scan them, so a timed comparison against an engine
+  // running the loop inline is only honest when the one-time build
+  // cost is REPORTED next to the per-query numbers (the round-14
+  // adjudication ask). Every build below runs under [[timing]]; Bench
+  // emits the per-artifact wall clock + total as `staging` /
+  // `staging_sec` in its JSON.
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def timing[T](key: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  /** Wall-clock seconds of every staged BUILD this JVM has run, keyed
+    * `artifact:sfDir` — cache hits cost nothing and do not appear.
+    */
+  def stagingSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+  }
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val it = staged.values().iterator()
@@ -43,7 +69,7 @@ object StagedLayouts {
 
   private def stageDir(s: SparkSession, sfDir: String): String = {
     require(hookInstalled)
-    staged.computeIfAbsent(sfDir, _ => {
+    staged.computeIfAbsent(sfDir, _ => timing(s"events:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
       val ev = graft.Tables.events(s, sfDir)
         .withColumn("event_date", to_date(col("ts")))
@@ -103,7 +129,7 @@ object StagedLayouts {
     */
   def bucketedLineitemOrders(s: SparkSession, sfDir: String): (String, String) = {
     require(hookInstalled)
-    bucketed.computeIfAbsent(sfDir, _ => {
+    bucketed.computeIfAbsent(sfDir, _ => timing(s"bucketed:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val liName = s"graft_li_bkt_$tag"
       val ordName = s"graft_ord_bkt_$tag"
@@ -142,7 +168,7 @@ object StagedLayouts {
     */
   def simhashStore(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(sfDir, _ => {
+    sigStore.computeIfAbsent(sfDir, _ => timing(s"sigstore:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_sigstore_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
@@ -169,7 +195,7 @@ object StagedLayouts {
     */
   def prefixClusterLabels(s: SparkSession, sfDir: String): DataFrame = {
     require(hookInstalled)
-    val dir = staged.computeIfAbsent(s"prefixcc:$sfDir", _ => {
+    val dir = staged.computeIfAbsent(s"prefixcc:$sfDir", _ => timing(s"prefixcc:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_prefixcc").toString
       val docs = graft.Tables.documents(s, sfDir)
       val thr = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
@@ -188,7 +214,7 @@ object StagedLayouts {
     */
   def minhashStore(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(s"minhash:$sfDir", _ => {
+    sigStore.computeIfAbsent(s"minhash:$sfDir", _ => timing(s"minhash:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_mhstore_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_mhstore").toString
@@ -221,7 +247,7 @@ object StagedLayouts {
     */
   def ivfPostingsStore(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(s"ivf:$sfDir", _ => {
+    sigStore.computeIfAbsent(s"ivf:$sfDir", _ => timing(s"ivf:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_ivfstore_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
@@ -253,7 +279,7 @@ object StagedLayouts {
     */
   def simhashStoreAppended(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(s"sigapp:$sfDir", _ => {
+    sigStore.computeIfAbsent(s"sigapp:$sfDir", _ => timing(s"sigapp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_sigstore_app_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_app").toString
@@ -282,7 +308,7 @@ object StagedLayouts {
     */
   def simhashStoreCompacted(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(s"sigcmp:$sfDir", _ => {
+    sigStore.computeIfAbsent(s"sigcmp:$sfDir", _ => timing(s"sigcmp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_sigstore_cmp_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_cmp").toString
@@ -317,7 +343,7 @@ object StagedLayouts {
     */
   def ivfPqStoreCompacted(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(s"ivfpqcmp:$sfDir", _ => {
+    sigStore.computeIfAbsent(s"ivfpqcmp:$sfDir", _ => timing(s"ivfpqcmp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_ivfpqstore_cmp_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqcmp").toString
@@ -366,7 +392,7 @@ object StagedLayouts {
     */
   def basketEdges(s: SparkSession, sfDir: String): DataFrame = {
     require(hookInstalled)
-    val dir = staged.computeIfAbsent(s"basket:$sfDir", _ => {
+    val dir = staged.computeIfAbsent(s"basket:$sfDir", _ => timing(s"basket:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_basket").toString
       val op = graft.Tables.lineitem(s, sfDir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -399,7 +425,7 @@ object StagedLayouts {
     */
   private def simhashDir(s: SparkSession, sfDir: String): String = {
     require(hookInstalled)
-    staged.computeIfAbsent(s"simhashcc:$sfDir", _ => {
+    staged.computeIfAbsent(s"simhashcc:$sfDir", _ => timing(s"simhashcc:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
       graft.operators.Dedup
         .simhashPairs(graft.Tables.documents(s, sfDir), maxHam = 3)
@@ -427,7 +453,7 @@ object StagedLayouts {
     */
   private def hyperballDir(s: SparkSession, sfDir: String): String = {
     require(hookInstalled)
-    staged.computeIfAbsent(s"hyperball:$sfDir", _ => {
+    staged.computeIfAbsent(s"hyperball:$sfDir", _ => timing(s"hyperball:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_hball").toString
       val sts = graft.operators.HyperBall.packedStates(
         graft.queries.GraphQueries.supplyEdges(s, sfDir), rounds = 3,
@@ -454,7 +480,7 @@ object StagedLayouts {
     */
   def ivfPqPostingsStore(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
-    sigStore.computeIfAbsent(s"ivfpq:$sfDir", _ => {
+    sigStore.computeIfAbsent(s"ivfpq:$sfDir", _ => timing(s"ivfpq:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_ivfpqstore_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqstore").toString
@@ -484,7 +510,7 @@ object StagedLayouts {
     */
   def unigramModel(s: SparkSession, sfDir: String): DataFrame = {
     require(hookInstalled)
-    val dir = staged.computeIfAbsent(s"unigram:$sfDir", _ => {
+    val dir = staged.computeIfAbsent(s"unigram:$sfDir", _ => timing(s"unigram:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_unigram").toString
       graft.operators.UnigramLm
         .fit(graft.Tables.documents(s, sfDir), rounds = 2)
@@ -510,7 +536,7 @@ object StagedLayouts {
     */
   private def lpaDir(s: SparkSession, sfDir: String): String = {
     require(hookInstalled)
-    staged.computeIfAbsent(s"lpa:$sfDir", _ => {
+    staged.computeIfAbsent(s"lpa:$sfDir", _ => timing(s"lpa:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lpa").toString
       graft.operators.LabelProp
         .runStates(graft.queries.GraphQueries.supplyEdges(s, sfDir),
@@ -552,7 +578,7 @@ object StagedLayouts {
     */
   private def brandesDir(s: SparkSession, sfDir: String): String = {
     require(hookInstalled)
-    staged.computeIfAbsent(s"brandes:$sfDir", _ => {
+    staged.computeIfAbsent(s"brandes:$sfDir", _ => timing(s"brandes:$sfDir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_brandes").toString
       val seeds = graft.Tables.supplier(s, sfDir)
         .where(col("s_suppkey") <= 5)

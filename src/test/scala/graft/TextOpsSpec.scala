@@ -340,6 +340,38 @@ class TextOpsSpec extends SparkSpec {
     assert(lit0 == store, s"model-store encode diverged:\n$lit0\n$store")
   }
 
+  test("unigram-lm: serving a fresh corpus with unseen characters loses no word (OOV fallback)") {
+    import graft.operators.UnigramLm
+    // model fit on a latin-only corpus...
+    val fitCorpus = docsOf(
+      1L -> "alpha beta alpha gamma beta beta",
+      2L -> "gamma delta epsilon alpha").select(col("text"))
+    val model = UnigramLm.fit(fitCorpus, rounds = 2, maxPiece = 4,
+      vocabCap = 10)
+    // ...serves a corpus with a fully-unknown word (digits — no char
+    // overlap), a partially-unknown word, and known words
+    val serveCorpus = docsOf(
+      10L -> "alpha 90210 bet4 beta beta").select(col("text"))
+    val got = UnigramLm.encodeFromModel(serveCorpus, model, maxPiece = 4)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the no-word-lost contract: one row per distinct serving word —
+    // pre-fallback, "90210" vanished and "bet4" stalled the DP
+    assert(got.map(_._1) == Seq("90210", "alpha", "bet4", "beta"),
+      s"serving corpus words went missing: $got")
+    // fully-unknown word: every char is OOV at the flat unseen weight,
+    // so Viterbi segments it char-by-char (5 subwords) — deterministic,
+    // not dropped
+    assert(got.find(_._1 == "90210").get._3 == 5L,
+      s"OOV word must segment per char: $got")
+    // known words segment exactly as when serving the fit corpus
+    val fitView = UnigramLm.encodeFromModel(fitCorpus, model, maxPiece = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.find(_._1 == "alpha").get._3 == fitView("alpha") &&
+      got.find(_._1 == "beta").get._3 == fitView("beta"),
+      "known-word segmentation must not shift under the OOV augmentation")
+  }
+
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
     val d = Tables.documents(spark, sf)
     val p = plan(TextAnalysis.lmBigramScore(d, refBucketLt = 50, v = 1000))
