@@ -165,6 +165,44 @@ object Similarity {
       .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("cos5"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest trained coarse
+    * centroid (the SAME argmin kernel as IVF assignment), generate
+    * candidate pairs WITHIN a cluster only, call a pair a semantic dup
+    * at cos >= tau, and drop the member CLOSER to its centroid — the
+    * paper's keep-farthest rule, which retains each cluster's least
+    * redundant exemplar. Output: the kept vectors (vec_id, cell, d2c).
+    *
+    * Scale shape: clustering reduces the pair space from n² to Σ n_c²
+    * (measured 4.8× on the fixture at nlist=8; grows with nlist — the
+    * production lever), candidates never leave their cell so the pair
+    * join shuffles on cell only, and the drop set gets NO broadcast
+    * hint — semantic dups are 30-50% of a crawl corpus, so drops is
+    * O(corpus) and AQE must pick the join strategy (the dedup_embedding
+    * note). Keeper comparisons use the 5-dp-rounded centroid distance
+    * (cross-engine stable); equal rounded distances drop the larger
+    * vec_id.
+    */
+  def semDedup(embDf: DataFrame, coarse: Seq[CentroidND], tau: Double): DataFrame = {
+    val celled = Assign.withNearestNDFull(
+        withNorm(embDf), col("v"), coarse, "cell", d2Col = Some("_d2"))
+      .withColumn("d2c", rnd5(col("_d2")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("d2c"))
+    val a = celled.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"), col("d2c").as("da"))
+    val b = celled.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("d2c").as("db"))
+    val drops = a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        ArrayKernels.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .select(when(col("da") >= col("db"), col("id_b"))
+        .otherwise(col("id_a")).as("vec_id"))
+      .distinct()
+    celled.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("d2c"))
+  }
+
   /** Deterministic coarse centroids for IVF (uniform in the embedding
     * value range).
     */

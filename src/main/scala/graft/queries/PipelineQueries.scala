@@ -76,6 +76,37 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR importance selection (operators.Dsir scaladoc — Xie et al.
+    // 2023): top-100 raw-pool docs by hashed-unigram log-likelihood
+    // ratio against the 'en' target corpus; weights integer-micros
+    // fixed-point, scores exact BIGINT sums, scoring pass narrow
+    // against the broadcast 64-bucket weight map
+    "pipeline_dsir_select" -> ((s, dir) =>
+      graft.operators.Dsir.select(Tables.documents(s, dir),
+        targetLang = "en", nBuckets = 64, topN = 100)
+        .orderBy("rk")),
+
+    // deterministic global shuffle + sharding — the write-side of every
+    // training run: shard = content-hash mod 16, within-shard order =
+    // (hash, doc_id), so the permutation is reproducible across runs,
+    // engines, cluster sizes, and re-partitioning (NEVER rand() — the
+    // split discipline above), and any shard can be regenerated alone.
+    // Plan shape: one narrow hash projection, ONE exchange on shard +
+    // in-partition sort — exactly the repartition(shard) +
+    // sortWithinPartitions a distributed shard writer executes; at
+    // 100 TB each shard streams to its writer with no global sort.
+    "pipeline_shuffle_shard" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("sh"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      Tables.documents(s, dir).select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(16L)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("int"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // ---- END-TO-END training-data pipeline: exact-dedup keep set →
     // quality gate → language ID → hash split → per-(split, lang) corpus
     // stats. The composition a real data-curation run executes, as ONE
@@ -452,6 +483,54 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
+
+    // Dsir.select's twin: same md5 feature hash, same add-1 integer-
+    // micros weights (floor(ln·1e6 + ½)), same BIGINT score sum; the
+    // oracle scores via explode+join+groupBy where Spark folds per-row
+    // against the broadcast map — identical math, integer-exact
+    "pipeline_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |occ AS (SELECT lang, unnest(ws) AS w FROM t),
+        |b AS (SELECT (lang = 'en') AS is_t,
+        |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bk FROM occ),
+        |cnt AS (SELECT bk,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+        |    CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS r_b
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS tt,
+        |    CAST(sum(r_b) AS BIGINT) AS rr FROM cnt),
+        |w AS MATERIALIZED (SELECT bk,
+        |    CAST(floor(ln(((t_b + 1.0) * (rr + 64.0)) /
+        |      ((r_b + 1.0) * (tt + 64.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
+        |  FROM cnt CROSS JOIN tot),
+        |raw AS (SELECT doc_id, lang, CAST(len(ws) AS INT) AS n_words, ws
+        |  FROM t WHERE lang <> 'en'),
+        |o2 AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bk
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM raw)),
+        |ds AS (SELECT o2.doc_id, CAST(sum(w.wu) AS BIGINT) AS score_u
+        |  FROM o2 JOIN w USING (bk) GROUP BY o2.doc_id),
+        |sel AS (SELECT raw.doc_id, raw.lang, raw.n_words,
+        |    coalesce(ds.score_u, 0) AS score_u
+        |  FROM raw LEFT JOIN ds ON raw.doc_id = ds.doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (ORDER BY score_u DESC, doc_id) AS INT) AS rk FROM sel)
+        |SELECT rk, doc_id, lang, n_words, score_u FROM r
+        |WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    // shuffle-shard's twin: same 15-hex md5 key (the KMV precedent —
+    // fits BIGINT), same shard mod, same (h, doc_id) within-shard order
+    "pipeline_shuffle_shard" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |    AS INT) AS pos
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,

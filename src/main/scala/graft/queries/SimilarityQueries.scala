@@ -232,7 +232,17 @@ object SimilarityQueries {
         .join(drops, Seq("vec_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // SemDeDup semantic dedup (Similarity.semDedup scaladoc — Abbas et
+    // al. 2023): cluster by the trained IVF centroids, near-dup pairs
+    // within a cluster only (pair space Σ n_c², measured 4.8× under
+    // brute at nlist=8), keep the member FARTHEST from its centroid.
+    // The cluster-bucketed sibling of dedup_embedding's LSH bucketing —
+    // same tau, different candidate geometry and survivor rule.
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semDedup(Similarity.emb(s, dir), coarse, tau = 0.4)
+        .orderBy("vec_id")))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
 
@@ -567,6 +577,26 @@ object SimilarityQueries {
          |FROM documents doc JOIN en ON doc.doc_id = en.vec_id
          |WHERE en.vec_id NOT IN (SELECT id_b FROM d)
          |ORDER BY doc_id""".stripMargin,
+
+    // the SemDeDup twin: identical assignment chain as ivfSql's cc
+    // (foldSq + row_number over (d, cid)), 5-dp-rounded centroid
+    // distance for the keep-farthest rule, ties drop the larger vec_id
+    "dedup_semantic" ->
+      s"""WITH $embCte,
+         |$centCteSql,
+         |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+         |      FROM en CROSS JOIN cent),
+         |cc AS (SELECT vec_id, v, nrm, cid AS cell, ${rndSql("d", 5)} AS d2c FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+         |        FROM cd) WHERE crk = 1),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2c AS da, b.d2c AS db,
+         |        a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+         |      FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dr AS (SELECT DISTINCT CASE WHEN da >= db THEN id_b ELSE id_a END AS vid
+         |       FROM p WHERE ${cosN("va", "vb", "na", "nb")} >= 0.4)
+         |SELECT vec_id, cell, d2c FROM cc
+         |WHERE vec_id NOT IN (SELECT vid FROM dr)
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_near_pairs_lsh" ->
       s"""WITH $embCte,

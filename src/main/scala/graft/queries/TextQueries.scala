@@ -27,6 +27,13 @@ object TextQueries {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir)).orderBy("doc_id")),
 
+    // Gopher-style doc-quality GATE (TextAnalysis.gopherRules scaladoc
+    // — Rae et al. 2021 Table A1): five published heuristic rules as
+    // explicit booleans + the composed keep flag; integer-exact
+    // cross-multiplied comparisons, zero rounding contract
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenReport(docs(s, dir)).orderBy("source")),
 
@@ -651,6 +658,40 @@ object TextQueries {
                 .mkString("(", " + ", ")")}
          |    / CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS DOUBLE) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // gopherRules' twin: same list-native folds (nested list_filter for
+    // the max-frequency count), same cross-multiplied integer rules
+    "text_gopher_rules" -> {
+      val stopList = TextAnalysis.stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS INT) AS n_words,
+         |    CAST(list_reduce(list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS INT) AS sum_wl,
+         |    CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS INT) AS n_stop,
+         |    CAST(list_max(list_transform(list_distinct(ws),
+         |      w -> len(list_filter(ws, x -> x = w)))) AS INT) AS max_wf,
+         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 AS INT) ELSE 0 END AS n_tri,
+         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 - len(list_distinct(
+         |      list_transform(generate_series(1, len(ws) - 2),
+         |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS INT)
+         |      ELSE 0 END AS n_tri_dup
+         |  FROM t)
+         |SELECT doc_id, n_words, sum_wl, n_stop, max_wf, n_tri, n_tri_dup,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+         |  (3 * n_words <= sum_wl AND sum_wl <= 10 * n_words) AS r_mwl,
+         |  (n_stop >= 2) AS r_stop,
+         |  (5 * max_wf <= n_words) AS r_maxwf,
+         |  (10 * n_tri_dup <= 3 * n_tri) AS r_dup,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (3 * n_words <= sum_wl AND sum_wl <= 10 * n_words)
+         |    AND n_stop >= 2 AND 5 * max_wf <= n_words
+         |    AND 10 * n_tri_dup <= 3 * n_tri) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "text_tokens" ->
       """SELECT source, count(*) AS n_docs,

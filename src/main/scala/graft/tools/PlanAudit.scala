@@ -126,7 +126,14 @@ object PlanAudit {
     // round 14: model-store tokenizer serving — weights computed
     // in-plan from the staged model scan + one 1-row aggregate; zero
     // driver collect anywhere
-    "text_unigram_encode_store")
+    "text_unigram_encode_store",
+    // round 15: SemDeDup — within-cell pair join (one exchange on
+    // cell), keep-farthest survivor rule, anti-join with NO broadcast
+    // hint on the O(corpus) drop set
+    "dedup_semantic",
+    // round 15: Gopher gate — five doc-level rules entirely narrow
+    // (zero Exchange; the nested max-frequency fold stays in the row)
+    "text_gopher_rules")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

@@ -287,4 +287,42 @@ class PipelineSpec extends SparkSpec {
     assert(got == naive,
       s"prefix prune diverged: missing=${naive -- got} extra=${got -- naive}")
   }
+
+  test("dsir select: target-like raw docs outrank the rest, scores exact under re-partitioning") {
+    val top = q("pipeline_dsir_select").collect()
+    assert(top.length == 100)
+    // ranks are 1..100, strictly ordered by (score desc, doc_id)
+    val ranked = top.map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    assert(ranked.map(_._1).toSeq == (1 to 100))
+    ranked.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+        s"rank order violated: $a then $b")
+    }
+    // determinism: identical result from a re-partitioned input (the
+    // content-hash discipline — no rand(), no partition-order effects)
+    val docs = Tables.documents(spark, sf).repartition(13)
+    val again = graft.operators.Dsir.select(docs, "en", 64, 100)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    assert(again.toSeq == ranked.toSeq, "selection changed under repartitioning")
+  }
+
+  test("shuffle-shard: a permutation, balanced, reproducible under re-partitioning") {
+    val rows = q("pipeline_shuffle_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    // (shard, pos) is a bijection: positions within a shard are 1..n_s
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1 to members.length),
+        s"shard $shard positions not contiguous")
+    }
+    // md5 balance: no shard more than 3x the ideal share on the fixture
+    val maxShard = rows.groupBy(_._2).values.map(_.length).max
+    assert(maxShard <= 3 * (nDocs.toInt / 16 + 1),
+      s"shard skew: max $maxShard of $nDocs")
+    // reproducible from a differently-partitioned scan
+    val again = graft.queries.PipelineQueries.queries("pipeline_shuffle_shard")(
+      spark, sf).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }

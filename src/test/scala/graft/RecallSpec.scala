@@ -157,4 +157,44 @@ class RecallSpec extends SparkSpec {
       assert(s >= -4.0 && s <= 4.0, s"score $s outside [-4, 4]")
     }
   }
+
+  test("semDedup: kept set is dup-free within cells, every dropped vec lost a real pair") {
+    import graft.operators.TrainedIvfCentroids
+    val emb = Similarity.emb(spark, sf)
+    val kept = Similarity.semDedup(emb, TrainedIvfCentroids.cells, tau = 0.4)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val total = emb.count()
+    assert(keptIds.nonEmpty && keptIds.size < total,
+      s"expected a strict subset kept, got ${keptIds.size} of $total")
+    // ground truth: all within-cell dup pairs on the full corpus
+    val celled = graft.operators.Assign.withNearestND(
+      Similarity.withNorm(emb), col("v"), TrainedIvfCentroids.cells, "cell")
+    val a = celled.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val pairs = a.join(celled.select(col("cell"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.ArrayKernels.dotFast(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no within-cell dup pairs - tau degenerate")
+    // 1. no dup pair survives with BOTH members kept (the whole point)
+    pairs.foreach { case (x, y) =>
+      assert(!(keptIds(x) && keptIds(y)),
+        s"dup pair ($x, $y) both kept - drop rule failed")
+    }
+    // 2. every dropped vec really lost at least one pair
+    val inPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val dropped = celled.select("vec_id").collect().map(_.getLong(0)).toSet -- keptIds
+    assert(dropped.subsetOf(inPair),
+      s"vecs dropped without any dup pair: ${(dropped -- inPair).take(5)}")
+  }
+
+  test("semDedup at tau above max cosine keeps the whole corpus") {
+    import graft.operators.TrainedIvfCentroids
+    val emb = Similarity.emb(spark, sf)
+    val kept = Similarity.semDedup(emb, TrainedIvfCentroids.cells, tau = 1.01)
+    assert(kept.count() == emb.count())
+  }
 }

@@ -372,6 +372,37 @@ class TextOpsSpec extends SparkSpec {
       "known-word segmentation must not shift under the OOV augmentation")
   }
 
+  test("gopher gate: keep == AND of the five rules, rules recompute independently") {
+    val rows = TextAnalysis.gopherRules(Tables.documents(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val Seq(nW, sumWl, nStop, maxWf, nTri, nTriDup) =
+        (1 to 6).map(r.getInt).toSeq
+      val rules = Seq(r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        r.getBoolean(10), r.getBoolean(11))
+      // independent recompute of each rule from the raw counts
+      val want = Seq(nW >= 50 && nW <= 100000,
+        3 * nW <= sumWl && sumWl <= 10 * nW,
+        nStop >= 2, 5 * maxWf <= nW, 10 * nTriDup <= 3 * nTri)
+      assert(rules == want, s"rule booleans drifted from counts: $r")
+      assert(r.getBoolean(12) == rules.forall(identity),
+        s"keep is not the conjunction: $r")
+      if (r.getBoolean(12)) kept += 1
+    }
+    // the gate discriminates on the fixture (measured before build:
+    // r_words and r_stop both trip) — not all-pass, not all-fail
+    assert(kept > 0 && kept < rows.length,
+      s"gate degenerate: kept $kept of ${rows.length}")
+  }
+
+  test("gopher gate is narrow (no exchange in the plan)") {
+    val p = plan(TextAnalysis.gopherRules(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"),
+      "doc-level rules must stay per-row - found a shuffle:\n" + p.take(2000))
+  }
+
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
     val d = Tables.documents(spark, sf)
     val p = plan(TextAnalysis.lmBigramScore(d, refBucketLt = 50, v = 1000))
