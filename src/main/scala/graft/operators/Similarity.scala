@@ -203,6 +203,64 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("d2c"))
   }
 
+  /** Attach the 5-dp-rounded squared distance to the OWN assigned
+    * centroid, via the broadcast centroid TABLE (production shape — no
+    * literal model in the plan; same ascending-fold kernel as the
+    * literal assignment, so values are bit-identical to the oracle's
+    * foldSq chain). Input/output rows are (cell, vec_id, v, nrm [, …]).
+    */
+  def withCentroidDist(celled: DataFrame, coarse: Seq[CentroidND]): DataFrame = {
+    val spark = celled.sparkSession
+    import spark.implicits._
+    val cellsDf = coarse.sortBy(_.cid).map(c => (c.cid, c.vec.toSeq))
+      .toDF("_ccid", "_cvec")
+    celled.join(broadcast(cellsDf), col("cell") === col("_ccid"))
+      .withColumn("d2c", rnd5(ArrayKernels.distSqFast(col("v"), col("_cvec"))))
+      .drop("_ccid", "_cvec")
+  }
+
+  /** Incremental [[semDedup]] maintenance — the semantic twin of
+    * `dedup_incremental`: the pairwise keep-farthest drop rule is
+    * ORDER-FREE and drops accumulate monotonically (a vector dropped by
+    * any pair stays dropped; new arrivals can only ADD drops), so
+    * ingesting a batch needs only the pairs that TOUCH the batch:
+    *
+    *   kept(store ∪ batch) = (store ∪ batch) ∖
+    *     (priorDrops ∪ drops(batch × index pairs))
+    *
+    * — store×store pairs are never re-scored. `store`/`batch` are
+    * (cell, vec_id, v, nrm) celled rows (the IVF postings-store
+    * schema); `priorDrops` is the persisted drop set of the store
+    * corpus. Candidate pairs shuffle on cell only; batch×batch pairs
+    * dedup by id order; the centroid model rides the broadcast table.
+    * IncrementalSpec pins ingest ≡ whole-corpus [[semDedup]] and
+    * two-day batch-split associativity.
+    */
+  def semDedupIngest(store: DataFrame, batch: DataFrame,
+      priorDrops: DataFrame, coarse: Seq[CentroidND], tau: Double): DataFrame = {
+    val withD = withCentroidDist(
+      store.withColumn("_isb", lit(false))
+        .unionByName(batch.withColumn("_isb", lit(true))), coarse)
+    val a = withD.where(col("_isb"))
+      .select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("d2c").as("da"))
+    val b = withD.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("d2c").as("db"),
+      col("_isb").as("_bb"))
+    val newDrops = a.join(b, "cell")
+      .where((!col("_bb") || col("id_a") < col("id_b")) &&
+        col("id_a") =!= col("id_b"))
+      .where(ArrayKernels.dotFast(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= tau)
+      .select(when(col("da") > col("db"), col("id_b"))
+        .when(col("da") < col("db"), col("id_a"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id"))
+    val allDrops = priorDrops.select(col("vec_id"))
+      .unionByName(newDrops).distinct()
+    withD.join(allDrops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("d2c"))
+  }
+
   /** Deterministic coarse centroids for IVF (uniform in the embedding
     * value range).
     */

@@ -202,6 +202,27 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // self-measuring ANN quality: recall@3 of the IVF path against the
+    // brute-force truth, per query, in ONE plan — the recall dashboard
+    // a production ANN deployment tracks continuously (RecallSpec pins
+    // the same property test-side; this registers it as a QUERY so the
+    // number itself is oracle-gated). n_hit is an exact integer; the
+    // recall fraction is one deterministic division, 6-dp rounded.
+    "sim_recall_report" -> ((s, dir) => {
+      val e = Similarity.emb(s, dir)
+      val truth = Similarity.bruteTopK(e, nQueries = 10, k = 3)
+        .select(col("qid"), col("vec_id"))
+      val ann = Similarity.ivfTopK(e, coarse, nQueries = 10, k = 3)
+        .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+      truth.join(ann,
+          truth("qid") === ann("aqid") && truth("vec_id") === ann("avid"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(col("avid")).as("n_hit"))
+        .withColumn("recall6", rnd(col("n_hit") / lit(3.0), 6))
+        .orderBy("qid")
+    }),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -242,7 +263,24 @@ object SimilarityQueries {
     // same tau, different candidate geometry and survivor rule.
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semDedup(Similarity.emb(s, dir), coarse, tau = 0.4)
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // incremental SemDeDup ingest (Similarity.semDedupIngest scaladoc):
+    // the persisted cell-bucketed postings store + the persisted prefix
+    // DROP set are yesterday's state; the batch assigns itself via the
+    // broadcast centroid table and only pairs TOUCHING the batch are
+    // scored (the drop rule is order-free and monotone, so store×store
+    // never re-scores). Oracle = the whole-corpus semDedup recompute —
+    // it never sees the store/batch split (shares dedup_semantic's SQL).
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val (dropsTbl, thr) = graft.sources.StagedLayouts.semDropStore(s, dir)
+      val (storeTbl, _) = graft.sources.StagedLayouts.ivfPostingsStore(s, dir)
+      val batch = Similarity.ivfAssignBroadcast(
+        Similarity.emb(s, dir).where(col("vec_id") > thr), coarse)
+      Similarity.semDedupIngest(s.table(storeTbl), batch,
+          s.table(dropsTbl), coarse, tau = 0.4)
+        .orderBy("vec_id")
+    }))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
 
@@ -317,6 +355,30 @@ object SimilarityQueries {
     */
   private def adcFold: String =
     "list_reduce(list(d ORDER BY s), (a, b) -> a + b)"
+
+  /** The SemDeDup whole-corpus recompute: identical assignment chain as
+    * [[ivfSql]]'s cc (foldSq + row_number over (d, cid)), 5-dp-rounded
+    * centroid distance for the keep-farthest rule, ties drop the larger
+    * vec_id. Shared verbatim by `dedup_semantic` AND
+    * `dedup_semantic_incremental` — the oracle never sees the
+    * store/batch split, so incremental equality proves ingest ≡ rebuild.
+    */
+  private def semDedupSql: String =
+    s"""WITH $embCte,
+       |$centCteSql,
+       |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+       |      FROM en CROSS JOIN cent),
+       |cc AS (SELECT vec_id, v, nrm, cid AS cell, ${rndSql("d", 5)} AS d2c FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |        FROM cd) WHERE crk = 1),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2c AS da, b.d2c AS db,
+       |        a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+       |      FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dr AS (SELECT DISTINCT CASE WHEN da >= db THEN id_b ELSE id_a END AS vid
+       |       FROM p WHERE ${cosN("va", "vb", "na", "nb")} >= 0.4)
+       |SELECT vec_id, cell, d2c FROM cc
+       |WHERE vec_id NOT IN (SELECT vid FROM dr)
+       |ORDER BY vec_id""".stripMargin
 
   private def ivfSql: String =
     s"""WITH $embCte,
@@ -581,22 +643,40 @@ object SimilarityQueries {
     // the SemDeDup twin: identical assignment chain as ivfSql's cc
     // (foldSq + row_number over (d, cid)), 5-dp-rounded centroid
     // distance for the keep-farthest rule, ties drop the larger vec_id
-    "dedup_semantic" ->
+    "dedup_semantic" -> semDedupSql,
+
+    // the incremental form answers the same whole-corpus question —
+    // equality proves store+prior-drops+batch ingest ≡ full recompute
+    "dedup_semantic_incremental" -> semDedupSql,
+
+    // recall report twin: the sim_topk and sim_ann_ivf chains composed,
+    // left-joined per (qid, vec_id), integer hit counts
+    "sim_recall_report" ->
       s"""WITH $embCte,
          |$centCteSql,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |jb AS (SELECT qid, vec_id, ${rndSql(cosN("qv", "v", "qnrm", "nrm"), 5)} AS cos5
+         |      FROM q, en WHERE vec_id <> qid),
+         |tb AS (SELECT qid, vec_id FROM (
+         |        SELECT qid, vec_id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS rk
+         |        FROM jb) WHERE rk <= 3),
          |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
          |      FROM en CROSS JOIN cent),
-         |cc AS (SELECT vec_id, v, nrm, cid AS cell, ${rndSql("d", 5)} AS d2c FROM (
+         |cc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
          |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
          |        FROM cd) WHERE crk = 1),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2c AS da, b.d2c AS db,
-         |        a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
-         |      FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-         |dr AS (SELECT DISTINCT CASE WHEN da >= db THEN id_b ELSE id_a END AS vid
-         |       FROM p WHERE ${cosN("va", "vb", "na", "nb")} >= 0.4)
-         |SELECT vec_id, cell, d2c FROM cc
-         |WHERE vec_id NOT IN (SELECT vid FROM dr)
-         |ORDER BY vec_id""".stripMargin,
+         |qa AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cell FROM cc WHERE vec_id < 10),
+         |ja AS (SELECT qa.qid, b.vec_id, ${rndSql(cosN("qa.qv", "b.v", "qa.qnrm", "b.nrm"), 5)} AS cos5
+         |      FROM qa JOIN cc b USING (cell) WHERE b.vec_id <> qa.qid),
+         |ta AS (SELECT qid, vec_id FROM (
+         |        SELECT qid, vec_id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS rk
+         |        FROM ja) WHERE rk <= 3)
+         |SELECT tb.qid, CAST(count(ta.vec_id) AS BIGINT) AS n_hit,
+         |  ${rndSql("count(ta.vec_id) / 3.0", 6)} AS recall6
+         |FROM tb LEFT JOIN ta ON tb.qid = ta.qid AND tb.vec_id = ta.vec_id
+         |GROUP BY tb.qid ORDER BY tb.qid""".stripMargin,
 
     "sim_near_pairs_lsh" ->
       s"""WITH $embCte,

@@ -265,6 +265,37 @@ object StagedLayouts {
     })
   }
 
+  /** Persisted SemDeDup drop set of the embedding PREFIX corpus
+    * (vec_id ≤ 4/5·max — the ivfPostingsStore threshold): the prefix
+    * vec_ids that lost at least one within-cell dup pair under the
+    * keep-farthest rule. The incremental form
+    * (`dedup_semantic_incremental`) unions this with the drops from
+    * pairs touching the new batch — store×store pairs are never
+    * re-scored (Similarity.semDedupIngest scaladoc). Tiny table (the
+    * drop FRACTION is bounded by the corpus dup rate), one file.
+    * Returns (table name, prefix threshold).
+    */
+  def semDropStore(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"semdrops:$sfDir", _ => timing(s"semdrops:$sfDir") {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_semdrops_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_semdrops").toString
+      staged.put(s"semdropstore:$sfDir", tmp)
+      val embDf = graft.operators.Similarity.emb(s, sfDir)
+      val thr = embDf.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+      val prefix = embDf.where(col("vec_id") <= thr)
+      val kept = graft.operators.Similarity.semDedup(
+        prefix, graft.operators.TrainedIvfCentroids.cells, tau = 0.4)
+      prefix.select(col("vec_id"))
+        .join(kept.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .coalesce(1)
+        .write.option("path", s"$tmp/$name")
+        .mode("overwrite").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
   // ---- store lifecycle: multi-append + compacted variants -------------
 
   /** The simhash signature store REBUILT as three bucketed APPENDS

@@ -133,7 +133,14 @@ object PlanAudit {
     "dedup_semantic",
     // round 15: Gopher gate — five doc-level rules entirely narrow
     // (zero Exchange; the nested max-frequency fold stays in the row)
-    "text_gopher_rules")
+    "text_gopher_rules",
+    // round 15: incremental SemDeDup — bucketed postings-store scan,
+    // batch assigned via the broadcast centroid table, pair join on
+    // cell touching the batch only, prior drops unioned
+    "dedup_semantic_incremental",
+    // round 15: DSIR — fixed-64-bucket count aggregate, 1-row broadcast
+    // weight map, narrow scoring fold, TakeOrderedAndProject selection
+    "pipeline_dsir_select")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

@@ -300,4 +300,48 @@ class IncrementalSpec extends SparkSpec {
     assert(inc.exists(_.getBoolean(1)) && inc.exists(!_.getBoolean(1)),
       "batch slice should contain kept docs and dropped docs")
   }
+
+  test("semDedup ingest ≡ whole-corpus recompute, and batch-split associative") {
+    import graft.operators.{Similarity, TrainedIvfCentroids}
+    val cells = TrainedIvfCentroids.cells
+    val emb = Similarity.emb(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val thr = maxId * 4 / 5
+
+    def celled(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssignBroadcast(df, cells)
+    def dropsOf(prefix: org.apache.spark.sql.DataFrame) =
+      prefix.select(col("vec_id")).join(
+        Similarity.semDedup(prefix, cells, 0.4).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+
+    val whole = Similarity.semDedup(emb, cells, 0.4)
+      .orderBy("vec_id").collect().toSeq
+
+    val prefix = emb.where(col("vec_id") <= thr)
+    val store = celled(prefix)
+    val prior = dropsOf(prefix)
+    val batch = celled(emb.where(col("vec_id") > thr))
+    val oneShot = Similarity.semDedupIngest(store, batch, prior, cells, 0.4)
+      .orderBy("vec_id").collect().toSeq
+    assert(oneShot == whole,
+      "one-batch ingest diverged from the whole-corpus recompute")
+    // the split must actually add drops (batch pairs exist on the fixture)
+    assert(whole.size < emb.count(), "fixture has no semantic dups")
+
+    // two-day ingest: day-1 result's drop set feeds day 2; the store
+    // appends EVERY day-1 vector (kept and dropped)
+    val mid = (thr + maxId) / 2
+    val b1 = celled(emb.where(col("vec_id") > thr && col("vec_id") <= mid))
+    val b2 = celled(emb.where(col("vec_id") > mid))
+    val kept1 = Similarity.semDedupIngest(store, b1, prior, cells, 0.4)
+    val drops1 = store.select(col("vec_id"))
+      .unionByName(b1.select(col("vec_id")))
+      .join(kept1.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val twoDay = Similarity.semDedupIngest(
+        store.unionByName(b1), b2, drops1, cells, 0.4)
+      .orderBy("vec_id").collect().toSeq
+    assert(twoDay == whole,
+      "two-day ingest diverged from the whole-corpus recompute")
+  }
 }
