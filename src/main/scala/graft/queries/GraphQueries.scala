@@ -184,6 +184,18 @@ object GraphQueries {
           graft.sources.StagedLayouts.lpaLabelStates(s, dir))
         .orderBy("rounds")),
 
+    // one distributed Louvain local-move half-sweep over the staged
+    // LPA partition (Modularity.louvainStep scaladoc — Blondel et al.
+    // 2008): eligible (even-parity) nodes take their best
+    // strictly-positive exact-integer modularity gain; red-black
+    // parity breaks the synchronous-swap pathology (measured: the
+    // full-sweep form flips all 2100 fixture nodes for zero Q change;
+    // the half-sweep lifts the exact Q numerator −5.35e9 → +6.2e6)
+    "graph_louvain_step" -> ((s, dir) =>
+      graft.operators.Modularity.louvainStep(supplyEdges(s, dir),
+          graft.sources.StagedLayouts.lpaLabels(s, dir), parity = 0)
+        .orderBy("node")),
+
     // 3-hop multi-source BFS over the bipartite supply graph from
     // suppliers 1..5 — frontier form, so per-round work is the frontier
     // expansion, not the whole distance table (Bfs scaladoc). Hop
@@ -372,6 +384,46 @@ object GraphQueries {
        |  (SELECT m_dir FROM mm) AS m_dir
        |FROM ds LEFT JOIN ia ON ia.community = ds.community
        |ORDER BY ds.community""".stripMargin
+
+  /** `graph_louvain_step`'s oracle: labels through the identical LPA
+    * chain, then the exact half-gain algebra
+    * gain = M·(k_iB − k_iA) − k_i·(d_B − d_A) − k_i² in the same
+    * DECIMAL(19,0)→(38,0) widening; eligibility node % 2 = 0, ties on
+    * (gain DESC, target ASC), stayers and ineligible emit gain 0.
+    */
+  private def louvainStepSql(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)},
+       |lab AS MATERIALIZED (SELECT d AS node, lbl AS community FROM l$rounds),
+       |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+       |  FROM edges GROUP BY 1),
+       |mm AS (SELECT CAST(sum(k) AS BIGINT) AS m_dir FROM deg),
+       |dsum AS MATERIALIZED (SELECT community, CAST(sum(k) AS BIGINT) AS d_c
+       |  FROM deg JOIN lab USING (node) GROUP BY community),
+       |kic AS MATERIALIZED (SELECT e.src AS node, lab.community AS cn,
+       |    CAST(count(*) AS BIGINT) AS k_ic
+       |  FROM edges e JOIN lab ON lab.node = e.dst GROUP BY 1, 2),
+       |base AS (SELECT lab.node, lab.community, deg.k AS k_i,
+       |    coalesce(ka.k_ic, CAST(0 AS BIGINT)) AS k_ia, da.d_c AS d_a
+       |  FROM lab JOIN deg USING (node)
+       |  LEFT JOIN kic ka ON ka.node = lab.node AND ka.cn = lab.community
+       |  JOIN dsum da ON da.community = lab.community),
+       |cand AS (SELECT b.node, b.community, kic.cn,
+       |    CAST(CAST(m.m_dir AS DECIMAL(19,0)) * CAST(kic.k_ic - b.k_ia AS DECIMAL(19,0))
+       |      - CAST(b.k_i AS DECIMAL(19,0)) * CAST(db.d_c - b.d_a AS DECIMAL(19,0))
+       |      - CAST(b.k_i AS DECIMAL(19,0)) * CAST(b.k_i AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) AS gain
+       |  FROM base b JOIN kic ON kic.node = b.node AND kic.cn <> b.community
+       |  JOIN dsum db ON db.community = kic.cn CROSS JOIN mm m
+       |  WHERE b.node % 2 = 0),
+       |best AS (SELECT node, cn, gain FROM (SELECT node, cn, gain,
+       |    row_number() OVER (PARTITION BY node ORDER BY gain DESC, cn ASC) AS rk
+       |  FROM cand) WHERE rk = 1)
+       |SELECT b.node, b.community,
+       |  CASE WHEN bt.gain > 0 THEN bt.cn ELSE b.community END AS new_community,
+       |  coalesce(CASE WHEN bt.gain > 0 THEN bt.gain END,
+       |    CAST(0 AS DECIMAL(38,0))) AS gain_num
+       |FROM base b LEFT JOIN best bt ON bt.node = b.node
+       |ORDER BY b.node""".stripMargin
 
   /** `graph_modularity_sweep`'s oracle: ONE materialized LPA chain to
     * round 4 (each lN MATERIALIZED, so the four candidates share the
@@ -564,6 +616,7 @@ object GraphQueries {
 
       "graph_label_prop" -> lpaSql(rounds = 3),
       "graph_modularity" -> modularitySql(rounds = 3),
+      "graph_louvain_step" -> louvainStepSql(rounds = 3),
       "graph_modularity_sweep" -> modularitySweepSql(maxRounds = 4),
 
       "graph_bfs" -> bfsSql(rounds = 3),

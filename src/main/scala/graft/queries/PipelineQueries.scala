@@ -241,6 +241,26 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    // A-Res): key = u^(1/w) with the deterministic md5 uniform and the
+    // same capped-length weight as q_weighted_sample; the top-k keys
+    // ARE a weight-proportional WOR sample. One narrow key projection
+    // + TakeOrderedAndProject — no rand(), no global sort, reproducible
+    // across engines/cluster sizes. Keys ranked 6-dp-rounded with
+    // doc_id tie-break (the cos5 ranking contract).
+    "q_sample_wor" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("ws"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val w = least(col("n_chars").cast("double"), lit(2000.0)) / lit(2000.0)
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("key6", rnd(pow(u, lit(1.0) / w), 6))
+      val top = keyed.orderBy(col("key6").desc, col("doc_id")).limit(50)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("key6").desc, col("doc_id"))).cast("int"))
+        .select(col("rk"), col("doc_id"), col("source"), col("key6"))
+    }),
+
     // ---- training-sequence PACKING: assign docs to fixed-token-budget
     // sequences by running token count, packed independently per source
     // (the per-source partition is what scales — each source's cumsum is
@@ -519,6 +539,19 @@ object PipelineQueries {
         |    (ORDER BY score_u DESC, doc_id) AS INT) AS rk FROM sel)
         |SELECT rk, doc_id, lang, n_words, score_u FROM r
         |WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    // A-Res twin: same md5 uniform and capped weight as
+    // q_weighted_sample, same power-key, same (key6 DESC, doc_id) rank
+    "q_sample_wor" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      / CAST(4294967296.0 AS DOUBLE) AS u,
+         |    least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0 AS w
+         |  FROM documents),
+         |k AS (SELECT doc_id, source, ${rndSql("power(u, 1.0 / w)", 6)} AS key6 FROM d),
+         |r AS (SELECT doc_id, source, key6,
+         |    CAST(row_number() OVER (ORDER BY key6 DESC, doc_id) AS INT) AS rk FROM k)
+         |SELECT rk, doc_id, source, key6 FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
     // shuffle-shard's twin: same 15-hex md5 key (the KMV precedent —
     // fits BIGINT), same shard mod, same (h, doc_id) within-shard order

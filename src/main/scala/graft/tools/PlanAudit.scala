@@ -140,7 +140,10 @@ object PlanAudit {
     "dedup_semantic_incremental",
     // round 15: DSIR — fixed-64-bucket count aggregate, 1-row broadcast
     // weight map, narrow scoring fold, TakeOrderedAndProject selection
-    "pipeline_dsir_select")
+    "pipeline_dsir_select",
+    // round 15: Louvain half-sweep — one edge scan for k_iC (map-side
+    // combined), tiny community-table joins, 1-row M broadcast
+    "graph_louvain_step")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

@@ -306,6 +306,29 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == ranked.toSeq, "selection changed under repartitioning")
   }
 
+  test("A-Res WOR sample equals a driver-side recompute of top-50 keys") {
+    val got = q("q_sample_wor").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == (1 to 50))
+    // independent recompute: same md5 uniform, same capped weight,
+    // same power key, ranked in plain Scala
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws$id".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val want = docs.map { case (id, nc) =>
+      val w = math.min(nc.toDouble, 2000.0) / 2000.0
+      val key = math.floor(math.pow(u(id), 1.0 / w) * 1e6 + 0.5) / 1e6
+      (id, key)
+    }.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSeq
+    assert(got.map(_._2) == want, "selection diverged from driver recompute")
+  }
+
   test("shuffle-shard: a permutation, balanced, reproducible under re-partitioning") {
     val rows = q("pipeline_shuffle_shard").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
