@@ -323,4 +323,59 @@ object UnigramLm {
           / (col("t") + col("np")).cast("double")).as("w"))
     viterbiEncode(dict, wdf.unionByName(oov), maxPiece)
   }
+
+  /** WordPiece-style GREEDY longest-match-first encoding (Wu et al.
+    * 2016; the serving algorithm of BERT-family tokenizers) from the
+    * fitted model's piece set — the third serving geometry of the
+    * tokenizer family: BPE replays merges, unigram maximizes a Viterbi
+    * product, WordPiece commits to the longest vocab piece at each
+    * position and never backtracks. A word with a position no piece
+    * covers becomes UNK wholesale (the published contract; with the
+    * model's alphabet seeded from the fit corpus this cannot fire when
+    * serving that corpus, and the flag is in the output so the gate
+    * sees it either way).
+    *
+    * Execution is one narrow fold per DISTINCT word against the 1-row
+    * broadcast piece map (the pipeline_dsir_select shape): the
+    * accumulator (pos, n, unk) advances by the longest matching piece
+    * per step, `maxLen` steps bound the walk, zero shuffle beyond the
+    * word-dict aggregate. Piece lookups try the length-`maxPiece`
+    * window first; at the word tail the window shortens itself, so the
+    * first hit IS the longest match.
+    *
+    * Output: (word, freq, n_pieces, is_unk) — all integers/booleans,
+    * exact hash gate.
+    */
+  def wordpieceEncode(docs: DataFrame, model: DataFrame, maxLen: Int = 12,
+                      maxPiece: Int = 4): DataFrame = {
+    val vm = model.agg(map_from_entries(
+      collect_list(struct(col("piece"), lit(1)))).as("vm"))
+    def acc(pos: Column, n: Column, unk: Column): Column =
+      struct(pos.cast("int").as("pos"), n.cast("int").as("n"),
+        unk.cast("int").as("unk"))
+    wordDict(docs, maxLen).crossJoin(broadcast(vm))
+      .withColumn("fin",
+        aggregate(sequence(lit(1), lit(maxLen)), acc(lit(1), lit(0), lit(0)),
+          (a, _) => {
+            val done = a.getField("unk") === 1 ||
+              a.getField("pos") > length(col("word"))
+            // longest-match: the maxPiece..1 windows; at the tail the
+            // window shortens itself, so the first hit is longest
+            // each arm is NULL unless its window matches, so coalesce
+            // in maxPiece..1 order IS longest-match-first
+            val adv = coalesce((maxPiece to 1 by -1).map { l =>
+              val key = col("word")
+                .substr(a.getField("pos").cast("int"), lit(l))
+              when(element_at(col("vm"), key).isNotNull, length(key))
+            }: _*)
+            when(done, a).otherwise(
+              when(adv.isNull, acc(a.getField("pos"), a.getField("n"), lit(1)))
+                .otherwise(acc(a.getField("pos") + adv,
+                  a.getField("n") + 1, lit(0))))
+          }))
+      .select(col("word"), col("freq"),
+        when(col("fin.unk") === 1, lit(0))
+          .otherwise(col("fin.n")).as("n_pieces"),
+        (col("fin.unk") === 1).as("is_unk"))
+  }
 }

@@ -197,6 +197,16 @@ object TextQueries {
     "text_unigram_encode_store" -> ((s, dir) =>
       graft.operators.UnigramLm.encodeFromModel(docs(s, dir),
           graft.sources.StagedLayouts.unigramModel(s, dir))
+        .orderBy("word")),
+
+    // WordPiece GREEDY longest-match serving from the staged model's
+    // piece set (UnigramLm.wordpieceEncode scaladoc — Wu et al. 2016):
+    // the third tokenizer serving geometry (BPE merge replay / unigram
+    // Viterbi / greedy commit), one narrow fold per distinct word
+    // against the 1-row broadcast piece map, all-integer output
+    "text_wordpiece_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.wordpieceEncode(docs(s, dir),
+          graft.sources.StagedLayouts.unigramModel(s, dir))
         .orderBy("word")))
 
   private def langidSql: String = {
@@ -384,6 +394,40 @@ object TextQueries {
        |  $pieces) GROUP BY word, freq ORDER BY word""".stripMargin
   }
 
+  /** `text_wordpiece_encode`'s oracle: the model replay to m`rounds`
+    * (same chain as [[unigramSql]]), then the greedy longest-match walk
+    * unrolled to `maxLen` steps — at each step the best match is
+    * max(length(p)) over pieces equal to the substring of their own
+    * length (identical to the Spark fold's shrinking-window first-hit),
+    * a no-match position flips the word to UNK wholesale.
+    */
+  private def wordpieceSql(rounds: Int, maxLen: Int, maxPiece: Int,
+                           vocabCap: Int): String = {
+    val steps = (1 to maxLen).map { s =>
+      s"""g$s AS MATERIALIZED (SELECT word, freq,
+         |    CAST(CASE WHEN unk = 1 OR pos > length(word) OR bl IS NULL
+         |      THEN pos ELSE pos + bl END AS INT) AS pos,
+         |    CAST(CASE WHEN unk = 1 OR pos > length(word) OR bl IS NULL
+         |      THEN n ELSE n + 1 END AS INT) AS n,
+         |    CAST(CASE WHEN unk = 0 AND pos <= length(word) AND bl IS NULL
+         |      THEN 1 ELSE unk END AS INT) AS unk
+         |  FROM (SELECT g.*, (SELECT max(length(v.p)) FROM m$rounds v
+         |          WHERE length(v.p) <= $maxPiece
+         |            AND v.p = substr(g.word, g.pos, length(v.p))) AS bl
+         |        FROM g${s - 1} g))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, vocabCap)},
+       |${(1 to rounds).map(i => unigramViterbiCtes(i, maxLen, maxPiece) +
+            unigramCountCtes(i, maxLen)).mkString(",\n")},
+       |g0 AS (SELECT word, freq, CAST(1 AS INT) AS pos, CAST(0 AS INT) AS n,
+       |    CAST(0 AS INT) AS unk FROM dict),
+       |$steps
+       |SELECT word, freq,
+       |  CAST(CASE WHEN unk = 1 THEN 0 ELSE n END AS INT) AS n_pieces,
+       |  (unk = 1) AS is_unk
+       |FROM g$maxLen ORDER BY word""".stripMargin
+  }
+
   private def unigramSeedCtes(maxLen: Int, maxPiece: Int,
                               vocabCap: Int): String =
     s"""toks AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
@@ -483,6 +527,9 @@ object TextQueries {
     // serving from the staged model table computes the identical
     // weights in-plan — same oracle again
     "text_unigram_encode_store" -> unigramEncodeSql(rounds = 2, maxLen = 12,
+      maxPiece = 4, vocabCap = 200),
+
+    "text_wordpiece_encode" -> wordpieceSql(rounds = 2, maxLen = 12,
       maxPiece = 4, vocabCap = 200),
 
     "text_langid" -> langidSql,

@@ -403,6 +403,25 @@ class TextOpsSpec extends SparkSpec {
       "doc-level rules must stay per-row - found a shuffle:\n" + p.take(2000))
   }
 
+  test("wordpiece greedy: longest-match-first on a hand model, UNK wholesale") {
+    import spark.implicits._
+    val model = Seq(("ab", 10L), ("abc", 5L), ("a", 3L), ("b", 3L),
+      ("c", 3L), ("d", 1L)).toDF("piece", "cnt")
+    val corpus = docsOf(
+      1L -> "abcd abd dcba xz cab").select(col("text"))
+    val got = graft.operators.UnigramLm
+      .wordpieceEncode(corpus, model, maxLen = 12, maxPiece = 4)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getBoolean(3))).toSeq
+    // abcd: greedy takes "abc" (longest at pos 1), then "d" → 2 pieces
+    //   (a shortest-first or Viterbi-count segmentation could differ);
+    // abd: "ab"+"d" → 2; dcba: "d"+"c"+"b"+"a" → 4; cab: "c"+"ab" → 2;
+    // xz: 'x' has no piece → UNK wholesale, n_pieces 0
+    assert(got == Seq(("abcd", 2, false), ("abd", 2, false),
+      ("cab", 2, false), ("dcba", 4, false), ("xz", 0, true)),
+      s"greedy segmentation diverged: $got")
+  }
+
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
     val d = Tables.documents(spark, sf)
     val p = plan(TextAnalysis.lmBigramScore(d, refBucketLt = 50, v = 1000))
