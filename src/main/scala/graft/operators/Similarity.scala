@@ -188,19 +188,26 @@ object Similarity {
         withNorm(embDf), col("v"), coarse, "cell", d2Col = Some("_d2"))
       .withColumn("d2c", rnd5(col("_d2")))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("d2c"))
-    val a = celled.select(col("cell"), col("vec_id").as("id_a"),
+    celled.join(semDropsAll(celled, tau), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("d2c"))
+  }
+
+  /** ALL within-cell keep-farthest drops over (cell, vec_id, v, nrm,
+    * d2c) rows — the pair kernel [[semDedup]] and the delete path's
+    * affected-cell re-solve share. Returns distinct dropped vec_ids.
+    */
+  def semDropsAll(withD: DataFrame, tau: Double): DataFrame = {
+    val a = withD.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"), col("d2c").as("da"))
-    val b = celled.select(col("cell"), col("vec_id").as("id_b"),
+    val b = withD.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"), col("d2c").as("db"))
-    val drops = a.join(b, "cell").where(col("id_a") < col("id_b"))
+    a.join(b, "cell").where(col("id_a") < col("id_b"))
       .withColumn("cos",
         ArrayKernels.dotFast(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= tau)
       .select(when(col("da") >= col("db"), col("id_b"))
         .otherwise(col("id_a")).as("vec_id"))
       .distinct()
-    celled.join(drops, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell"), col("d2c"))
   }
 
   /** Attach the 5-dp-rounded squared distance to the OWN assigned

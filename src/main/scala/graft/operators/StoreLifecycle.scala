@@ -53,6 +53,18 @@ object StoreLifecycle {
   def tombstonedVecs(idCol: Column, thr: Long): Column =
     idCol % 7 === 3 && idCol <= thr
 
+  /** Deterministic SEMANTIC-DEDUP tombstones: vec_id ≡ 6 (mod 37) AND
+    * ≤ `thr` — a sparser set than [[tombstonedVecs]], chosen by
+    * measurement (the density-before-build discipline) so that (a) it
+    * deletes a dup-pair WINNER (vec 191), which must RESURRECT its
+    * loser (431) — the case that makes semantic-dedup deletion
+    * non-monotone and forces the affected-cell re-solve — and (b) it
+    * leaves some cells untouched, so the unaffected-cell
+    * incremental-reuse path is actually exercised.
+    */
+  def semTombstonedVecs(idCol: Column, thr: Long): Column =
+    idCol % 37 === 6 && idCol <= thr
+
   /** Logical delete: anti-join the (small, broadcast) tombstone table
     * out of the store scan — the serve-time form; the store file
     * layout is untouched and the probe plan keeps streaming it.

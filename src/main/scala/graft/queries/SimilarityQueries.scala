@@ -280,6 +280,48 @@ object SimilarityQueries {
       Similarity.semDedupIngest(s.table(storeTbl), batch,
           s.table(dropsTbl), coarse, tau = 0.4)
         .orderBy("vec_id")
+    }),
+
+    // DELETE for semantic dedup — the non-monotone one: removing a
+    // dup-pair WINNER must RESURRECT its loser (measured on the
+    // fixture: deleting vec 191 resurrects 431), so tombstone
+    // anti-joins alone are wrong. Candidates never cross cells, so
+    // deletes only invalidate decisions in the cells they touch:
+    // affected cells re-solve from their live members (the
+    // dedup_cluster_delete affected-components discipline — bounded
+    // by corpus/nlist per cell), unaffected cells ride the unchanged
+    // incremental path (store + prior drops + batch). Oracle = the
+    // whole-corpus semDedup recompute that never ingested the
+    // tombstoned vectors.
+    "dedup_semantic_delete" -> ((s, dir) => {
+      val (dropsTbl, thr) = graft.sources.StagedLayouts.semDropStore(s, dir)
+      val (storeTbl, _) = graft.sources.StagedLayouts.ivfPostingsStore(s, dir)
+      val store = s.table(storeTbl)
+      val tombP = graft.operators.StoreLifecycle
+        .semTombstonedVecs(col("vec_id"), thr)
+      val affCells = store.where(tombP).select(col("cell")).distinct()
+      val liveStore = store.where(!tombP)
+      val batch = Similarity.ivfAssignBroadcast(
+        Similarity.emb(s, dir).where(col("vec_id") > thr), coarse)
+      // unaffected cells: the incremental path, decisions untouched
+      val keptU = Similarity.semDedupIngest(
+        liveStore.join(affCells, Seq("cell"), "left_anti"),
+        batch.join(affCells, Seq("cell"), "left_anti"),
+        s.table(dropsTbl)
+          .join(store.select(col("vec_id"), col("cell")), "vec_id")
+          .join(affCells, Seq("cell"), "left_anti")
+          .select(col("vec_id")),
+        coarse, tau = 0.4)
+      // affected cells: re-solve from live members only
+      val withDA = Similarity.withCentroidDist(
+        liveStore.join(affCells, Seq("cell"), "left_semi")
+          .unionByName(batch.join(affCells, Seq("cell"), "left_semi")),
+        coarse)
+      val keptA = withDA
+        .join(Similarity.semDropsAll(withDA, tau = 0.4),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"), col("d2c"))
+      keptU.unionByName(keptA).orderBy("vec_id")
     }))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
@@ -363,11 +405,23 @@ object SimilarityQueries {
     * `dedup_semantic_incremental` — the oracle never sees the
     * store/batch split, so incremental equality proves ingest ≡ rebuild.
     */
-  private def semDedupSql: String =
+  private def semDedupSql: String = semDedupSqlWith(excludeDeleted = false)
+
+  /** `excludeDeleted` re-derives `dedup_semantic_delete`: tombstoned
+    * vectors (≡6 mod 37 within the prefix — StoreLifecycle
+    * .semTombstonedVecs) never enter assignment, pairs, or output; the
+    * oracle never sees stores, affected cells, or the re-solve split.
+    */
+  private def semDedupSqlWith(excludeDeleted: Boolean): String = {
+    val del = if (excludeDeleted)
+      "\n      WHERE NOT (vec_id % 37 = 6 AND vec_id <= (SELECT t FROM sthr))"
+    else ""
+    val thrCte = if (excludeDeleted)
+      "sthr AS (SELECT (max(vec_id) * 4) // 5 AS t FROM embeddings),\n" else ""
     s"""WITH $embCte,
-       |$centCteSql,
+       |$thrCte$centCteSql,
        |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
-       |      FROM en CROSS JOIN cent),
+       |      FROM en CROSS JOIN cent$del),
        |cc AS (SELECT vec_id, v, nrm, cid AS cell, ${rndSql("d", 5)} AS d2c FROM (
        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
        |        FROM cd) WHERE crk = 1),
@@ -379,6 +433,7 @@ object SimilarityQueries {
        |SELECT vec_id, cell, d2c FROM cc
        |WHERE vec_id NOT IN (SELECT vid FROM dr)
        |ORDER BY vec_id""".stripMargin
+  }
 
   private def ivfSql: String =
     s"""WITH $embCte,
@@ -648,6 +703,11 @@ object SimilarityQueries {
     // the incremental form answers the same whole-corpus question —
     // equality proves store+prior-drops+batch ingest ≡ full recompute
     "dedup_semantic_incremental" -> semDedupSql,
+
+    // the delete form's oracle: the same recompute over a corpus that
+    // never ingested the tombstoned vectors — equality proves the
+    // affected-cell re-solve + unaffected incremental reuse ≡ rebuild
+    "dedup_semantic_delete" -> semDedupSqlWith(excludeDeleted = true),
 
     // recall report twin: the sim_topk and sim_ann_ivf chains composed,
     // left-joined per (qid, vec_id), integer hit counts

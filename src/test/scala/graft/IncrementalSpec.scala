@@ -344,4 +344,31 @@ class IncrementalSpec extends SparkSpec {
     assert(twoDay == whole,
       "two-day ingest diverged from the whole-corpus recompute")
   }
+
+  test("semDedup delete resurrects the deleted winner's loser (non-monotone delete)") {
+    import graft.operators.{Similarity, StoreLifecycle, TrainedIvfCentroids}
+    val cells = TrainedIvfCentroids.cells
+    val emb = Similarity.emb(spark, sf)
+    val thr = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+    val keptAll = Similarity.semDedup(emb, cells, 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val live = emb.where(!StoreLifecycle.semTombstonedVecs(col("vec_id"), thr))
+    val keptDel = Similarity.semDedup(live, cells, 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // measured before build, per scale: at sf0.001 the ≡6 mod 37 set
+    // tombstones winner 43, whose loser 276 was dropped ONLY by that
+    // pair — the delete must resurrect it (at sf0.01 the same
+    // predicate deletes winner 191 and resurrects 431 — that case is
+    // the driver oracle's)
+    assert(keptAll.contains(43L) && !keptDel.contains(43L),
+      "the tombstoned winner must vanish")
+    assert(!keptAll.contains(276L) && keptDel.contains(276L),
+      "deleting the winner must resurrect its loser")
+    // and the registered query's composed path equals this recompute
+    val viaQuery = graft.queries.SimilarityQueries
+      .queries("dedup_semantic_delete")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaQuery == keptDel,
+      "affected-cell re-solve diverged from whole-minus-deleted recompute")
+  }
 }
