@@ -198,4 +198,22 @@ object Modularity {
         coalesce(when(col("gain") > 0, col("gain")), lit(0).cast(d38))
           .as("gain_num"))
   }
+
+  /** Louvain phase-2 graph CONTRACTION (Blondel et al. 2008): collapse
+    * each community of `labels` into a super-node and aggregate
+    * parallel edges into integer weights — self-loops carry the intra-
+    * community edge mass, exactly what the next level's move phase
+    * needs. Output: (c_src, c_dst, w) with w = directed edge count
+    * between the two communities. One pass over the edge list (two
+    * label joins — the Modularity.score shape) into a map-side-combined
+    * aggregate of at most |C|² rows; at any corpus scale the contracted
+    * graph is the small one (that's the point of the phase).
+    */
+  def coarsen(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("src"), col("community").as("c_src"))
+    val lb = labels.select(col("node").as("dst"), col("community").as("c_dst"))
+    edges.join(la, "src").join(lb, "dst")
+      .groupBy(col("c_src"), col("c_dst"))
+      .agg(count(lit(1)).as("w"))
+  }
 }

@@ -196,6 +196,20 @@ object GraphQueries {
           graft.sources.StagedLayouts.lpaLabels(s, dir), parity = 0)
         .orderBy("node")),
 
+    // Louvain phase 2 over the REFINED partition: the half-sweep's
+    // new_community labels contracted into the super-node graph
+    // (Modularity.coarsen scaladoc) — the two registered queries
+    // compose exactly as the published algorithm alternates (move,
+    // contract, repeat on the small graph)
+    "graph_louvain_coarsen" -> ((s, dir) => {
+      val moved = graft.operators.Modularity
+        .louvainStep(supplyEdges(s, dir),
+          graft.sources.StagedLayouts.lpaLabels(s, dir), parity = 0)
+        .select(col("node"), col("new_community").as("community"))
+      graft.operators.Modularity.coarsen(supplyEdges(s, dir), moved)
+        .orderBy("c_src", "c_dst")
+    }),
+
     // 3-hop multi-source BFS over the bipartite supply graph from
     // suppliers 1..5 — frontier form, so per-round work is the frontier
     // expansion, not the whole distance table (Bfs scaladoc). Hop
@@ -425,6 +439,26 @@ object GraphQueries {
        |FROM base b LEFT JOIN best bt ON bt.node = b.node
        |ORDER BY b.node""".stripMargin
 
+  /** `graph_louvain_coarsen`'s oracle: the louvainStep chain's refined
+    * labels contracted — two label joins + a grouped count.
+    */
+  private def louvainCoarsenSql(rounds: Int): String = {
+    val stepSql = louvainStepSql(rounds)
+    // reuse the step chain verbatim up to its final SELECT, then wrap
+    // the refined labels and contract
+    val chain = stepSql.substring(0, stepSql.lastIndexOf("SELECT b.node"))
+      .trim.stripSuffix(")") + ")"
+    s"""$chain,
+       |refined AS MATERIALIZED (
+       |  SELECT b.node, CASE WHEN bt.gain > 0 THEN bt.cn ELSE b.community END AS community
+       |  FROM base b LEFT JOIN best bt ON bt.node = b.node)
+       |SELECT la.community AS c_src, lb.community AS c_dst,
+       |  CAST(count(*) AS BIGINT) AS w
+       |FROM edges e JOIN refined la ON la.node = e.src
+       |JOIN refined lb ON lb.node = e.dst
+       |GROUP BY 1, 2 ORDER BY c_src, c_dst""".stripMargin
+  }
+
   /** `graph_modularity_sweep`'s oracle: ONE materialized LPA chain to
     * round 4 (each lN MATERIALIZED, so the four candidates share the
     * replay exactly like the staged Spark states), then per candidate
@@ -617,6 +651,7 @@ object GraphQueries {
       "graph_label_prop" -> lpaSql(rounds = 3),
       "graph_modularity" -> modularitySql(rounds = 3),
       "graph_louvain_step" -> louvainStepSql(rounds = 3),
+      "graph_louvain_coarsen" -> louvainCoarsenSql(rounds = 3),
       "graph_modularity_sweep" -> modularitySweepSql(maxRounds = 4),
 
       "graph_bfs" -> bfsSql(rounds = 3),

@@ -310,6 +310,30 @@ class GraphSpec extends SparkSpec {
     assert(q1 >= q0, s"half-sweep decreased Q: $q0 -> $q1")
   }
 
+  test("louvain coarsen: mass-preserving, symmetric, self-loops carry intra edges") {
+    import graft.operators.Modularity
+    val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)
+      .localCheckpoint(true)
+    val labels = graft.sources.StagedLayouts.lpaLabels(spark, sf)
+    val contracted = Modularity.coarsen(edges, labels).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // total edge mass is preserved exactly
+    assert(contracted.values.sum == edges.count(),
+      "contraction must preserve the directed edge count")
+    // the symmetrized input contracts to a symmetric super-graph
+    contracted.foreach { case ((a, b), w) =>
+      assert(contracted.getOrElse((b, a), -1L) == w,
+        s"asymmetric super-edge ($a, $b)")
+    }
+    // self-loop mass equals the modularity table's intra counts
+    val intra = Modularity.score(edges, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    intra.foreach { case (c, e) =>
+      assert(contracted.getOrElse((c, c), 0L) == e,
+        s"community $c self-loop != intra count")
+    }
+  }
+
   test("modularity numerator is exact past the BIGINT wrap (decimal widening boundary)") {
     import spark.implicits._
     import graft.operators.Modularity
