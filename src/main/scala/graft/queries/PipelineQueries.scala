@@ -107,6 +107,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- END-TO-END SELECTION pipeline: the round-15 operators
+    // composed as one declarative plan — Gopher quality gate → semantic
+    // dedup (docs whose embedding lost a SemDeDup pair drop; docs
+    // without vectors pass through) → DSIR importance selection of the
+    // top-20 raw-pool survivors. The published curation recipe
+    // (quality → dedup → domain selection) as a single Catalyst tree:
+    // the gate is narrow, the drop set anti-joins, DSIR's weight table
+    // is the fixed 64-bucket aggregate over the SURVIVOR corpus.
+    "pipeline_select_e2e" -> ((s, dir) => {
+      import graft.operators.{Dsir, Similarity, TextAnalysis, TrainedIvfCentroids}
+      val docs = Tables.documents(s, dir)
+      val keep = TextAnalysis.gopherRules(docs)
+        .where(col("keep")).select(col("doc_id"))
+      val emb = Similarity.emb(s, dir)
+      val dropped = emb.select(col("vec_id"))
+        .join(Similarity.semDedup(emb, TrainedIvfCentroids.cells, tau = 0.4)
+          .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val survivors = docs.join(keep, "doc_id")
+        .join(dropped.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      Dsir.select(survivors, targetLang = "en", nBuckets = 64, topN = 20)
+        .orderBy("rk")
+    }),
+
     // ---- END-TO-END training-data pipeline: exact-dedup keep set →
     // quality gate → language ID → hash split → per-(split, lang) corpus
     // stats. The composition a real data-curation run executes, as ONE
@@ -259,6 +283,29 @@ object PipelineQueries {
       top.withColumn("rk", row_number().over(
           Window.orderBy(col("key6").desc, col("doc_id"))).cast("int"))
         .select(col("rk"), col("doc_id"), col("source"), col("key6"))
+    }),
+
+    // stratified A-Res: the SAME weighted-WOR keys, top-5 PER LANGUAGE
+    // through the custom bounded-heap TopKPerGroup operator (no window
+    // sort, no per-group materialization — heap state is langs × 5 rows
+    // at any corpus size; the third consumer of the custom plan after
+    // q_topk_custom/q_trending)
+    "q_sample_wor_grouped" -> ((s, dir) => {
+      val u = conv(substring(md5(concat(lit("ws"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val w = least(col("n_chars").cast("double"), lit(2000.0)) / lit(2000.0)
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("key6", rnd(pow(u, lit(1.0) / w), 6))
+        .withColumn("_ord",
+          struct((-col("key6")).as("a"), col("doc_id").as("b")))
+      graft.plans.TopKPerGroup(keyed, Seq("lang"), "_ord",
+          descending = false, k = 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("key6").desc, col("doc_id"))).cast("int"))
+        .select(col("lang"), col("rk"), col("doc_id"), col("key6"))
+        .orderBy("lang", "rk")
     }),
 
     // ---- training-sequence PACKING: assign docs to fixed-token-budget
@@ -504,6 +551,70 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "pipeline_e2e" -> pipelineE2eSql,
 
+    // the composed selection pipeline: the semantic-drop chain
+    // (SimilarityQueries.semDropCtes), the five Gopher rules, then the
+    // DSIR chain over the survivor corpus — each stage's algebra
+    // verbatim from its standalone oracle
+    "pipeline_select_e2e" -> {
+      val stopList = graft.operators.TextAnalysis.stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH ${SimilarityQueries.semDropCtes},
+         |gt AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(ws) AS INT) AS n_words,
+         |    CAST(list_reduce(list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS INT) AS sum_wl,
+         |    CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS INT) AS n_stop,
+         |    CAST(list_max(list_transform(list_distinct(ws),
+         |      w -> len(list_filter(ws, x -> x = w)))) AS INT) AS max_wf,
+         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 AS INT) ELSE 0 END AS n_tri,
+         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 - len(list_distinct(
+         |      list_transform(generate_series(1, len(ws) - 2),
+         |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS INT)
+         |      ELSE 0 END AS n_tri_dup
+         |  FROM gt),
+         |gk AS (SELECT doc_id FROM gm
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND 3 * n_words <= sum_wl AND sum_wl <= 10 * n_words
+         |    AND n_stop >= 2 AND 5 * max_wf <= n_words
+         |    AND 10 * n_tri_dup <= 3 * n_tri),
+         |surv AS MATERIALIZED (SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN gk ON gk.doc_id = d.doc_id
+         |  WHERE d.doc_id NOT IN (SELECT vid FROM semdrop)),
+         |t AS (SELECT doc_id, lang,
+         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM surv),
+         |occ AS (SELECT lang, unnest(ws) AS w FROM t),
+         |b AS (SELECT (lang = 'en') AS is_t,
+         |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bk FROM occ),
+         |cnt AS (SELECT bk,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+         |    CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS r_b
+         |  FROM b GROUP BY bk),
+         |tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS tt,
+         |    CAST(sum(r_b) AS BIGINT) AS rr FROM cnt),
+         |w AS MATERIALIZED (SELECT bk,
+         |    CAST(floor(ln(((t_b + 1.0) * (rr + 64.0)) /
+         |      ((r_b + 1.0) * (tt + 64.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
+         |  FROM cnt CROSS JOIN tot),
+         |raw AS (SELECT doc_id, lang, CAST(len(ws) AS INT) AS n_words, ws
+         |  FROM t WHERE lang <> 'en'),
+         |o2 AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bk
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM raw)),
+         |ds AS (SELECT o2.doc_id, CAST(sum(w.wu) AS BIGINT) AS score_u
+         |  FROM o2 JOIN w USING (bk) GROUP BY o2.doc_id),
+         |sel AS (SELECT raw.doc_id, raw.lang, raw.n_words,
+         |    coalesce(ds.score_u, 0) AS score_u
+         |  FROM raw LEFT JOIN ds ON raw.doc_id = ds.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |    (ORDER BY score_u DESC, doc_id) AS INT) AS rk FROM sel)
+         |SELECT rk, doc_id, lang, n_words, score_u FROM r
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
     // Dsir.select's twin: same md5 feature hash, same add-1 integer-
     // micros weights (floor(ln·1e6 + ½)), same BIGINT score sum; the
     // oracle scores via explode+join+groupBy where Spark folds per-row
@@ -552,6 +663,19 @@ object PipelineQueries {
          |r AS (SELECT doc_id, source, key6,
          |    CAST(row_number() OVER (ORDER BY key6 DESC, doc_id) AS INT) AS rk FROM k)
          |SELECT rk, doc_id, source, key6 FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
+
+    // grouped A-Res twin: same keys, per-lang rank
+    "q_sample_wor_grouped" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      / CAST(4294967296.0 AS DOUBLE) AS u,
+         |    least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0 AS w
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang, ${rndSql("power(u, 1.0 / w)", 6)} AS key6 FROM d),
+         |r AS (SELECT lang, doc_id, key6,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key6 DESC, doc_id)
+         |      AS INT) AS rk FROM k)
+         |SELECT lang, rk, doc_id, key6 FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     // shuffle-shard's twin: same 15-hex md5 key (the KMV precedent —
     // fits BIGINT), same shard mod, same (h, doc_id) within-shard order

@@ -405,6 +405,25 @@ object SimilarityQueries {
     * `dedup_semantic_incremental` — the oracle never sees the
     * store/batch split, so incremental equality proves ingest ≡ rebuild.
     */
+  /** CTE chain ending in `semdrop(vid)` — the semantic-dedup dropped
+    * vec ids — for cross-module composed oracles
+    * (PipelineQueries.pipeline_select_e2e). Same assignment + pair +
+    * keep-farthest algebra as [[semDedupSqlWith]].
+    */
+  private[queries] def semDropCtes: String =
+    s"""$embCte,
+       |$centCteSql,
+       |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+       |      FROM en CROSS JOIN cent),
+       |cc AS (SELECT vec_id, v, nrm, cid AS cell, ${rndSql("d", 5)} AS d2c FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+       |        FROM cd) WHERE crk = 1),
+       |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.d2c AS da, b.d2c AS db,
+       |        a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+       |      FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |semdrop AS (SELECT DISTINCT CASE WHEN da >= db THEN id_b ELSE id_a END AS vid
+       |       FROM sp WHERE ${cosN("va", "vb", "na", "nb")} >= 0.4)""".stripMargin
+
   private def semDedupSql: String = semDedupSqlWith(excludeDeleted = false)
 
   /** `excludeDeleted` re-derives `dedup_semantic_delete`: tombstoned

@@ -329,6 +329,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2) == want, "selection diverged from driver recompute")
   }
 
+  test("grouped A-Res runs through the custom bounded-heap operator, no window sort") {
+    val df = q("q_sample_wor_grouped")
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"),
+      "grouped sample must use the custom physical operator:\n" + p.take(1500))
+    // per-lang ranks are 1..5 and keys descend within each lang
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length),
+        s"$lang ranks not contiguous")
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"$lang keys not descending")
+        case _ =>
+      }
+    }
+  }
+
   test("shuffle-shard: a permutation, balanced, reproducible under re-partitioning") {
     val rows = q("pipeline_shuffle_shard").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
