@@ -163,6 +163,40 @@ object TextAnalysis {
           col("r_maxwf") && col("r_dup"))
   }
 
+  /** The Gopher gate as ONE collapse-proof boolean expression: the
+    * token array is BOUND as a lambda variable of a single-element
+    * transform, so it evaluates exactly once per row NO MATTER how
+    * Catalyst inlines the expression — when `gopherRules(...).where(
+    * col("keep"))` collapses into one pushed-down filter, the unbound
+    * form re-evaluates `split(lower(text))` at every reference,
+    * including INSIDE the max-frequency rule's nested per-element
+    * lambda: measured 0.14 s → 19 s at sf0.1 under the
+    * pipeline_select_e2e composition; this form restores the 0.1-s
+    * class. Semantics identical to [[gopherRules]]'s `keep`
+    * (spec-pinned row-for-row).
+    */
+  def gopherKeepExpr: Column = {
+    val ws0 = filter(split(lower(col("text")), " "), w => w =!= "")
+    element_at(transform(array(ws0), ws => {
+      val nWords = size(ws)
+      val sumWl = aggregate(transform(ws, w => length(w)),
+        lit(0), (a, x) => a + x)
+      val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+      val maxWf = array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w))))
+      val tg = transform(sequence(lit(1), nWords - 2),
+        i => concat(element_at(ws, i), lit(" "),
+          element_at(ws, i + 1), lit(" "), element_at(ws, i + 2)))
+      val nTri = when(nWords >= 3, size(tg)).otherwise(lit(0))
+      val nTriDup = when(nWords >= 3, size(tg) - size(array_distinct(tg)))
+        .otherwise(lit(0))
+      (nWords >= 50 && nWords <= 100000) &&
+        (lit(3) * nWords <= sumWl && sumWl <= lit(10) * nWords) &&
+        (nStop >= 2) && (lit(5) * maxWf <= nWords) &&
+        (lit(10) * nTriDup <= lit(3) * nTri)
+    }), 1)
+  }
+
   /** Per-document quality metrics — all per-row exact arithmetic. */
   def quality(docs: DataFrame): DataFrame = {
     val stopHits = stopwords

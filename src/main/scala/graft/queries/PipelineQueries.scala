@@ -118,15 +118,26 @@ object PipelineQueries {
     "pipeline_select_e2e" -> ((s, dir) => {
       import graft.operators.{Dsir, Similarity, TextAnalysis, TrainedIvfCentroids}
       val docs = Tables.documents(s, dir)
-      val keep = TextAnalysis.gopherRules(docs)
-        .where(col("keep")).select(col("doc_id"))
+      // the collapse-proof single-expression gate (gopherKeepExpr
+      // scaladoc): where(gopherRules(...)("keep")) inlines split()
+      // into the nested max-wf lambda — 0.14 → 19 s at sf0.1, measured
+      val keep = docs.where(TextAnalysis.gopherKeepExpr)
+        .select(col("doc_id"))
       val emb = Similarity.emb(s, dir)
       val dropped = emb.select(col("vec_id"))
         .join(Similarity.semDedup(emb, TrainedIvfCentroids.cells, tau = 0.4)
           .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      // the survivor frame feeds THREE downstream scans (DSIR's count
+      // pass, its scoring pass, and the selection) — uncheckpointed,
+      // Catalyst re-executes the gate + pair-join subtree per
+      // reference (measured: 15.7 s cold / 14.5 s warm isolated at
+      // sf0.1 vs 3.3 / 1.1 s checkpointed — the dedup-family
+      // pre-checkpoint pattern, same trade at 100 TB where survivors
+      // materialize once per curation run by design)
       val survivors = docs.join(keep, "doc_id")
         .join(dropped.select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       Dsir.select(survivors, targetLang = "en", nBuckets = 64, topN = 20)
         .orderBy("rk")
     }),

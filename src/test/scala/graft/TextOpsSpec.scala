@@ -397,6 +397,17 @@ class TextOpsSpec extends SparkSpec {
       s"gate degenerate: kept $kept of ${rows.length}")
   }
 
+  test("collapse-proof gopherKeepExpr equals gopherRules' keep row-for-row") {
+    val docs = Tables.documents(spark, sf)
+    val viaRules = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaExpr = docs
+      .select(col("doc_id"), TextAnalysis.gopherKeepExpr.as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaExpr == viaRules, "bound-lambda gate diverged from the rules table")
+  }
+
   test("gopher gate is narrow (no exchange in the plan)") {
     val p = plan(TextAnalysis.gopherRules(Tables.documents(spark, sf)))
     assert(!p.contains("Exchange"),
