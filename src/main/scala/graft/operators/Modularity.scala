@@ -33,6 +33,16 @@ import org.apache.spark.sql.types.DecimalType
   * (GraphSpec pins the boundary past 2^63 against BigInt arithmetic;
   * the pre-r15 Long form wrapped at d_c² ≥ 2^63, ~3·10⁹ directed
   * edges).
+  *
+  * Output-encoding discipline: the operators here RETURN the exact
+  * DECIMAL(38,0) columns (so compositions like the Louvain driver can
+  * keep computing on them), but the query registry re-encodes every
+  * decimal column as its canonical integer STRING before it leaves the
+  * engine — Spark writes decimal38 to parquet as FIXED_LEN_BYTE_ARRAY
+  * int128, whose hash canonicalization differs across readers even
+  * when the VALUES are bit-identical (the r15 driver-gate lesson:
+  * right answers, red hashes). The canonical text of an exact integer
+  * is reader-independent.
   */
 object Modularity {
 
@@ -63,10 +73,15 @@ object Modularity {
       .agg(count(lit(1)).as("e_dir"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true) // one |V|-row frame feeds d_sum AND m_dir
-    val dsum = deg
-      .join(labels.select(col("node").as("src"), col("community")), "src")
+    // labels LEFT JOIN deg: a labeled node with no outgoing edges
+    // (possible when the caller's graph is not fully symmetrized) still
+    // counts in n_nodes and contributes 0 degree — matching the scaladoc
+    // contract that `labels` covers every node
+    val dsum = labels.select(col("node").as("src"), col("community"))
+      .join(deg, Seq("src"), "left")
       .groupBy(col("community"))
-      .agg(sum(col("d")).as("d_sum"), count(lit(1)).as("n_nodes"))
+      .agg(sum(coalesce(col("d"), lit(0L))).as("d_sum"),
+        count(lit(1)).as("n_nodes"))
     // M = Σ out-degrees — the edge list is scanned twice (degrees +
     // intra), never a third time for the count
     val mRow = deg.agg(sum(col("d")).as("m_dir"))
@@ -162,9 +177,13 @@ object Modularity {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
     val mRow = deg.agg(sum(col("k")).as("m_dir"))
-    val dsum = deg
-      .join(labels.select(col("node").as("src"), col("community")), "src")
-      .groupBy(col("community")).agg(sum(col("k")).as("d_c"))
+    // labels-driven (left) so zero-out-degree labeled nodes keep their
+    // community represented — the own-side d_a join below must find a
+    // row for EVERY labeled node's community
+    val dsum = labels.select(col("node").as("src"), col("community"))
+      .join(deg, Seq("src"), "left")
+      .groupBy(col("community"))
+      .agg(sum(coalesce(col("k"), lit(0L))).as("d_c"))
       .localCheckpoint(true) // feeds the own-side AND candidate-side joins
     val kic = edges
       .join(labels.select(col("node").as("dst"), col("community").as("cn")), "dst")
@@ -172,7 +191,9 @@ object Modularity {
       .groupBy(col("node"), col("cn")).agg(count(lit(1)).as("k_ic"))
       .localCheckpoint(true) // feeds k_iA lookup AND the candidate set
     val base = labels
-      .join(deg.select(col("src").as("node"), col("k").as("k_i")), "node")
+      .join(deg.select(col("src").as("node"), col("k").as("k_i")),
+        Seq("node"), "left")
+      .withColumn("k_i", coalesce(col("k_i"), lit(0L)))
       .join(kic.select(col("node"), col("cn").as("community"),
         col("k_ic").as("k_ia_raw")), Seq("node", "community"), "left")
       .join(dsum.select(col("community"), col("d_c").as("d_a")), "community")
@@ -197,6 +218,112 @@ object Modularity {
           .as("new_community"),
         coalesce(when(col("gain") > 0, col("gain")), lit(0).cast(d38))
           .as("gain_num"))
+  }
+
+  /** [[louvainStep]] on a WEIGHTED graph — the move phase levels ≥ 2 of
+    * the published algorithm run on the contracted super-graph, where
+    * parallel edges have been folded into integer weights and
+    * self-loops carry each super-node's internal mass ([[coarsen]]'s
+    * output shape (src, dst, w)). Three deltas from the unweighted
+    * step, all forced by self-loops:
+    *
+    *  - degrees are weight sums and INCLUDE the self-loop (its mass
+    *    moves with the node, exactly like Blondel's k_i);
+    *  - neighbor-community link weights k_ic EXCLUDE self-edges (a
+    *    node's own loop is not a link to another member);
+    *  - the gain algebra is unchanged — with those two conventions the
+    *    self-loop cancels out of the intra deltas and
+    *    gain_num = M·(k_iB − k_iA) − k_i·(d_B − d_A) − k_i² holds
+    *    verbatim (same decimal(19×19→38) widening, no float).
+    *
+    * With identity labels (every super-node its own community) this IS
+    * the level-2 move phase; [[louvainStep]] is the w ≡ 1, loop-free
+    * special case. Same red-black parity eligibility, same
+    * (gain DESC, target ASC) tie-break, same output shape.
+    */
+  def louvainStepWeighted(edges: DataFrame, labels: DataFrame,
+      parity: Int = 0): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("k"))
+      .localCheckpoint(true)
+    val mRow = deg.agg(sum(col("k")).as("m_dir"))
+    val dsum = labels.select(col("node").as("src"), col("community"))
+      .join(deg, Seq("src"), "left")
+      .groupBy(col("community"))
+      .agg(sum(coalesce(col("k"), lit(0L))).as("d_c"))
+      .localCheckpoint(true)
+    val kic = edges.where(col("src") =!= col("dst"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cn")), "dst")
+      .select(col("src").as("node"), col("cn"), col("w"))
+      .groupBy(col("node"), col("cn")).agg(sum(col("w")).as("k_ic"))
+      .localCheckpoint(true)
+    val base = labels
+      .join(deg.select(col("src").as("node"), col("k").as("k_i")),
+        Seq("node"), "left")
+      .withColumn("k_i", coalesce(col("k_i"), lit(0L)))
+      .join(kic.select(col("node"), col("cn").as("community"),
+        col("k_ic").as("k_ia_raw")), Seq("node", "community"), "left")
+      .join(dsum.select(col("community"), col("d_c").as("d_a")), "community")
+      .select(col("node"), col("community"), col("k_i"),
+        coalesce(col("k_ia_raw"), lit(0L)).as("k_ia"), col("d_a"))
+    val cand = base.where(pmod(col("node"), lit(2)) === parity)
+      .join(kic, "node").where(col("cn") =!= col("community"))
+      .join(dsum.select(col("community").as("cn"), col("d_c").as("d_b")), "cn")
+      .crossJoin(broadcast(mRow))
+      .withColumn("gain",
+        (col("m_dir").cast(d19) * (col("k_ic") - col("k_ia")).cast(d19)
+          - col("k_i").cast(d19) * (col("d_b") - col("d_a")).cast(d19)
+          - col("k_i").cast(d19) * col("k_i").cast(d19)).cast(d38))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("gain").desc, col("cn"))
+    val best = cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("node"), col("cn"), col("gain"))
+    base.join(best, Seq("node"), "left")
+      .select(col("node"), col("community"),
+        when(col("gain") > 0, col("cn")).otherwise(col("community"))
+          .as("new_community"),
+        coalesce(when(col("gain") > 0, col("gain")), lit(0).cast(d38))
+          .as("gain_num"))
+  }
+
+  /** The fixed-2-level Louvain DRIVER (Blondel et al. 2008's outer
+    * loop, unrolled to the two levels the registered pieces compose):
+    *
+    *   level 1: [[louvainStep]] half-sweep on the input graph refines
+    *            `labels` → L1;
+    *   contract: [[coarsen]] collapses L1 into the weighted super-graph
+    *            (tiny by construction — that is the phase's point);
+    *   level 2: [[louvainStepWeighted]] half-sweep on the super-graph
+    *            from SINGLETON communities (each super-node its own —
+    *            the published initialization) merges super-nodes.
+    *
+    * Output: one row per ORIGINAL node, (node, c1, c2) — its level-1
+    * community and its final community after the level-2 merge (the
+    * super-node's new home), both BIGINT. Projecting Q is invariant
+    * under contraction, so Q(node→c2) on the original graph equals
+    * Q(super-node partition) on the contracted one; GraphSpec pins
+    * Q(c2) ≥ Q(c1) on the fixture (measured, not assumed — parallel
+    * half-sweeps do not guarantee monotonicity).
+    *
+    * Scale shape: level 1 dominates (the edge-list passes); the
+    * contracted graph is |C|² rows at most, so level 2's joins are
+    * near-free at any corpus size.
+    */
+  def louvainMulti(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val l1 = louvainStep(edges, labels, parity = 0)
+      .select(col("node"), col("new_community").as("community"))
+      .localCheckpoint(true) // feeds the contraction AND the output join
+    val g2 = coarsen(edges, l1)
+    // singleton init from the LABELS (not the edge list): every level-1
+    // community is a super-node even if it somehow contracted edge-free
+    val singleton = l1.select(col("community").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    val l2 = louvainStepWeighted(
+      g2.select(col("c_src").as("src"), col("c_dst").as("dst"), col("w")),
+      singleton, parity = 0)
+    l1.join(l2.select(col("node").as("community"),
+        col("new_community").as("c2")), "community")
+      .select(col("node"), col("community").as("c1"), col("c2"))
   }
 
   /** Louvain phase-2 graph CONTRACTION (Blondel et al. 2008): collapse

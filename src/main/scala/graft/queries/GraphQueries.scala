@@ -161,11 +161,15 @@ object GraphQueries {
     // pins the boundary against BigInt) — no float anywhere, exact
     // hash gate; the 1-row edge count rides a broadcast, never a
     // collect. Oracle re-derives the labels through the identical
-    // unrolled LPA rounds, then the same decimal algebra.
+    // unrolled LPA rounds, then the same decimal algebra. The exact
+    // q_num leaves the registry as its canonical integer STRING
+    // (Modularity scaladoc output-encoding discipline — parquet
+    // int128 decimals hash-diverge across readers; text doesn't).
     "graph_modularity" -> ((s, dir) =>
       graft.operators.Modularity
         .score(supplyEdges(s, dir),
           graft.sources.StagedLayouts.lpaLabels(s, dir))
+        .withColumn("q_num", col("q_num").cast("string"))
         .orderBy("community")),
 
     // modularity-guided partition TUNING (Modularity.sweep scaladoc):
@@ -178,10 +182,13 @@ object GraphQueries {
     // ever forms. Oracle re-derives all four label states through ONE
     // materialized unrolled LPA chain, then the same decimal algebra
     // and window-max argmax.
+    // q_num_sum exits as canonical integer string (argmax `best` is
+    // still decided on the exact decimal inside Modularity.sweep)
     "graph_modularity_sweep" -> ((s, dir) =>
       graft.operators.Modularity
         .sweep(supplyEdges(s, dir),
           graft.sources.StagedLayouts.lpaLabelStates(s, dir))
+        .withColumn("q_num_sum", col("q_num_sum").cast("string"))
         .orderBy("rounds")),
 
     // one distributed Louvain local-move half-sweep over the staged
@@ -194,7 +201,29 @@ object GraphQueries {
     "graph_louvain_step" -> ((s, dir) =>
       graft.operators.Modularity.louvainStep(supplyEdges(s, dir),
           graft.sources.StagedLayouts.lpaLabels(s, dir), parity = 0)
+        .withColumn("gain_num", col("gain_num").cast("string"))
         .orderBy("node")),
+
+    // the COMPLETE fixed-2-level Louvain driver (Modularity.louvainMulti
+    // scaladoc — Blondel et al. 2008's outer loop unrolled), from the
+    // published SINGLETON initialization (every node its own community
+    // — NOT the staged LPA labels: those have already collapsed the
+    // fixture to 2 communities by round 3, leaving level 2 vacuous;
+    // measured before build): move on the input graph → contract →
+    // move on the weighted super-graph. One row per original node,
+    // (node, c1, c2) all BIGINT — level-1 and final community.
+    // The contracted graph is |C|²-bounded so level 2 is near-free at
+    // any corpus scale; GraphSpec pins that level 2 merges super-nodes
+    // and Q(c2) ≥ Q(c1) on the fixture (measured: sf0.001 lifts the
+    // exact Q numerator −1,448,502 → −369,994 with 100 level-2 moves;
+    // sf0.01 −3.75e7 → +6.43e7 with 218).
+    "graph_louvain_multi" -> ((s, dir) => {
+      val edges = supplyEdges(s, dir)
+      val singleton = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("community"))
+      graft.operators.Modularity.louvainMulti(edges, singleton)
+        .orderBy("node")
+    }),
 
     // Louvain phase 2 over the REFINED partition: the half-sweep's
     // new_community labels contracted into the super-node graph
@@ -374,7 +403,11 @@ object GraphQueries {
     * chain, then the exact per-community algebra q_num = M·i_c − d_c²
     * (Modularity scaladoc) — counts/sums in BIGINT, both products
     * formed as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) exactly
-    * like Modularity.qNumExact, no float anywhere.
+    * like Modularity.qNumExact, no float anywhere; q_num exits as its
+    * canonical VARCHAR (the registry's decimal-output re-encoding —
+    * both engines render an exact scale-0 decimal as the same text).
+    * `ds` is labels-driven (LEFT JOIN deg) like Modularity.score, so
+    * zero-out-degree labeled nodes still count in n_nodes.
     */
   private def modularitySql(rounds: Int): String =
     s"""WITH ${lpaCtes(rounds)},
@@ -382,43 +415,57 @@ object GraphQueries {
        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM edges),
        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
        |  FROM edges GROUP BY 1),
-       |ds AS (SELECT l.community, CAST(sum(g.d) AS BIGINT) AS d_sum,
+       |ds AS (SELECT l.community,
+       |    CAST(sum(coalesce(g.d, 0)) AS BIGINT) AS d_sum,
        |    CAST(count(*) AS BIGINT) AS n_nodes
-       |  FROM deg g JOIN lab l USING (node) GROUP BY 1),
+       |  FROM lab l LEFT JOIN deg g USING (node) GROUP BY 1),
        |ia AS (SELECT a.community, CAST(count(*) AS BIGINT) AS e_dir
        |  FROM edges e JOIN lab a ON a.node = e.src
        |  JOIN lab b ON b.node = e.dst AND b.community = a.community
        |  GROUP BY 1)
        |SELECT ds.community, ds.n_nodes,
        |  coalesce(ia.e_dir, CAST(0 AS BIGINT)) AS e_dir, ds.d_sum,
-       |  CAST(CAST((SELECT m_dir FROM mm) AS DECIMAL(19,0))
+       |  CAST(CAST(CAST((SELECT m_dir FROM mm) AS DECIMAL(19,0))
        |      * CAST(coalesce(ia.e_dir, CAST(0 AS BIGINT)) AS DECIMAL(19,0))
        |    - CAST(ds.d_sum AS DECIMAL(19,0)) * CAST(ds.d_sum AS DECIMAL(19,0))
-       |    AS DECIMAL(38,0)) AS q_num,
+       |    AS DECIMAL(38,0)) AS VARCHAR) AS q_num,
        |  (SELECT m_dir FROM mm) AS m_dir
        |FROM ds LEFT JOIN ia ON ia.community = ds.community
        |ORDER BY ds.community""".stripMargin
 
-  /** `graph_louvain_step`'s oracle: labels through the identical LPA
-    * chain, then the exact half-gain algebra
-    * gain = M·(k_iB − k_iA) − k_i·(d_B − d_A) − k_i² in the same
-    * DECIMAL(19,0)→(38,0) widening; eligibility node % 2 = 0, ties on
-    * (gain DESC, target ASC), stayers and ineligible emit gain 0.
+  /** Shared Louvain local-move CTE chain (labels through the LPA
+    * replay, degrees, community sums, neighbor-link counts, candidate
+    * gains, per-node best move) — ends with the `best` CTE. Both
+    * louvainStepSql and louvainCoarsenSql compose their final SELECT
+    * on top of this ONE builder (the former string-slicing reuse broke
+    * silently on any textual edit to the step SQL's tail).
+    * `base` LEFT-joins deg and dsum like Modularity.louvainStep, so a
+    * labeled node with no outgoing edges still emits a row (k_i 0).
     */
-  private def louvainStepSql(rounds: Int): String =
-    s"""WITH ${lpaCtes(rounds)},
+  private def louvainChainCtes(rounds: Int): String =
+    s"""${lpaCtes(rounds)},
        |lab AS MATERIALIZED (SELECT d AS node, lbl AS community FROM l$rounds),
-       |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+       |$louvainMoveCtes""".stripMargin
+
+  /** The move-phase CTEs alone (degrees → community sums → link counts
+    * → candidate gains → per-node best), referencing `edges` and `lab`
+    * from the caller's chain — composed by [[louvainChainCtes]] (LPA
+    * labels) and [[louvainMultiSql]] (singleton labels).
+    */
+  private val louvainMoveCtes: String =
+    s"""deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
        |  FROM edges GROUP BY 1),
        |mm AS (SELECT CAST(sum(k) AS BIGINT) AS m_dir FROM deg),
-       |dsum AS MATERIALIZED (SELECT community, CAST(sum(k) AS BIGINT) AS d_c
-       |  FROM deg JOIN lab USING (node) GROUP BY community),
+       |dsum AS MATERIALIZED (SELECT community,
+       |    CAST(sum(coalesce(k, 0)) AS BIGINT) AS d_c
+       |  FROM lab LEFT JOIN deg USING (node) GROUP BY community),
        |kic AS MATERIALIZED (SELECT e.src AS node, lab.community AS cn,
        |    CAST(count(*) AS BIGINT) AS k_ic
        |  FROM edges e JOIN lab ON lab.node = e.dst GROUP BY 1, 2),
-       |base AS (SELECT lab.node, lab.community, deg.k AS k_i,
+       |base AS (SELECT lab.node, lab.community,
+       |    coalesce(deg.k, CAST(0 AS BIGINT)) AS k_i,
        |    coalesce(ka.k_ic, CAST(0 AS BIGINT)) AS k_ia, da.d_c AS d_a
-       |  FROM lab JOIN deg USING (node)
+       |  FROM lab LEFT JOIN deg USING (node)
        |  LEFT JOIN kic ka ON ka.node = lab.node AND ka.cn = lab.community
        |  JOIN dsum da ON da.community = lab.community),
        |cand AS (SELECT b.node, b.community, kic.cn,
@@ -431,24 +478,29 @@ object GraphQueries {
        |  WHERE b.node % 2 = 0),
        |best AS (SELECT node, cn, gain FROM (SELECT node, cn, gain,
        |    row_number() OVER (PARTITION BY node ORDER BY gain DESC, cn ASC) AS rk
-       |  FROM cand) WHERE rk = 1)
+       |  FROM cand) WHERE rk = 1)""".stripMargin
+
+  /** `graph_louvain_step`'s oracle: labels through the identical LPA
+    * chain, then the exact half-gain algebra
+    * gain = M·(k_iB − k_iA) − k_i·(d_B − d_A) − k_i² in the same
+    * DECIMAL(19,0)→(38,0) widening; eligibility node % 2 = 0, ties on
+    * (gain DESC, target ASC), stayers and ineligible emit gain 0.
+    * gain_num exits as canonical VARCHAR (decimal re-encoding).
+    */
+  private def louvainStepSql(rounds: Int): String =
+    s"""WITH ${louvainChainCtes(rounds)}
        |SELECT b.node, b.community,
        |  CASE WHEN bt.gain > 0 THEN bt.cn ELSE b.community END AS new_community,
-       |  coalesce(CASE WHEN bt.gain > 0 THEN bt.gain END,
-       |    CAST(0 AS DECIMAL(38,0))) AS gain_num
+       |  CAST(coalesce(CASE WHEN bt.gain > 0 THEN bt.gain END,
+       |    CAST(0 AS DECIMAL(38,0))) AS VARCHAR) AS gain_num
        |FROM base b LEFT JOIN best bt ON bt.node = b.node
        |ORDER BY b.node""".stripMargin
 
   /** `graph_louvain_coarsen`'s oracle: the louvainStep chain's refined
     * labels contracted — two label joins + a grouped count.
     */
-  private def louvainCoarsenSql(rounds: Int): String = {
-    val stepSql = louvainStepSql(rounds)
-    // reuse the step chain verbatim up to its final SELECT, then wrap
-    // the refined labels and contract
-    val chain = stepSql.substring(0, stepSql.lastIndexOf("SELECT b.node"))
-      .trim.stripSuffix(")") + ")"
-    s"""$chain,
+  private def louvainCoarsenSql(rounds: Int): String =
+    s"""WITH ${louvainChainCtes(rounds)},
        |refined AS MATERIALIZED (
        |  SELECT b.node, CASE WHEN bt.gain > 0 THEN bt.cn ELSE b.community END AS community
        |  FROM base b LEFT JOIN best bt ON bt.node = b.node)
@@ -457,7 +509,66 @@ object GraphQueries {
        |FROM edges e JOIN refined la ON la.node = e.src
        |JOIN refined lb ON lb.node = e.dst
        |GROUP BY 1, 2 ORDER BY c_src, c_dst""".stripMargin
-  }
+
+  /** `graph_louvain_multi`'s oracle: the move chain from the published
+    * SINGLETON initialization (level 1), contracted into the weighted
+    * super-graph, then the WEIGHTED half-sweep replayed — degrees are
+    * weight sums INCLUDING self-loops, neighbor link weights EXCLUDE
+    * self-edges, same decimal gain algebra, same parity/tie-break
+    * (Modularity.louvainStepWeighted scaladoc). Final map-back: each
+    * node's level-1 super-node carries it to its level-2 home.
+    */
+  private def louvainMultiSql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sup, 100000 + l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT sup AS src, prt AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT prt AS src, sup AS dst FROM pairs
+       |),
+       |lab AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS community FROM edges),
+       |$louvainMoveCtes,
+       |l1lab AS MATERIALIZED (
+       |  SELECT b.node, CASE WHEN bt.gain > 0 THEN bt.cn ELSE b.community END AS community
+       |  FROM base b LEFT JOIN best bt ON bt.node = b.node),
+       |g2 AS MATERIALIZED (SELECT la.community AS src, lb.community AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM edges e JOIN l1lab la ON la.node = e.src
+       |  JOIN l1lab lb ON lb.node = e.dst GROUP BY 1, 2),
+       |lab2 AS (SELECT DISTINCT community AS node, community FROM l1lab),
+       |deg2 AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS k
+       |  FROM g2 GROUP BY 1),
+       |mm2 AS (SELECT CAST(sum(k) AS BIGINT) AS m_dir FROM deg2),
+       |dsum2 AS MATERIALIZED (SELECT community,
+       |    CAST(sum(coalesce(k, 0)) AS BIGINT) AS d_c
+       |  FROM lab2 LEFT JOIN deg2 USING (node) GROUP BY community),
+       |kic2 AS MATERIALIZED (SELECT e.src AS node, lab2.community AS cn,
+       |    CAST(sum(e.w) AS BIGINT) AS k_ic
+       |  FROM g2 e JOIN lab2 ON lab2.node = e.dst
+       |  WHERE e.src <> e.dst GROUP BY 1, 2),
+       |base2 AS (SELECT lab2.node, lab2.community,
+       |    coalesce(deg2.k, CAST(0 AS BIGINT)) AS k_i,
+       |    coalesce(ka.k_ic, CAST(0 AS BIGINT)) AS k_ia, da.d_c AS d_a
+       |  FROM lab2 LEFT JOIN deg2 USING (node)
+       |  LEFT JOIN kic2 ka ON ka.node = lab2.node AND ka.cn = lab2.community
+       |  JOIN dsum2 da ON da.community = lab2.community),
+       |cand2 AS (SELECT b.node, b.community, kic2.cn,
+       |    CAST(CAST(m.m_dir AS DECIMAL(19,0)) * CAST(kic2.k_ic - b.k_ia AS DECIMAL(19,0))
+       |      - CAST(b.k_i AS DECIMAL(19,0)) * CAST(db.d_c - b.d_a AS DECIMAL(19,0))
+       |      - CAST(b.k_i AS DECIMAL(19,0)) * CAST(b.k_i AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) AS gain
+       |  FROM base2 b JOIN kic2 ON kic2.node = b.node AND kic2.cn <> b.community
+       |  JOIN dsum2 db ON db.community = kic2.cn CROSS JOIN mm2 m
+       |  WHERE b.node % 2 = 0),
+       |best2 AS (SELECT node, cn, gain FROM (SELECT node, cn, gain,
+       |    row_number() OVER (PARTITION BY node ORDER BY gain DESC, cn ASC) AS rk
+       |  FROM cand2) WHERE rk = 1)
+       |SELECT l1.node, l1.community AS c1,
+       |  CASE WHEN b2.gain > 0 THEN b2.cn ELSE l1.community END AS c2
+       |FROM l1lab l1 LEFT JOIN best2 b2 ON b2.node = l1.community
+       |ORDER BY l1.node""".stripMargin
 
   /** `graph_modularity_sweep`'s oracle: ONE materialized LPA chain to
     * round 4 (each lN MATERIALIZED, so the four candidates share the
@@ -490,9 +601,10 @@ object GraphQueries {
        |  FROM edges GROUP BY 1),
        |$per,
        |u AS ($un)
-       |SELECT rounds, n_comm, q_num_sum, m_dir,
-       |  q_num_sum = max(q_num_sum) OVER () AS best
-       |FROM u ORDER BY rounds""".stripMargin
+       |SELECT u.rounds, u.n_comm,
+       |  CAST(u.q_num_sum AS VARCHAR) AS q_num_sum, u.m_dir,
+       |  u.q_num_sum = max(u.q_num_sum) OVER () AS best
+       |FROM u ORDER BY u.rounds""".stripMargin
   }
 
   /** Unrolled frontier rounds — round i discovers the distinct
@@ -652,6 +764,7 @@ object GraphQueries {
       "graph_modularity" -> modularitySql(rounds = 3),
       "graph_louvain_step" -> louvainStepSql(rounds = 3),
       "graph_louvain_coarsen" -> louvainCoarsenSql(rounds = 3),
+      "graph_louvain_multi" -> louvainMultiSql,
       "graph_modularity_sweep" -> modularitySweepSql(maxRounds = 4),
 
       "graph_bfs" -> bfsSql(rounds = 3),

@@ -610,13 +610,17 @@ object PipelineQueries {
          |    CAST(floor(ln(((t_b + 1.0) * (rr + 64.0)) /
          |      ((r_b + 1.0) * (tt + 64.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
          |  FROM cnt CROSS JOIN tot),
+         |defu AS (SELECT CAST(floor(ln((rr + 64.0) / (tt + 64.0))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS du FROM tot),
          |raw AS (SELECT doc_id, lang, CAST(len(ws) AS INT) AS n_words, ws
          |  FROM t WHERE lang <> 'en'),
          |o2 AS (SELECT doc_id,
          |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bk
          |  FROM (SELECT doc_id, unnest(ws) AS w FROM raw)),
-         |ds AS (SELECT o2.doc_id, CAST(sum(w.wu) AS BIGINT) AS score_u
-         |  FROM o2 JOIN w USING (bk) GROUP BY o2.doc_id),
+         |ds AS (SELECT o2.doc_id,
+         |    CAST(sum(coalesce(w.wu, (SELECT du FROM defu))) AS BIGINT)
+         |      AS score_u
+         |  FROM o2 LEFT JOIN w USING (bk) GROUP BY o2.doc_id),
          |sel AS (SELECT raw.doc_id, raw.lang, raw.n_words,
          |    coalesce(ds.score_u, 0) AS score_u
          |  FROM raw LEFT JOIN ds ON raw.doc_id = ds.doc_id),
@@ -629,7 +633,10 @@ object PipelineQueries {
     // Dsir.select's twin: same md5 feature hash, same add-1 integer-
     // micros weights (floor(ln·1e6 + ½)), same BIGINT score sum; the
     // oracle scores via explode+join+groupBy where Spark folds per-row
-    // against the broadcast map — identical math, integer-exact
+    // against the broadcast map — identical math, integer-exact. The
+    // LEFT JOIN + defu coalesce mirrors Dsir.select's unseen-bucket
+    // default ln((R+B)/(T+B)) exactly (unreachable in-corpus, but the
+    // two definitions must not be able to drift apart)
     "pipeline_dsir_select" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
@@ -647,13 +654,17 @@ object PipelineQueries {
         |    CAST(floor(ln(((t_b + 1.0) * (rr + 64.0)) /
         |      ((r_b + 1.0) * (tt + 64.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
         |  FROM cnt CROSS JOIN tot),
+        |defu AS (SELECT CAST(floor(ln((rr + 64.0) / (tt + 64.0))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS du FROM tot),
         |raw AS (SELECT doc_id, lang, CAST(len(ws) AS INT) AS n_words, ws
         |  FROM t WHERE lang <> 'en'),
         |o2 AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS bk
         |  FROM (SELECT doc_id, unnest(ws) AS w FROM raw)),
-        |ds AS (SELECT o2.doc_id, CAST(sum(w.wu) AS BIGINT) AS score_u
-        |  FROM o2 JOIN w USING (bk) GROUP BY o2.doc_id),
+        |ds AS (SELECT o2.doc_id,
+        |    CAST(sum(coalesce(w.wu, (SELECT du FROM defu))) AS BIGINT)
+        |      AS score_u
+        |  FROM o2 LEFT JOIN w USING (bk) GROUP BY o2.doc_id),
         |sel AS (SELECT raw.doc_id, raw.lang, raw.n_words,
         |    coalesce(ds.score_u, 0) AS score_u
         |  FROM raw LEFT JOIN ds ON raw.doc_id = ds.doc_id),

@@ -244,7 +244,10 @@ object RelationalQueries {
         .where(Bloom.mightContain(col("bits"),
           pmod(col("l_orderkey"), lit(Dedup.MinhashP)), m))
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        // cast: Spark's date_trunc yields TIMESTAMP where DuckDB's
+        // yields DATE — a month boundary is a date (r16 gate finding)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
         .agg(count(lit(1)).as("n_items"),
           rnd(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy("month")

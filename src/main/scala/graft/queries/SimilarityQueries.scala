@@ -322,6 +322,26 @@ object SimilarityQueries {
           Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cell"), col("d2c"))
       keptU.unionByName(keptA).orderBy("vec_id")
+    }),
+
+    // COMPACTION for the semantic-dedup store pair (StagedLayouts
+    // .semStoresCompacted scaladoc) — the lifecycle pass r15 missed:
+    // tombstones and the resurrections they cause are folded INTO
+    // rewritten postings + drop stores (affected cells re-solved from
+    // live members, unaffected decisions copied verbatim, one file per
+    // bucket restored), and serving becomes the PLAIN incremental
+    // ingest again — no tombstone predicate, no affected-cell split
+    // anywhere in this query's plan. Must equal the whole-corpus
+    // recompute that never ingested the deleted vectors (the same
+    // oracle as dedup_semantic_delete: compaction is serve-invisible).
+    "dedup_semantic_compact" -> ((s, dir) => {
+      val (postTbl, dropTbl, thr) =
+        graft.sources.StagedLayouts.semStoresCompacted(s, dir)
+      val batch = Similarity.ivfAssignBroadcast(
+        Similarity.emb(s, dir).where(col("vec_id") > thr), coarse)
+      Similarity.semDedupIngest(s.table(postTbl), batch,
+          s.table(dropTbl), coarse, tau = 0.4)
+        .orderBy("vec_id")
     }))
 
   private val coarse = graft.operators.TrainedIvfCentroids.cells
@@ -727,6 +747,10 @@ object SimilarityQueries {
     // never ingested the tombstoned vectors — equality proves the
     // affected-cell re-solve + unaffected incremental reuse ≡ rebuild
     "dedup_semantic_delete" -> semDedupSqlWith(excludeDeleted = true),
+
+    // compaction is serve-invisible: the rewritten store pair + plain
+    // ingest must answer exactly what the post-delete corpus answers
+    "dedup_semantic_compact" -> semDedupSqlWith(excludeDeleted = true),
 
     // recall report twin: the sim_topk and sim_ann_ivf chains composed,
     // left-joined per (qid, vec_id), integer hit counts

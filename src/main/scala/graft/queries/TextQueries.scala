@@ -207,6 +207,27 @@ object TextQueries {
     "text_wordpiece_encode" -> ((s, dir) =>
       graft.operators.UnigramLm.wordpieceEncode(docs(s, dir),
           graft.sources.StagedLayouts.unigramModel(s, dir))
+        .orderBy("word")),
+
+    // WordPiece vocabulary TRAINING (WordpieceTrain scaladoc — Schuster
+    // & Nakajima 2012): the BPE chassis with the LIKELIHOOD argmax —
+    // merge the pair maximizing count(lr)/(count(l)·count(r)), ranked
+    // in exact integer micros of the log score. Closes the r15 gap
+    // (encode served a unigram-fit model; the wordpiece construction
+    // itself was absent). Training touches the word dict, never the
+    // corpus; 8 rounds, unrolled-CTE oracle.
+    "text_wordpiece_train" -> ((s, dir) =>
+      graft.operators.WordpieceTrain.merges(docs(s, dir), iters = 8)
+        .orderBy("rank")),
+
+    // the greedy longest-match walk RE-POINTED at the trained
+    // vocabulary (alphabet ∪ the 8 likelihood-ranked merges) — the
+    // serving/training pair the r15 verdict asked for; maxPiece 9
+    // covers the longest piece 8 merges can build
+    "text_wordpiece_encode_trained" -> ((s, dir) =>
+      graft.operators.UnigramLm.wordpieceEncode(docs(s, dir),
+          graft.operators.WordpieceTrain.vocab(docs(s, dir), iters = 8),
+          maxLen = 12, maxPiece = 9)
         .orderBy("word")))
 
   private def langidSql: String = {
@@ -293,7 +314,86 @@ object TextQueries {
        |SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_subwords
        |FROM v$iters ORDER BY word""".stripMargin
 
-  private def bpeCtes(iters: Int): String = {
+  /** The WordPiece training chain: [[mergeChainCtes]] with the
+    * LIKELIHOOD argmax — per round a symbol-count CTE plus the best
+    * pair by integer-micros log score floor((ln f − ln c_l − ln c_r)
+    * ·1e6 + 0.5) (WordpieceTrain.scoreU — identical IEEE op order as
+    * the Spark side), ties (score, l, r).
+    */
+  private def wpTrainCtes(iters: Int): String =
+    mergeChainCtes(iters, it => {
+      val p = it - 1
+      s"""sc$it AS (SELECT s, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, unnest(syms) AS s FROM v$p) GROUP BY 1),
+         |best$it AS MATERIALIZED (
+         |  SELECT pc$it.l, pc$it.r, pc$it.f,
+         |    CAST(floor((ln(pc$it.f) - ln(ca.c) - ln(cb.c)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS wu
+         |  FROM pc$it JOIN sc$it ca ON ca.s = pc$it.l
+         |  JOIN sc$it cb ON cb.s = pc$it.r
+         |  ORDER BY wu DESC, l, r LIMIT 1)""".stripMargin
+    })
+
+  /** `text_wordpiece_train`'s oracle: the likelihood-ranked merge
+    * table read out per round.
+    */
+  private def wpTrainSql(iters: Int): String = {
+    val sel = (1 to iters).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, l AS left_sym, r AS right_sym, " +
+        s"f AS pair_freq, wu AS score_u FROM best$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${wpTrainCtes(iters)}\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** `text_wordpiece_encode_trained`'s oracle: the trained piece set
+    * (corpus alphabet ∪ the `iters` merges) drives the same unrolled
+    * greedy longest-match walk as [[wordpieceSql]] — maxPiece covers
+    * the longest piece `iters` merges can build.
+    */
+  private def wpEncodeTrainedSql(iters: Int, maxLen: Int,
+                                 maxPiece: Int): String = {
+    val mergedSel = (1 to iters).map(i => s"SELECT l || r AS p FROM best$i")
+      .mkString(" UNION ALL ")
+    val steps = (1 to maxLen).map { s =>
+      s"""g$s AS MATERIALIZED (SELECT word, freq,
+         |    CAST(CASE WHEN unk = 1 OR pos > length(word) OR bl IS NULL
+         |      THEN pos ELSE pos + bl END AS INT) AS pos,
+         |    CAST(CASE WHEN unk = 1 OR pos > length(word) OR bl IS NULL
+         |      THEN n ELSE n + 1 END AS INT) AS n,
+         |    CAST(CASE WHEN unk = 0 AND pos <= length(word) AND bl IS NULL
+         |      THEN 1 ELSE unk END AS INT) AS unk
+         |  FROM (SELECT g.*, (SELECT max(length(v.p)) FROM vocabp v
+         |          WHERE length(v.p) <= $maxPiece
+         |            AND v.p = substr(g.word, g.pos, length(v.p))) AS bl
+         |        FROM g${s - 1} g))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${wpTrainCtes(iters)},
+       |vocabp AS MATERIALIZED (
+       |  SELECT DISTINCT s AS p FROM (SELECT unnest(syms) AS s FROM v0)
+       |  UNION
+       |  SELECT p FROM ($mergedSel)),
+       |dictw AS MATERIALIZED (SELECT word, freq FROM v0
+       |  WHERE length(word) <= $maxLen),
+       |g0 AS (SELECT word, freq, CAST(1 AS INT) AS pos, CAST(0 AS INT) AS n,
+       |    CAST(0 AS INT) AS unk FROM dictw),
+       |$steps
+       |SELECT word, freq,
+       |  CAST(CASE WHEN unk = 1 THEN 0 ELSE n END AS INT) AS n_pieces,
+       |  (unk = 1) AS is_unk
+       |FROM g$maxLen ORDER BY word""".stripMargin
+  }
+
+  private def bpeCtes(iters: Int): String =
+    mergeChainCtes(iters, it =>
+      s"""best$it AS MATERIALIZED (
+         |  SELECT l, r, f FROM pc$it ORDER BY f DESC, l, r LIMIT 1)""".stripMargin)
+
+  /** The shared iterated merge chain (dict init, per-round pair counts,
+    * a caller-supplied best$it argmax CTE, run-parity greedy rewrite) —
+    * BPE and WordPiece training differ ONLY in the argmax, so both
+    * oracles compose on this one builder.
+    */
+  private def mergeChainCtes(iters: Int, bestCte: Int => String): String = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""v0 AS MATERIALIZED (
        |  SELECT word, freq, list_transform(range(1, length(word)+1),
@@ -310,8 +410,7 @@ object TextQueries {
          |    CAST(sum(freq) AS BIGINT) AS f
          |  FROM v$p, unnest(range(1, len(syms))) u(i)
          |  GROUP BY 1, 2)""".stripMargin
-      ctes += s"""best$it AS MATERIALIZED (
-         |  SELECT l, r, f FROM pc$it ORDER BY f DESC, l, r LIMIT 1)""".stripMargin
+      ctes += bestCte(it)
       ctes += s"""pos$it AS (
          |  SELECT word, freq, CAST(i AS BIGINT) AS i, syms[CAST(i AS INT)] AS s,
          |    syms[CAST(i+1 AS INT)] AS s2, len(syms) AS n
@@ -529,6 +628,9 @@ object TextQueries {
     "text_unigram_encode_store" -> unigramEncodeSql(rounds = 2, maxLen = 12,
       maxPiece = 4, vocabCap = 200),
 
+    "text_wordpiece_train" -> wpTrainSql(8),
+    "text_wordpiece_encode_trained" ->
+      wpEncodeTrainedSql(8, maxLen = 12, maxPiece = 9),
     "text_wordpiece_encode" -> wordpieceSql(rounds = 2, maxLen = 12,
       maxPiece = 4, vocabCap = 200),
 

@@ -296,6 +296,96 @@ object StagedLayouts {
     })
   }
 
+  /** [[semDropStore]] REBUILT as three appends (vec_id % 3 sub-ranges —
+    * the fixture's stand-in for three incremental-ingest days, the
+    * simhashStoreAppended shape): the drop store a real SemDeDup
+    * pipeline accumulates, one file per append. Rows are identical to
+    * the one-shot store; only the file layout decays. Returns
+    * (table name, prefix threshold).
+    */
+  def semDropStoreAppended(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    sigStore.computeIfAbsent(s"semdropsapp:$sfDir", _ => timing(s"semdropsapp:$sfDir") {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_semdrops_app_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_semdrops_app").toString
+      staged.put(s"semdropsappstore:$sfDir", tmp)
+      val (base, thr) = semDropStore(s, sfDir)
+      val rows = s.table(base)
+      (0 until 3).foreach { day =>
+        val w = rows.where(col("vec_id") % 3 === day).coalesce(1).write
+        (if (day == 0) w.option("path", s"$tmp/$name").mode("overwrite")
+         else w.mode("append")).saveAsTable(name)
+      }
+      (name, thr)
+    })
+  }
+
+  /** The COMPACTED SemDeDup store PAIR — the lifecycle pass the r15
+    * wave missed: deletes re-solved AROUND the drop store but never
+    * folded the tombstones/resurrections INTO it, so it only grew.
+    * This copy-on-write rewrite restores both stores to their
+    * post-delete truth:
+    *
+    *  - postings: [[ivfPostingsStore]] minus the semantic tombstones
+    *    (StoreLifecycle.semTombstonedVecs), rewritten ONE file per
+    *    `cell` bucket with bucketing preserved (the
+    *    simhashStoreCompacted plain-file-scan discipline — reading via
+    *    the catalog would let autoBucketedScan fragment the rewrite);
+    *  - drops: unaffected cells keep their persisted decisions
+    *    verbatim; cells that lost a member are re-solved from their
+    *    LIVE members only (Similarity.semDropsAll — the
+    *    dedup_semantic_delete kernel), which is where a deleted
+    *    dup-winner's loser RESURRECTS: it simply stops being a drop
+    *    row in the rewritten store. Result = semDropsAll(live prefix)
+    *    exactly, so serving needs no tombstone logic anywhere —
+    *    `dedup_semantic_compact` runs the PLAIN ingest path against
+    *    the pair and must equal the whole-corpus-minus-deleted
+    *    recompute (the serving-invariance oracle). Back to one file
+    *    (IncrementalSpec A/Bs the counts against [[semDropStoreAppended]]).
+    *
+    * Returns (postings table, drops table, prefix threshold).
+    */
+  def semStoresCompacted(s: SparkSession, sfDir: String): (String, String, Long) = {
+    require(hookInstalled)
+    semCmp.computeIfAbsent(s"semcmp:$sfDir", _ => timing(s"semcmp:$sfDir") {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val postName = s"graft_ivfstore_semcmp_$tag"
+      val dropName = s"graft_semdrops_cmp_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_semcmp").toString
+      staged.put(s"semcmpstore:$sfDir", tmp)
+      val (baseName, thr) = ivfPostingsStore(s, sfDir)
+      val (dropsApp, _) = semDropStoreAppended(s, sfDir)
+      val tombP = graft.operators.StoreLifecycle
+        .semTombstonedVecs(col("vec_id"), thr)
+      // plain-file scan (not the catalog table) so the bucket-aligned
+      // exchange actually runs — the simhashStoreCompacted lesson
+      val store = s.read.parquet(tableLocation(s, baseName))
+      val live = store.where(!tombP)
+      live.repartition(8, col("cell"))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"$tmp/$postName")
+        .mode("overwrite").saveAsTable(postName)
+      val affCells = store.where(tombP).select(col("cell")).distinct()
+      val keptDropsU = s.read.parquet(tableLocation(s, dropsApp))
+        .join(store.select(col("vec_id"), col("cell")), "vec_id")
+        .join(affCells, Seq("cell"), "left_anti")
+        .select(col("vec_id"))
+      val resolvedA = graft.operators.Similarity.semDropsAll(
+        graft.operators.Similarity.withCentroidDist(
+          live.join(affCells, Seq("cell"), "left_semi"),
+          graft.operators.TrainedIvfCentroids.cells),
+        tau = 0.4)
+      keptDropsU.unionByName(resolvedA).coalesce(1)
+        .write.option("path", s"$tmp/$dropName")
+        .mode("overwrite").saveAsTable(dropName)
+      (postName, dropName, thr)
+    })
+  }
+
+  private val semCmp =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+
   // ---- store lifecycle: multi-append + compacted variants -------------
 
   /** The simhash signature store REBUILT as three bucketed APPENDS

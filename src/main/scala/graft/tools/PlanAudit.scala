@@ -143,7 +143,23 @@ object PlanAudit {
     "pipeline_dsir_select",
     // round 15: Louvain half-sweep — one edge scan for k_iC (map-side
     // combined), tiny community-table joins, 1-row M broadcast
-    "graph_louvain_step")
+    "graph_louvain_step",
+    // round 16: the complete 2-level Louvain — level 1 dominates (the
+    // edge-list passes), the contracted level-2 joins run on the
+    // |C|²-bounded super-graph, map-back is one label join
+    "graph_louvain_multi",
+    // round 16: compacted-store SemDeDup serving — the PLAIN ingest
+    // plan (bucketed postings scan, broadcast centroids, cell-only
+    // pair join); no tombstone predicate or affected-cell split
+    // anywhere — compaction moved that work to write time
+    "dedup_semantic_compact",
+    // round 16: wordpiece training round — pair + symbol counts are
+    // two map-side-combined aggregates over the word DICT (never the
+    // corpus), likelihood argmax is a 1-row TakeOrdered collect
+    "text_wordpiece_train",
+    // round 16: serving from the TRAINED vocab — same narrow fold per
+    // distinct word against the 1-row broadcast piece map
+    "text_wordpiece_encode_trained")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

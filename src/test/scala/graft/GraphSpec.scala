@@ -302,12 +302,136 @@ class GraphSpec extends SparkSpec {
     def qTotal(lbl: org.apache.spark.sql.DataFrame): BigInt =
       Modularity.score(edges, lbl).collect()
         .map(r => BigInt(r.getDecimal(4).toBigIntegerExact)).sum
-    // parity 0 (nodes 2,4,6 eligible) then parity 1 completes the
-    // sweep in two half-rounds; Q never decreases across the fixture
+    val q0 = qTotal(labels)
+    // THE FULL SWEEP: both parities' best moves applied simultaneously
+    // against the same pre-round configuration — what a fully-
+    // synchronous distributed Louvain round does. Every node predicts
+    // a strictly-positive gain and "moves"...
     val s0 = Modularity.louvainStep(edges, labels, parity = 0)
+    val s1 = Modularity.louvainStep(edges, labels, parity = 1)
+    val full = s0.where(pmod(col("node"), lit(2)) === 0)
+      .unionByName(s1.where(pmod(col("node"), lit(2)) === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigIntegerExact)))
+    assert(full.length == 6 && full.forall { case (_, old, nw, g) =>
+      nw != old && g > 0 }, s"full sweep must move every node: ${full.toSeq}")
+    // ...but the result is the SAME partition with labels swapped
+    // wholesale — identical node-sets, hence Q exactly unchanged while
+    // the per-node gains promised +Σ2·gain/M² improvement
+    def groups(pairs: Seq[(Long, Long)]): Set[Set[Long]] =
+      pairs.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val oldGroups = groups(labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val newPairs = full.map(t => (t._1, t._3)).toSeq
+    assert(groups(newPairs) == oldGroups,
+      s"full sweep must be a wholesale relabeling: ${newPairs}")
+    val qFull = qTotal(newPairs.toDF("node", "community"))
+    assert(qFull == q0,
+      s"swap must leave Q identical (the pathology): $q0 -> $qFull")
+    // the parity HALF-sweep breaks the symmetry and genuinely improves
     val l1 = s0.select(col("node"), col("new_community").as("community"))
-    val q0 = qTotal(labels); val q1 = qTotal(l1)
-    assert(q1 >= q0, s"half-sweep decreased Q: $q0 -> $q1")
+    val q1 = qTotal(l1)
+    assert(q1 > q0, s"half-sweep must strictly lift Q here: $q0 -> $q1")
+  }
+
+  test("weighted louvain step: w ≡ 1 collapses to the unweighted step exactly") {
+    import graft.operators.Modularity
+    val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)
+      .localCheckpoint(true)
+    val labels = graft.sources.StagedLayouts.lpaLabels(spark, sf)
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), BigInt(r.getDecimal(3).toBigIntegerExact))).toSeq
+    val unweighted = rows(Modularity.louvainStep(edges, labels, parity = 0))
+    val weighted = rows(Modularity.louvainStepWeighted(
+      edges.withColumn("w", lit(1L)), labels, parity = 0))
+    assert(weighted == unweighted,
+      "sum(w=1) semantics must equal count semantics bit-for-bit")
+  }
+
+  test("weighted louvain step: self-loops cancel from gains (hand-computed super-graph)") {
+    import spark.implicits._
+    import graft.operators.Modularity
+    // the two-triangle graph contracted by its perfect partition:
+    // self-loops carry each side's intra mass 6, the bridge weighs 1
+    // each way. M = 14, k = 7 each, k_iB = 1, k_iA = 0:
+    // gain(100→200) = 14·1 − 7·0 − 49 = −35 < 0 — the merge is BAD and
+    // both super-nodes stay (the level-2 phase must not collapse a
+    // good partition)
+    val g2 = Seq((100L, 100L, 6L), (200L, 200L, 6L),
+      (100L, 200L, 1L), (200L, 100L, 1L)).toDF("src", "dst", "w")
+    val singleton = Seq(100L -> 100L, 200L -> 200L).toDF("node", "community")
+    val step = Modularity.louvainStepWeighted(g2, singleton, parity = 0)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDecimal(3).longValueExact)).toSeq
+    assert(step == Seq((100L, 100L, 0L), (200L, 200L, 0L)),
+      s"negative-gain merge must not happen: $step")
+    // and a merge that IS worth it: two loop-free super-nodes tied by
+    // weight 5 — gain(2→4) = 10·5 − 5·0 − 25 = 25 > 0. BOTH ends are
+    // even-parity here, so both take the move (a same-parity symmetric
+    // swap — parity is a pathology MITIGATION, not a proof; labels
+    // land merged-but-crossed and the next half-sweep settles them)
+    val g3 = Seq((2L, 4L, 5L), (4L, 2L, 5L)).toDF("src", "dst", "w")
+    val s3 = Seq(2L -> 2L, 4L -> 4L).toDF("node", "community")
+    val step3 = Modularity.louvainStepWeighted(g3, s3, parity = 0)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDecimal(3).longValueExact)).toSeq
+    assert(step3 == Seq((2L, 4L, 25L), (4L, 2L, 25L)),
+      s"positive-gain merge must fire with the exact gain: $step3")
+  }
+
+  test("louvain multi-level: level 2 merges super-nodes and lifts Q on the fixture") {
+    import graft.operators.Modularity
+    val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)
+      .localCheckpoint(true)
+    // the registered query's shape: the published singleton init (the
+    // staged LPA labels have already collapsed the fixture to 2
+    // communities — level 2 would be vacuous there; measured r16)
+    val labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    val multi = Modularity.louvainMulti(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(multi.length == labels.count(),
+      "every original node must appear exactly once")
+    // the level-2 phase must actually DO something on the fixture
+    assert(multi.exists(t => t._2 != t._3),
+      "fixture level 2 must merge at least one super-node pair")
+    import spark.implicits._
+    def qTotal(lbl: org.apache.spark.sql.DataFrame): BigInt =
+      Modularity.score(edges, lbl).collect()
+        .map(r => BigInt(r.getDecimal(4).toBigIntegerExact)).sum
+    val q1 = qTotal(multi.map(t => (t._1, t._2)).toSeq.toDF("node", "community"))
+    val q2 = qTotal(multi.map(t => (t._1, t._3)).toSeq.toDF("node", "community"))
+    assert(q2 >= q1, s"level 2 must not lose modularity: $q1 -> $q2")
+  }
+
+  test("labeled nodes with no outgoing edges survive the step and the score (gain 0)") {
+    import spark.implicits._
+    import graft.operators.Modularity
+    // node 7 is labeled but absent from the edge list — an isolated or
+    // not-yet-symmetrized node. The pre-r16 inner deg joins silently
+    // dropped it from louvainStep's output (contradicting the scaladoc
+    // contract) and from score's n_nodes.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 200L,
+      5L -> 200L, 6L -> 200L, 7L -> 100L).toDF("node", "community")
+    val step = Modularity.louvainStep(edges, labels, parity = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact)).toSeq
+    assert(step.length == 7, s"degree-0 node dropped: $step")
+    val n7 = step.find(_._1 == 7L).get
+    assert(n7._2 == 100L && n7._3 == 100L && n7._4 == 0L,
+      s"degree-0 node must stay with gain 0: $n7")
+    // score counts it in n_nodes; its 0 degree leaves q_num untouched
+    val sc = Modularity.score(edges, labels).orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDecimal(4).longValueExact)).toSeq
+    assert(sc == Seq((100L, 4L, 6L, 7L, 35L), (200L, 3L, 6L, 7L, 35L)),
+      s"score with an isolated member diverged: $sc")
   }
 
   test("louvain coarsen: mass-preserving, symmetric, self-loops carry intra edges") {

@@ -371,4 +371,53 @@ class IncrementalSpec extends SparkSpec {
     assert(viaQuery == keptDel,
       "affected-cell re-solve diverged from whole-minus-deleted recompute")
   }
+
+  test("lifecycle: semDedup compaction folds tombstones AND resurrections into the store pair") {
+    import graft.sources.StagedLayouts
+    import graft.operators.{Similarity, StoreLifecycle, TrainedIvfCentroids}
+    val (app, thr) = StagedLayouts.semDropStoreAppended(spark, sf)
+    val (postCmp, dropCmp, _) = StagedLayouts.semStoresCompacted(spark, sf)
+    val (post, _) = StagedLayouts.ivfPostingsStore(spark, sf)
+    // file-count A/B: three ingest-day appends fragmented the drop
+    // store; compaction restores ONE file (and the rewritten postings
+    // keep one file per cell bucket)
+    val nApp = StagedLayouts.tableFileCount(spark, app)
+    val nCmp = StagedLayouts.tableFileCount(spark, dropCmp)
+    assert(nApp >= 3 && nCmp == 1,
+      s"expected >=3 appended drop files -> 1 compacted, got $nApp vs $nCmp")
+    assert(StagedLayouts.tableFileCount(spark, postCmp) <= 8,
+      "compacted postings must stay one file per bucket")
+    // postings rewrite: exactly the tombstoned vectors are gone
+    val nTomb = spark.table(post).where(
+      StoreLifecycle.semTombstonedVecs(col("vec_id"), thr)).count()
+    assert(nTomb > 0 && spark.table(postCmp).count() ==
+      spark.table(post).count() - nTomb,
+      "postings compaction must fold in exactly the tombstoned vectors")
+    // drop-store truth: the rewritten set IS semDropsAll(live prefix) —
+    // and at least one RESURRECTION was folded in (a live vec that was
+    // a drop row before compaction and is not one after)
+    val cells = TrainedIvfCentroids.cells
+    val live = Similarity.emb(spark, sf).where(col("vec_id") <= thr &&
+      !StoreLifecycle.semTombstonedVecs(col("vec_id"), thr))
+    val want = Similarity.semDropsAll(
+        Similarity.withCentroidDist(
+          Similarity.ivfAssignBroadcast(live, cells), cells), tau = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val gotDrops = spark.table(dropCmp).collect().map(_.getLong(0)).toSet
+    assert(gotDrops == want,
+      "compacted drops diverged from the live-prefix recompute")
+    val oldDrops = spark.table(app).collect().map(_.getLong(0)).toSet
+    val resurrected = (oldDrops -- gotDrops).filter(v =>
+      !(v % 37 == 6 && v <= thr))
+    assert(resurrected.nonEmpty,
+      "fixture must exercise a resurrection (density-before-build)")
+    // serving invariance: the PLAIN ingest over the compacted pair
+    // answers exactly what the tombstone-aware delete path answers
+    val viaCmp = graft.queries.SimilarityQueries
+      .queries("dedup_semantic_compact")(spark, sf)
+    val viaDel = graft.queries.SimilarityQueries
+      .queries("dedup_semantic_delete")(spark, sf).collect().toSeq
+    assert(viaCmp.collect().toSeq == viaDel,
+      "compaction changed serving answers")
+  }
 }

@@ -433,6 +433,38 @@ class TextOpsSpec extends SparkSpec {
       s"greedy segmentation diverged: $got")
   }
 
+  test("wordpiece training: likelihood argmax diverges from BPE's count argmax where it should") {
+    import spark.implicits._
+    import graft.operators.{BpeTrain, WordpieceTrain}
+    // 'ab' is the FREQUENT pair (f=10) but its symbols are ubiquitous
+    // (c(a)=c(b)=60 → score 10/3600); 'qz' is rare (f=3) but exclusive
+    // (c(q)=c(z)=3 → score 3/9). BPE must merge ab first, WordPiece qz —
+    // the likelihood ranking is load-bearing, not a relabeled count.
+    val docs = (Seq.fill(10)("ab") ++ Seq.fill(50)("a") ++
+      Seq.fill(50)("b") ++ Seq.fill(3)("qz")).toDF("text")
+    val bpe1 = BpeTrain.merges(docs, 1).collect().head
+    assert((bpe1.getString(1), bpe1.getString(2)) == ("a", "b"),
+      s"BPE argmax drifted: $bpe1")
+    val wp1 = WordpieceTrain.merges(docs, 1).collect().head
+    assert((wp1.getString(1), wp1.getString(2)) == ("q", "z"),
+      s"wordpiece likelihood argmax drifted: $wp1")
+    // score_u is the exact micros of ln(3/9): floor(ln(1/3)·1e6 + .5)
+    assert(wp1.getLong(4) == math.floor(
+      (math.log(3) - math.log(3) - math.log(3)) * 1e6 + 0.5).toLong,
+      s"score micros diverged: ${wp1.getLong(4)}")
+    // the trained vocab feeds the serving walk: alphabet + the merge,
+    // and with every char in-vocab no word can be UNK
+    val vocab = WordpieceTrain.vocab(docs, 1)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("a", "b", "q", "z", "qz"), s"vocab drifted: $vocab")
+    val enc = graft.operators.UnigramLm.wordpieceEncode(
+        docs, WordpieceTrain.vocab(docs, 1), maxLen = 12, maxPiece = 9)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(enc == Set(("ab", 2, false), ("a", 1, false), ("b", 1, false),
+      ("qz", 1, false)), s"trained-vocab encode drifted: $enc")
+  }
+
   test("lm bigram model join stays broadcast (no shuffle on the scoring pass)") {
     val d = Tables.documents(spark, sf)
     val p = plan(TextAnalysis.lmBigramScore(d, refBucketLt = 50, v = 1000))

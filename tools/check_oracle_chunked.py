@@ -23,9 +23,18 @@ def main(sf_dir, out_dir, chunk=20):
 
     def run(names):
         skip = ",".join(q for q in allq if q not in names)
-        r = subprocess.run(
-            [sys.executable, f"{here}/check_oracle.py", sf_dir, out_dir, skip],
-            capture_output=True, text=True, env=env, timeout=3600)
+        try:
+            r = subprocess.run(
+                [sys.executable, f"{here}/check_oracle.py", sf_dir, out_dir,
+                 skip],
+                capture_output=True, text=True, env=env, timeout=3600)
+        except subprocess.TimeoutExpired as e:
+            # one hung DuckDB chunk must not abort the sweep and discard
+            # everything accumulated so far — report no passes so the
+            # chunk's queries fall through to the single-query retries
+            print(f"TIMEOUT chunk [{names[0]}..{names[-1]}]: {e}",
+                  flush=True)
+            return set(), ""
         return set(re.findall(r"^PASS (\S+)", r.stdout, re.M)), r.stdout
 
     for i in range(0, len(allq), chunk):
