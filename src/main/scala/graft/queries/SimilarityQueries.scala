@@ -223,6 +223,40 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // the recall-vs-nprobe TUNING CURVE — sim_recall_report generalized
+    // from the single nprobe=1 point to the sweep a production ANN
+    // deployment actually runs to pick its operating point: total
+    // recall@3 over the 10 fixture queries at nprobe 1, 2, 4, 8. The
+    // brute truth is computed ONCE (checkpointed) and shared by all
+    // four curve points; each point is one multi-probe pass (at corpus
+    // scale the celled table is the staged ivfPostingsStore, so the
+    // marginal cost per point is probes × cell reads, not re-assignment
+    // — here the fixture re-assigns, the dashboard shape is identical).
+    // nprobe = nlist (8) probes every cell, so the last point MUST be
+    // recall 1.0 — the curve self-validates (RecallSpec pins endpoint
+    // and monotonicity).
+    "sim_recall_curve" -> ((s, dir) => {
+      val e = Similarity.emb(s, dir)
+      val truth = Similarity.bruteTopK(e, nQueries = 10, k = 3)
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      // denominator = the MEASURED truth-set size, not 10·k: a corpus
+      // holding fewer than 10 of the query ids (the sampled derived
+      // dir keeps 4) must still read recall 1.0 at full probe
+      val tcnt = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(1, 2, 4, 8).map { np =>
+        val ann = Similarity
+          .ivfTopKMulti(e, coarse, nQueries = 10, k = 3, nprobe = np)
+          .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+        truth.join(ann,
+            truth("qid") === ann("aqid") && truth("vec_id") === ann("avid"),
+            "left")
+          .agg(count(col("avid")).as("n_hit"))
+          .crossJoin(broadcast(tcnt))
+          .select(lit(np).as("nprobe"), col("n_hit"), col("n_truth"),
+            rnd(col("n_hit") / col("n_truth"), 6).as("recall6"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
     // cross-extension integration: documents ⋈ embeddings on the shared
     // id space — per (lang, label) count + mean embedding norm (the
     // text↔vector linkage every multimodal corpus needs)
@@ -780,6 +814,49 @@ object SimilarityQueries {
          |  ${rndSql("count(ta.vec_id) / 3.0", 6)} AS recall6
          |FROM tb LEFT JOIN ta ON tb.qid = ta.qid AND tb.vec_id = ta.vec_id
          |GROUP BY tb.qid ORDER BY tb.qid""".stripMargin,
+
+    // the curve's oracle: ONE brute-truth chain + ONE assignment chain,
+    // then per nprobe the probe-ranked multi-cell candidate join
+    // (ivfMpSql's pr/p2 shape generalized) and a total hit count
+    "sim_recall_curve" -> {
+      val points = Seq(1, 2, 4, 8)
+      val perNp = points.map { np =>
+        s"""p$np AS (SELECT qid, qv, qnrm, pcell FROM pr WHERE prk <= $np),
+           |j$np AS (SELECT p.qid, b.vec_id,
+           |      ${rndSql(cosN("p.qv", "b.v", "p.qnrm", "b.nrm"), 5)} AS cos5
+           |    FROM p$np p JOIN cc b ON b.cell = p.pcell AND b.vec_id <> p.qid),
+           |t$np AS (SELECT qid, vec_id FROM (
+           |      SELECT qid, vec_id,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS rk
+           |      FROM j$np) WHERE rk <= 3),
+           |h$np AS (SELECT CAST($np AS INT) AS nprobe,
+           |      CAST(count(t.vec_id) AS BIGINT) AS n_hit,
+           |      CAST((SELECT count(*) FROM tb) AS BIGINT) AS n_truth,
+           |      ${rndSql("count(t.vec_id) / (SELECT count(*) FROM tb)", 6)} AS recall6
+           |    FROM tb LEFT JOIN t$np t
+           |      ON tb.qid = t.qid AND tb.vec_id = t.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val un = points.map(np => s"SELECT * FROM h$np").mkString(" UNION ALL ")
+      s"""WITH $embCte,
+         |$centCteSql,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |jb AS (SELECT qid, vec_id, ${rndSql(cosN("qv", "v", "qnrm", "nrm"), 5)} AS cos5
+         |      FROM q, en WHERE vec_id <> qid),
+         |tb AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |        SELECT qid, vec_id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS rk
+         |        FROM jb) WHERE rk <= 3),
+         |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+         |      FROM en CROSS JOIN cent),
+         |cc AS MATERIALIZED (SELECT vec_id, v, nrm, cid AS cell FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+         |        FROM cd) WHERE crk = 1),
+         |pr AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS pcell,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
+         |      FROM cd WHERE vec_id < 10),
+         |$perNp
+         |SELECT * FROM ($un) ORDER BY nprobe""".stripMargin
+    },
 
     "sim_near_pairs_lsh" ->
       s"""WITH $embCte,

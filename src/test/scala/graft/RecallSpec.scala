@@ -197,4 +197,23 @@ class RecallSpec extends SparkSpec {
     val kept = Similarity.semDedup(emb, TrainedIvfCentroids.cells, tau = 1.01)
     assert(kept.count() == emb.count())
   }
+
+  test("recall curve: monotone nondecreasing in nprobe, exact 1.0 at nprobe = nlist") {
+    val rows = graft.queries.SimilarityQueries
+      .queries("sim_recall_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // probing more cells can only ADD candidates — recall is monotone
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall dropped: $a -> $b")
+    }
+    // nprobe = nlist probes every cell: candidates == the brute set,
+    // so the endpoint MUST be exact (the curve self-validates) — and
+    // the denominator is the MEASURED truth size, so this holds on any
+    // corpus, not just ones carrying all 10 query ids
+    assert(rows.last._2 == rows.last._3 && rows.last._4 == 1.0,
+      s"full-probe endpoint must equal brute: ${rows.last}")
+    assert(rows.last._3 == 30L, "sf0.001 carries all 10 query ids")
+  }
 }
