@@ -478,7 +478,10 @@ object SimilarityQueries {
        |semdrop AS (SELECT DISTINCT CASE WHEN da >= db THEN id_b ELSE id_a END AS vid
        |       FROM sp WHERE ${cosN("va", "vb", "na", "nb")} >= 0.4)""".stripMargin
 
-  private def semDedupSql: String = semDedupSqlWith(excludeDeleted = false)
+  // private[queries]: StreamingQueries' stream_semdedup_sink gates the
+  // CONTINUOUS ingest against this same whole-corpus recompute
+  private[queries] def semDedupSql: String =
+    semDedupSqlWith(excludeDeleted = false)
 
   /** `excludeDeleted` re-derives `dedup_semantic_delete`: tombstoned
     * vectors (≡6 mod 37 within the prefix — StoreLifecycle

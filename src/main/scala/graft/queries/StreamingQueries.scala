@@ -471,6 +471,49 @@ object StreamingQueries {
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"))
         .orderBy("user_id", "start_ms")
+    }),
+
+    // CONTINUOUS semantic dedup — the curation loop run as a stream
+    // (graft.streaming.VectorStream scaladoc): the embedding corpus
+    // arrives as three micro-batches (vec_id mod-3 slices, one file
+    // each, maxFilesPerTrigger=1), each batch clusters itself via the
+    // broadcast trained centroids and scores ONLY batch-touching pairs
+    // against the standing store; store + drop set advance as
+    // copy-on-write parquet versions with pointer-flip + vacuum (the
+    // stream_upsert_sink state contract). The drop rule is order-free
+    // and monotone, so the final state equals the whole-corpus batch
+    // recompute NO MATTER how the file source batches — the oracle is
+    // dedup_semantic's own whole-corpus SQL, the strongest possible
+    // gate for a streaming operator. batches ≥ 2 is asserted so the
+    // equality is proven on a genuinely incremental run.
+    "stream_semdedup_sink" -> ((s, dir) => {
+      import graft.operators.{Similarity, TrainedIvfCentroids}
+      val tmp = tempDir("graft_stream_embsrc", deferred = false)
+      val raw = graft.Tables.embeddings(s, dir)
+      (0 until 3).foreach { i =>
+        raw.where(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(tmp.toString)
+      }
+      val stateRoot = tempDir("graft_stream_semstate", deferred = true)
+      val cp = tempDir("graft_stream_semcp", deferred = false)
+      try {
+        val (storeDir, dropsDir, batches) =
+          graft.streaming.VectorStream.semDedupServing(
+            s, tmp.toString, stateRoot.toString, cp.toString, tau = 0.4)
+        require(batches >= 2,
+          s"expected >=2 embedding micro-batches (incremental ingest), got $batches")
+        val store = s.read.parquet(storeDir)
+        val drops = s.read.parquet(dropsDir)
+        Similarity.withCentroidDist(
+            store.join(drops, Seq("vec_id"), "left_anti"),
+            TrainedIvfCentroids.cells)
+          .select(col("vec_id"), col("cell"), col("d2c"))
+          .orderBy("vec_id")
+      } finally {
+        deleteNow(cp)
+        deleteNow(tmp)
+      }
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -656,5 +699,10 @@ object StreamingQueries {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, start_ms""".stripMargin)
+        |ORDER BY user_id, start_ms""".stripMargin,
+
+    // the continuous-ingest gate IS the whole-corpus batch recompute:
+    // the monotone order-free drop rule makes micro-batch boundaries
+    // unobservable in the final state
+    "stream_semdedup_sink" -> SimilarityQueries.semDedupSql)
 }

@@ -184,6 +184,19 @@ class StreamingHygieneSpec extends SparkSpec {
       s"purchase-side eviction emitted ${batches.map(_._3).sum}, batch says $expUnmatchedPurch")
   }
 
+  test("continuous semDedup ingest equals the batch path row-for-row") {
+    // the stream ran ≥2 genuine micro-batches (the query asserts it),
+    // yet the final state must be indistinguishable from the one-shot
+    // batch dedup — micro-batch boundaries are unobservable because
+    // the drop rule is order-free and monotone
+    val streamed = StreamingQueries.queries("stream_semdedup_sink")(spark, sf)
+      .collect().toSeq
+    val batch = graft.queries.SimilarityQueries
+      .queries("dedup_semantic")(spark, sf).collect().toSeq
+    assert(streamed == batch,
+      s"streamed state diverged from the batch dedup: ${streamed.size} vs ${batch.size} rows")
+  }
+
   test("staging and checkpoint dirs are removed eagerly, sinks deferred to shutdown") {
     val before = Map(
       "graft_stream_src" -> tmpDirs("graft_stream_src"),
