@@ -212,11 +212,12 @@ object GraphQueries {
     // measured before build): move on the input graph → contract →
     // move on the weighted super-graph. One row per original node,
     // (node, c1, c2) all BIGINT — level-1 and final community.
-    // The contracted graph is |C|²-bounded so level 2 is near-free at
-    // any corpus scale; GraphSpec pins that level 2 merges super-nodes
-    // and Q(c2) ≥ Q(c1) on the fixture (measured: sf0.001 lifts the
-    // exact Q numerator −1,448,502 → −369,994 with 100 level-2 moves;
-    // sf0.01 −3.75e7 → +6.43e7 with 218).
+    // One half-sweep merges at most half the nodes, so level 2 runs
+    // over a ~2×-smaller graph (NOT |C|² triviality — Modularity
+    // .louvainMulti scaladoc, measured); GraphSpec pins that level 2
+    // merges super-nodes and Q(c2) ≥ Q(c1) on the fixture (measured:
+    // sf0.001 lifts the exact Q numerator −1,448,502 → −369,994 with
+    // 100 level-2 moves; sf0.01 −3.75e7 → +6.43e7 with 218).
     "graph_louvain_multi" -> ((s, dir) => {
       val edges = supplyEdges(s, dir)
       val singleton = edges.select(col("src").as("node")).distinct()
@@ -224,6 +225,22 @@ object GraphQueries {
       graft.operators.Modularity.louvainMulti(edges, singleton)
         .orderBy("node")
     }),
+
+    // the FREE-CONVERGENCE Louvain driver (Modularity.louvainFit
+    // scaladoc) — the published outer loop run as a best-of ladder
+    // with patience-2 dry-stop: the distributed half-sweep is one
+    // PARALLEL inner iteration and can overshoot (the fixture's level
+    // 1 DIPS below singletons before level 2 recovers past them —
+    // measured, see the scaladoc), so the driver returns the best
+    // partition visited rather than gating each level strictly. Level
+    // count is data-dependent → DECLARED rows-only (the kmeans_fit
+    // pattern); GraphSpec cross-checks best-of-2 == the hash-gated
+    // graph_louvain_multi twin and pins Q(fit) ≥ Q(multi.c2) ≥ ...
+    // ≥ Q(singleton). One 1-row collect per level (the K-row
+    // discipline).
+    "graph_louvain_fit" -> ((s, dir) =>
+      graft.operators.Modularity.louvainFit(supplyEdges(s, dir))
+        .orderBy("node")),
 
     // Louvain phase 2 over the REFINED partition: the half-sweep's
     // new_community labels contracted into the super-node graph

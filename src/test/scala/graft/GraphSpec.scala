@@ -407,6 +407,70 @@ class GraphSpec extends SparkSpec {
     assert(q2 >= q1, s"level 2 must not lose modularity: $q1 -> $q2")
   }
 
+  test("weighted score: w ≡ 1 equals score; pricing the contracted graph preserves Q exactly") {
+    import spark.implicits._
+    import graft.operators.Modularity
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 200L, 5L -> 200L, 6L -> 200L).toDF("node", "community")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("community").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getDecimal(4).toBigIntegerExact), r.getLong(5))).toSeq
+    // w ≡ 1: the weighted form IS the unweighted score bit-for-bit
+    assert(rows(Modularity.scoreWeighted(
+        edges.withColumn("w", lit(1L)), labels)) ==
+      rows(Modularity.score(edges, labels)))
+    // contraction invariance (what lets louvainFit price level k on
+    // the tiny contracted graph): the super-graph under identity
+    // labels prices the same TOTAL exact numerator as the original
+    val g2 = Modularity.coarsen(edges, labels)
+      .select(col("c_src").as("src"), col("c_dst").as("dst"), col("w"))
+    val superLab = labels.select(col("community")).distinct()
+      .select(col("community").as("node"), col("community"))
+    def qTot(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => BigInt(r.getDecimal(4).toBigIntegerExact)).sum
+    assert(qTot(Modularity.scoreWeighted(g2, superLab)) ==
+      qTot(Modularity.score(edges, labels)),
+      "contraction must preserve the exact Q numerator")
+  }
+
+  test("louvain fit: capped at 2 levels it IS the unrolled multi twin; free run never loses Q") {
+    import graft.operators.Modularity
+    val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)
+      .localCheckpoint(true)
+    val singleton = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    import spark.implicits._
+    def qTotal(lbl: org.apache.spark.sql.DataFrame): BigInt =
+      Modularity.score(edges, lbl).collect()
+        .map(r => BigInt(r.getDecimal(4).toBigIntegerExact)).sum
+    val multi = Modularity.louvainMulti(edges, singleton)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    // the fixture ladder prices −381,238 (singleton) → −1,448,502
+    // (level 1, the parallel-move DIP) → −369,994 (level 2, the max) —
+    // so the best-of-2-levels fit must return exactly multi's level-2
+    // state, THROUGH the dip a strict Q-stop would have quit in
+    val fit2 = Modularity.louvainFit(edges, maxLevels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fit2 == multi,
+      "2-level fit diverged from the hash-gated unrolled twin")
+    // the free run keeps the best partition seen — never below the
+    // singleton baseline nor the 2-level twin
+    val fit = Modularity.louvainFit(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fit.map(_._1).sorted == multi.map(_._1),
+      "fit must label every original node exactly once")
+    val qFit = qTotal(fit.toDF("node", "community"))
+    assert(qFit >= qTotal(multi.toDF("node", "community")),
+      "free-convergence fit lost modularity vs the 2-level twin")
+    assert(qFit >= qTotal(singleton),
+      "free-convergence fit lost modularity vs the singleton baseline")
+  }
+
   test("labeled nodes with no outgoing edges survive the step and the score (gain 0)") {
     import spark.implicits._
     import graft.operators.Modularity
