@@ -107,6 +107,60 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // temperature-flattened DOMAIN MIXTURE sampling (the multilingual /
+    // multi-domain mixing rule of XLM-R, Conneau et al. 2020 §3.1, and
+    // the Gopher data recipe: sample domain d with p_d ∝ n_d^α, α = ½,
+    // so small domains are up-weighted). pipeline_mix_temperature
+    // computes the float WEIGHT TABLE; this query EXECUTES the sampler
+    // — materializes the doc-level sample those weights imply, with
+    // the arithmetic moved to exact integers so the accepted SET (not
+    // just the rates) is engine- and partitioning-independent.
+    // Per-doc acceptance rate
+    // r_d = T·p_d/n_d with T = half the corpus. EXACT end to end —
+    // √n_d is integer-scaled to s_d = floor(√n_d·10³) (IEEE sqrt is
+    // correctly rounded, identical on both engines), S = Σ s_d is a
+    // BIGINT sum, and rate_u = (10⁶·T·s_d) DIV (S·n_d) runs in
+    // internal DECIMAL(38,0) (the Modularity widening — the BIGINT
+    // product overflows past ~7M docs) with Spark's IntegralDivide ==
+    // DuckDB HUGEINT `//`, surfacing as plain BIGINT micros. Selection
+    // is the md5 hash gate in the SAME micro space — never rand().
+    // Plan: one map-side-combined |domains|-row aggregate, rates
+    // broadcast back, narrow filter — at 100 TB one corpus scan + one
+    // broadcast join, the corpus itself never shuffles.
+    "pipeline_mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val byD = docs.groupBy(col("source")).agg(count(lit(1)).as("n_d"))
+        .withColumn("s_d",
+          floor(sqrt(col("n_d").cast("double")) * lit(1000.0)).cast("long"))
+      val tot = byD.agg(sum(col("s_d")).as("ss"), sum(col("n_d")).as("nn"))
+      val rates = byD.crossJoin(broadcast(tot))
+        .select(col("source"), expr(
+          """least(CAST(1000000 AS BIGINT),
+            |  CAST(1000000 AS DECIMAL(38,0)) * CAST(nn DIV 2 AS DECIMAL(38,0))
+            |    * CAST(s_d AS DECIMAL(38,0))
+            |  DIV (CAST(ss AS DECIMAL(38,0)) * CAST(n_d AS DECIMAL(38,0))))"""
+            .stripMargin).as("rate_u"))
+      val h = pmod(conv(substring(md5(concat(lit("mx"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(1000000L))
+      docs.select(col("doc_id"), col("source"), h.as("h_u"))
+        .join(broadcast(rates), "source")
+        .where(col("h_u") < col("rate_u"))
+        .select(col("doc_id"), col("source"), col("rate_u"))
+        .orderBy("doc_id")
+    }),
+
+    // learned QUALITY-CLASSIFIER filtering (GPT-3, Brown et al. 2020
+    // Appendix A), Naive-Bayes log-odds form with the positive class
+    // distilled from the Gopher rule gate — operators.NbQuality
+    // scaladoc. Every doc scored (not a top-N): score_u = class prior
+    // + Σ hashed-token log-odds, all integer micros; keep = score_u>0.
+    // Same two-scan / broadcast-map shape as DSIR; the 128-bucket
+    // model is corpus-size-free.
+    "pipeline_classifier_score" -> ((s, dir) =>
+      graft.operators.NbQuality.score(Tables.documents(s, dir),
+        nBuckets = 128).orderBy("doc_id")),
+
     // ---- END-TO-END SELECTION pipeline: the round-15 operators
     // composed as one declarative plan — Gopher quality gate → semantic
     // dedup (docs whose embedding lost a SemDeDup pair drop; docs
@@ -710,6 +764,87 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
         |    AS INT) AS pos
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mixture twin: same floor(√n_d·10³) integer sqrt scale, same
+    // exact widened rate arithmetic (HUGEINT `//` == Spark decimal
+    // IntegralDivide — validated equal on the overflow-range case),
+    // same 'mx' md5 micro gate
+    "pipeline_mixture_sample" ->
+      """WITH d AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+        |s AS (SELECT source, CAST(n_d AS BIGINT) AS n_d,
+        |    CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * 1000.0) AS BIGINT) AS s_d
+        |  FROM d),
+        |t AS (SELECT CAST(sum(s_d) AS BIGINT) AS ss,
+        |    CAST(sum(n_d) AS BIGINT) AS nn FROM s),
+        |r AS (SELECT source, CAST(least(1000000::HUGEINT,
+        |    (1000000::HUGEINT * (nn // 2) * s_d) // (ss::HUGEINT * n_d))
+        |    AS BIGINT) AS rate_u
+        |  FROM s CROSS JOIN t)
+        |SELECT doc_id, source, rate_u
+        |FROM documents JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 1000000 < rate_u
+        |ORDER BY doc_id""".stripMargin,
+
+    // NbQuality twin: the Gopher gate labels (verbatim
+    // text_gopher_rules algebra), same 128-bucket md5 feature hash,
+    // same add-1 integer-micros log-odds + prior, LEFT JOIN + defu
+    // coalesce mirroring the Scala unseen-bucket default (the DSIR
+    // no-drift discipline — unreachable in-corpus)
+    "pipeline_classifier_score" -> {
+      val stopList = graft.operators.TextAnalysis.stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id, lang, ws,
+         |    CAST(len(ws) AS INT) AS n_words,
+         |    CAST(list_reduce(list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS INT) AS sum_wl,
+         |    CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS INT) AS n_stop,
+         |    CAST(list_max(list_transform(list_distinct(ws),
+         |      w -> len(list_filter(ws, x -> x = w)))) AS INT) AS max_wf,
+         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 AS INT) ELSE 0 END AS n_tri,
+         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 - len(list_distinct(
+         |      list_transform(generate_series(1, len(ws) - 2),
+         |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS INT)
+         |      ELSE 0 END AS n_tri_dup
+         |  FROM t),
+         |lab AS MATERIALIZED (SELECT doc_id, lang, ws, n_words,
+         |    ((n_words >= 50 AND n_words <= 100000)
+         |      AND (3 * n_words <= sum_wl AND sum_wl <= 10 * n_words)
+         |      AND n_stop >= 2 AND 5 * max_wf <= n_words
+         |      AND 10 * n_tri_dup <= 3 * n_tri) AS pos
+         |  FROM m),
+         |occ AS (SELECT pos, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 128 AS bk
+         |  FROM (SELECT pos, unnest(ws) AS w FROM lab)),
+         |cnt AS (SELECT bk,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+         |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS q_b
+         |  FROM occ GROUP BY bk),
+         |tot AS (SELECT CAST(sum(p_b) AS BIGINT) AS pp,
+         |    CAST(sum(q_b) AS BIGINT) AS qq FROM cnt),
+         |w AS MATERIALIZED (SELECT bk,
+         |    CAST(floor(ln(((p_b + 1.0) * (qq + 128.0)) /
+         |      ((q_b + 1.0) * (pp + 128.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
+         |  FROM cnt CROSS JOIN tot),
+         |defu AS (SELECT CAST(floor(ln((qq + 128.0) / (pp + 128.0))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS du FROM tot),
+         |pri AS (SELECT CAST(floor(ln(
+         |      (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) /
+         |      (CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS prior_u FROM lab),
+         |o2 AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 128 AS bk
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM lab)),
+         |ds AS (SELECT o2.doc_id,
+         |    CAST(sum(coalesce(w.wu, (SELECT du FROM defu))) AS BIGINT) AS tok_u
+         |  FROM o2 LEFT JOIN w USING (bk) GROUP BY o2.doc_id)
+         |SELECT l.doc_id, l.lang, l.n_words,
+         |  (SELECT prior_u FROM pri) + coalesce(ds.tok_u, 0) AS score_u,
+         |  ((SELECT prior_u FROM pri) + coalesce(ds.tok_u, 0)) > 0 AS keep
+         |FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+    },
 
     "q_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,

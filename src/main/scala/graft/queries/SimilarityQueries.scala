@@ -299,6 +299,40 @@ object SimilarityQueries {
       Similarity.semDedup(Similarity.emb(s, dir), coarse, tau = 0.4)
         .orderBy("vec_id")),
 
+    // SSL-prototypes data PRUNING (Sorscher et al. 2022, "Beyond neural
+    // scaling laws", arXiv:2206.14486 — drop the most PROTOTYPICAL
+    // examples of every cluster; SemDeDup's companion recipe for
+    // "easy"-example removal): prototypicality = cosine to the OWN
+    // trained IVF centroid, the top 20% of every cluster flagged.
+    // Assignment + the centroid cosine both ride the broadcast
+    // centroid TABLE (no literal model in the plan); the corpus
+    // shuffles ONCE on cell for the per-cluster rank window; the 20%
+    // boundary is the exact integer test 5·rk ≤ n_c with rounded-cos
+    // ties broken on vec_id. At 100 TB: one scan, one broadcast join,
+    // one keyed window — nlist is the parallelism knob.
+    "pipeline_prune_prototypes" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.ArrayKernels
+      val celled = graft.operators.Assign.withNearestND(
+        Similarity.withNorm(Similarity.emb(s, dir)), col("v"), coarse, "cell")
+      val cellsDf = coarse.sortBy(_.cid).map(c => (c.cid, c.vec.toSeq))
+        .toDF("_ccid", "_cvec")
+        .select(col("_ccid"), col("_cvec"),
+          sqrt(ArrayKernels.dotFast(col("_cvec"), col("_cvec"))).as("_cnrm"))
+      val withP = celled.join(broadcast(cellsDf), col("cell") === col("_ccid"))
+        .withColumn("proto5", rnd(ArrayKernels.dotFast(col("v"), col("_cvec"))
+          / (col("nrm") * col("_cnrm")), 5))
+      withP
+        .withColumn("rk", row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("proto5").desc, col("vec_id"))))
+        .withColumn("n_c",
+          count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .select(col("vec_id"), col("cell"), col("proto5"),
+          (col("rk") * lit(5L) <= col("n_c")).as("pruned"))
+        .orderBy("vec_id")
+    }),
+
     // incremental SemDeDup ingest (Similarity.semDedupIngest scaladoc):
     // the persisted cell-bucketed postings store + the persisted prefix
     // DROP set are yesterday's state; the batch assigns itself via the
@@ -775,6 +809,31 @@ object SimilarityQueries {
     // (foldSq + row_number over (d, cid)), 5-dp-rounded centroid
     // distance for the keep-farthest rule, ties drop the larger vec_id
     "dedup_semantic" -> semDedupSql,
+
+    // prototypes twin: ivfSql's assignment chain, centroid cosine via
+    // the same unrolled dot with a folded centroid norm, identical
+    // (proto5 DESC, vec_id) rank and exact 5·rk ≤ n_c boundary
+    "pipeline_prune_prototypes" ->
+      s"""WITH $embCte,
+         |$centCteSql,
+         |cn AS (SELECT cid, cv,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}),
+         |      i -> cv[i]*cv[i]), (a, b) -> a + b)) AS cnrm FROM cent),
+         |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+         |      FROM en CROSS JOIN cent),
+         |cc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+         |        FROM cd) WHERE crk = 1),
+         |p AS (SELECT cc.vec_id, cc.cell,
+         |    ${rndSql(s"(list_reduce(list_transform(range(1, ${D + 1}), " +
+            "i -> cc.v[i]*cn.cv[i]), (a, b) -> a + b)) / (cc.nrm * cn.cnrm)", 5)} AS proto5
+         |  FROM cc JOIN cn ON cc.cell = cn.cid),
+         |r AS (SELECT vec_id, cell, proto5,
+         |    row_number() OVER (PARTITION BY cell ORDER BY proto5 DESC, vec_id) AS rk,
+         |    count(*) OVER (PARTITION BY cell) AS n_c
+         |  FROM p)
+         |SELECT vec_id, cell, proto5, (rk * 5 <= n_c) AS pruned
+         |FROM r ORDER BY vec_id""".stripMargin,
 
     // the incremental form answers the same whole-corpus question —
     // equality proves store+prior-drops+batch ingest ≡ full recompute

@@ -67,6 +67,33 @@ object TextQueries {
               / col("n_hits"), 6)).as("hit_avg"))
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3: split
+    // each language's corpus into head/middle/tail by LM perplexity
+    // and train on the head): per-language TERTILES of the count-LM
+    // OOV-rate proxy (the text_lm_score model), score integer-scaled
+    // to micros via BIGINT floor division so the ordering is exact —
+    // no float rank boundary. NTILE over (score, doc_id) is the
+    // standard first-⌈n/k⌉ split on both engines. Plan: the lm-score
+    // two-scan + ONE per-lang window (partitionBy(lang) shuffles the
+    // doc-id/score pairs only, never the text).
+    "text_ppl_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lm = TextAnalysis.lmBigramScore(docs(s, dir),
+        refBucketLt = 50, v = 1000)
+      val tile = ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("score_u"), col("doc_id")))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(lm, "doc_id")
+        .withColumn("score_u",
+          when(col("n_bigrams") === 0L, lit(1000000L)).otherwise(
+            expr("CAST(((n_bigrams - n_hits) * 1000000) DIV n_bigrams AS BIGINT)")))
+        .withColumn("bucket",
+          when(tile === 1, lit("head")).when(tile === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("score_u"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(docs(s, dir)).orderBy("doc_id")),
 
@@ -705,6 +732,43 @@ object TextQueries {
          |  END AS hit_avg
          |FROM toks t LEFT JOIN j ON t.doc_id = j.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // ppl-buckets twin: the text_lm_score model chain verbatim, score
+    // integer-scaled with `//` == Spark DIV, same NTILE(3) over
+    // (score_u, doc_id) per lang
+    "text_ppl_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM documents
+         |), bgs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg
+         |  FROM toks
+         |), refc AS (
+         |  SELECT bigram, count(*) AS ref_cnt FROM (
+         |    SELECT unnest(bg) AS bigram FROM bgs
+         |    WHERE ${QueryHelpers.hashBucketSql("CAST(doc_id AS VARCHAR)")} < 50
+         |  ) GROUP BY bigram
+         |  ORDER BY ref_cnt DESC, bigram LIMIT 1000
+         |), ex AS (
+         |  SELECT doc_id, unnest(bg) AS bigram FROM bgs
+         |), j AS (
+         |  SELECT e.doc_id, count(*) AS nb, count(r.ref_cnt) AS nh
+         |  FROM ex e LEFT JOIN refc r USING (bigram) GROUP BY e.doc_id
+         |), sc AS (
+         |  SELECT t.doc_id, t.lang,
+         |    CAST(CASE WHEN coalesce(j.nb, 0) = 0 THEN 1000000
+         |      ELSE ((j.nb - j.nh) * 1000000) // j.nb END AS BIGINT) AS score_u
+         |  FROM toks t LEFT JOIN j ON t.doc_id = j.doc_id
+         |), nt AS (
+         |  SELECT doc_id, lang, score_u,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY score_u, doc_id) AS tile
+         |  FROM sc
+         |)
+         |SELECT doc_id, lang, score_u,
+         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM nt ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH toks AS (

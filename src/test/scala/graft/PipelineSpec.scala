@@ -127,6 +127,64 @@ class PipelineSpec extends SparkSpec {
       "boost must fall as source size grows")
   }
 
+  test("mixture sample: exact flattened rates, small domains up-sampled, gate filters") {
+    val rows = q("pipeline_mixture_sample").collect()
+    val nBySrc = Tables.documents(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = nBySrc.values.sum
+    // driver-side recompute of the exact integer rate algebra
+    val sD = nBySrc.map { case (k, n) =>
+      k -> math.floor(math.sqrt(n.toDouble) * 1000.0).toLong }
+    val ss = sD.values.sum
+    val t = total / 2
+    val rate = nBySrc.map { case (k, n) =>
+      k -> (BigInt(1000000) * BigInt(t) * BigInt(sD(k)) /
+        (BigInt(ss) * BigInt(n))).min(BigInt(1000000)).toLong }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_u") == rate(r.getAs[String]("source")),
+        s"rate mismatch for ${r.getAs[String]("source")}")
+    }
+    // α = ½ flattening direction: strictly smaller domain ⇒ rate ≥,
+    // and the extremes differ strictly when the counts do
+    val bySize = nBySrc.toSeq.sortBy(_._2)
+    if (bySize.head._2 < bySize.last._2)
+      assert(rate(bySize.head._1) > rate(bySize.last._1),
+        "smallest domain must be up-sampled vs the largest")
+    // the hash gate really selects a strict, non-empty subset
+    assert(rows.nonEmpty && rows.length < total)
+    // doc-level replay: acceptance is exactly h('mx'||id) % 1e6 < rate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hU(id: Long): Long = {
+      val d = md.digest(s"mx$id".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expected = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, s0) => hU(id) < rate(s0) }.map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
+  test("quality classifier distills the rule gate: positives outscore negatives per token") {
+    val rows = q("pipeline_classifier_score").collect()
+    val gate = graft.queries.TextQueries.queries("text_gopher_rules")(spark, sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val (pos, neg) = rows.partition(r => gate(r.getAs[Long]("doc_id")))
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must exercise both classes")
+    // keep is exactly the sign of the score
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("score_u") > 0L)))
+    // the learned per-token log-odds separate the classes the labels
+    // came from (score normalized by length so the pin is about the
+    // token model, not doc length or the shared prior)
+    def meanPerTok(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(r => r.getAs[Long]("score_u").toDouble /
+        math.max(r.getAs[Int]("n_words"), 1)).sum / xs.length
+    assert(meanPerTok(pos) > meanPerTok(neg),
+      s"per-token score must separate: pos=${meanPerTok(pos)} neg=${meanPerTok(neg)}")
+  }
+
   test("quantile-by-sample: the hash-priority sample survives repartitioning") {
     import org.apache.spark.sql.functions._
     import graft.operators.DistinctSketch

@@ -14,6 +14,23 @@ class RecallSpec extends SparkSpec {
 
   private def q(name: String) = SimilarityQueries.queries(name)(spark, sf)
 
+  test("prototype pruning: exactly floor(n_c/5) per cell, and only the most prototypical") {
+    val rows = q("pipeline_prune_prototypes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4), "fixture must prune something")
+    rows.groupBy(_._2).foreach { case (cell, ms) =>
+      val (pruned, kept) = ms.partition(_._4)
+      assert(pruned.length == ms.length / 5,
+        s"cell $cell prunes ${pruned.length} of ${ms.length}")
+      // rank order: every pruned member is at least as prototypical as
+      // every kept one (equality only on rounded-cos ties)
+      if (pruned.nonEmpty && kept.nonEmpty)
+        assert(pruned.map(_._3).min >= kept.map(_._3).max,
+          s"cell $cell pruned a less-prototypical member than one it kept")
+    }
+  }
+
   test("multi-probe IVF recall >= single-probe recall against brute-force top-3") {
     val truth = q("sim_topk").where(col("rk") <= 3)
       .select("qid", "vec_id").collect()

@@ -472,4 +472,32 @@ class TextOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "top-v model must broadcast — a sort-merge join would shuffle the corpus bigram stream")
   }
+
+  test("ppl buckets: every doc bucketed, per-lang tertiles replay the ntile rule") {
+    val rows = graft.queries.TextQueries.queries("text_ppl_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val order = Map("head" -> 1, "middle" -> 2, "tail" -> 3)
+    rows.groupBy(_._2).foreach { case (lang, ms) =>
+      // replay NTILE(3) over (score_u, doc_id): the first n mod 3
+      // tertiles take ceil(n/3), the rest floor(n/3)
+      val sorted = ms.sortBy(m => (m._3, m._1))
+      val n = sorted.length
+      val expected = sorted.zipWithIndex.map { case (m, i) =>
+        val (big, rem) = (n / 3 + 1, n % 3)
+        val tile = if (i < big * rem) i / big + 1
+          else (i - big * rem) / (n / 3) + rem + 1
+        m._1 -> tile
+      }.toMap
+      ms.foreach { m =>
+        assert(order(m._4) == expected(m._1),
+          s"$lang doc ${m._1}: bucket ${m._4} != tile ${expected(m._1)}")
+      }
+      // CCNet direction: no head score exceeds any tail score
+      val head = ms.filter(_._4 == "head").map(_._3)
+      val tail = ms.filter(_._4 == "tail").map(_._3)
+      if (head.nonEmpty && tail.nonEmpty) assert(head.max <= tail.min)
+    }
+  }
 }
