@@ -292,6 +292,44 @@ object AnalyticQueries {
             .as("statuses"))
         .orderBy("l_returnflag")),
 
+    // ---- rank-1 ALS factorization step (the alternating-least-squares
+    // core of distributed factorization/completion engines — the
+    // retrieved DisTenC ICDE 2018 line of work; Koren et al. 2009 for
+    // the ALS algebra): factor the user × event_type rating matrix
+    // (rating = summed value in exact CENTS) with rank 1 and ridge
+    // λ = 1. With item factors initialized to 1, one full alternation
+    // in EXACT fixed point — user solve x_u = Σr/(1+n_u) kept at MILLI
+    // scale via BIGINT floor division (micro scale overflowed Σx² in
+    // BIGINT on the very first sf0.01 run — x ~ 10³ ⇒ x_µ² ~ 10¹⁷ per
+    // user; millis keep Σx_k² under 10¹⁶ at 10⁵ users/item), item
+    // solve y_i = Σ(r·x)/(1+Σx²) with the numerator at scale 10⁵ and
+    // denominator at 10⁶, widened through DECIMAL(38,0) for the final
+    // 10⁷-scaled division (the Modularity discipline). No float ever
+    // enters an order-varying aggregate. Scale shape: two
+    // map-side-combined groupBys (cells → users → items) and one
+    // user-keyed join — the classic distributed-ALS data layout where
+    // each side shuffles on its own key once per half-step.
+    "q_als_rank1_step" -> ((s, dir) => {
+      val r = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("rc"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("rc")).as("r_c"))
+      val xu = r.groupBy(col("user_id"))
+        .agg(sum(col("r_c")).as("sr"), count(lit(1)).as("n_u"))
+        .select(col("user_id"), expr("(sr * 10) DIV (1 + n_u)").as("x_k"))
+      r.join(xu, "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("r_c") * col("x_k")).as("n_i"),
+          sum(col("x_k") * col("x_k")).as("sx2"))
+        .select(col("event_type"), col("n_users"),
+          expr("""CAST(CAST(n_i AS DECIMAL(38,0)) * CAST(10000000 AS DECIMAL(38,0))
+            |  DIV (CAST(1000000 AS DECIMAL(38,0)) + CAST(sx2 AS DECIMAL(38,0)))
+            |  AS BIGINT)""".stripMargin).as("y_micros"))
+        .orderBy("event_type")
+    }),
+
     // ---- date/time function family over o_orderdate
     "q_date_funcs" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -736,6 +774,27 @@ object AnalyticQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
         |ORDER BY o_custkey""".stripMargin,
+
+    // ALS twin: same cents rating, same BIGINT milli user solve
+    // (`//` == Spark DIV, truncation semantics verified equal), same
+    // widened 10⁷-scaled item division (HUGEINT == decimal
+    // IntegralDivide); DuckDB sum(BIGINT) returns HUGEINT — cast back
+    "q_als_rank1_step" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS rc FROM events),
+        |r AS (SELECT user_id, event_type, CAST(sum(rc) AS BIGINT) AS r_c
+        |  FROM c GROUP BY 1, 2),
+        |xu AS (SELECT user_id,
+        |    (CAST(sum(r_c) AS BIGINT) * 10) // (1 + count(*)) AS x_k
+        |  FROM r GROUP BY user_id),
+        |yi AS (SELECT r.event_type, count(*) AS n_users,
+        |    CAST(sum(r.r_c * xu.x_k) AS BIGINT) AS n_i,
+        |    CAST(sum(xu.x_k * xu.x_k) AS BIGINT) AS sx2
+        |  FROM r JOIN xu USING (user_id) GROUP BY r.event_type)
+        |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST((n_i::HUGEINT * 10000000) // (1000000::HUGEINT + sx2)
+        |    AS BIGINT) AS y_micros
+        |FROM yi ORDER BY event_type""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

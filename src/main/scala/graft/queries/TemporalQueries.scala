@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TemporalJoin
@@ -56,6 +56,61 @@ object TemporalQueries {
         .groupBy(col("s_event"), col("user_id"))
         .agg(count(lit(1)).as("n_follow"), rnd(sum(col("value")), 4).as("sum_value"))
         .orderBy("s_event")
+    }),
+
+    // ---- z-normalized SUBSEQUENCE similarity search — the distributed
+    // time-series matching primitive (the retrieved EDBT 2019 paper
+    // "Time Series Similarity Search for Streaming Data in Distributed
+    // Systems" solves exactly this shape; the z-normalized Euclidean
+    // measure is the UCR-suite standard, offset/scale-invariant per
+    // window). Query = the corpus's first m=8 values; candidates =
+    // EVERY length-8 sliding window of every user's value series; top
+    // 20 by distance. Exactness: every mean/std/distance is a per-row
+    // ascending fold over the window LIST (frame-ordered, never a
+    // shuffled aggregate — the foldSq discipline), the query vector
+    // rides a 1-row broadcast, flat windows (σ=0) z-map to the zero
+    // vector on both engines, and the ranking rounds to 6 dp with a
+    // (user_id, pos) tie-break. Scale: ONE per-user window pass builds
+    // all candidates (the corpus shuffles once on user_id), scoring is
+    // narrow, selection is TakeOrderedAndProject — never a global sort.
+    "q_ts_subseq_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 8
+      val e = ev(s, dir).select(
+        col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      // query pattern: the corpus-wide first m values in (ts, id) order,
+      // collected order-safely via sort_array(struct) — collect_list
+      // after orderBy does NOT survive repartitioning
+      val q = e.orderBy(col("ts_us"), col("event_id")).limit(m)
+        .agg(expr("transform(sort_array(collect_list(" +
+          "struct(ts_us, event_id, value))), x -> x.value)").as("qv"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wind = e
+        .withColumn("w", collect_list(col("value"))
+          .over(ord.rowsBetween(Window.currentRow, m - 1)))
+        .withColumn("pos", row_number().over(ord))
+        .where(size(col("w")) === m)
+        .select(col("user_id"), col("pos"), col("w"))
+      def fsum(a: Column): Column = aggregate(a, lit(0.0), (x, y) => x + y)
+      def zn(v: String, mu: String, sd: String): Column =
+        transform(col(v), x =>
+          when(col(sd) > 0.0, (x - col(mu)) / col(sd)).otherwise(lit(0.0)))
+      val scored = wind.crossJoin(broadcast(q))
+        .withColumn("mu_w", fsum(col("w")) / lit(m.toDouble))
+        .withColumn("sd_w", sqrt(fsum(transform(col("w"),
+          x => (x - col("mu_w")) * (x - col("mu_w")))) / lit(m.toDouble)))
+        .withColumn("mu_q", fsum(col("qv")) / lit(m.toDouble))
+        .withColumn("sd_q", sqrt(fsum(transform(col("qv"),
+          x => (x - col("mu_q")) * (x - col("mu_q")))) / lit(m.toDouble)))
+        .withColumn("d6", rnd(fsum(zip_with(
+          zn("w", "mu_w", "sd_w"), zn("qv", "mu_q", "sd_q"),
+          (a, b) => (a - b) * (a - b))), 6))
+      val top = scored.orderBy(col("d6"), col("user_id"), col("pos"))
+        .limit(20)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("d6"), col("user_id"), col("pos"))).cast("int"))
+        .select(col("rk"), col("user_id"), col("pos"), col("d6"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -88,5 +143,54 @@ object TemporalQueries {
          |  ${rndSql("sum(e.value)", 4)} AS sum_value
          |FROM s JOIN e ON s.user_id = e.user_id
          |  AND e.ts_us >= s.s_ts AND e.ts_us < s.s_ts + ${3600L * 1000000L}
-         |GROUP BY s.s_event, s.user_id ORDER BY s.s_event""".stripMargin)
+         |GROUP BY s.s_event, s.user_id ORDER BY s.s_event""".stripMargin,
+
+    // subsequence twin: same frame-ordered window lists, same ascending
+    // list folds for mean/std/distance (list_reduce's first-element
+    // seed equals Spark's 0.0 seed exactly — (0.0 + x) ≡ x in IEEE),
+    // same σ=0 zero-vector rule, same 6-dp/(user, pos) ranking
+    "q_ts_subseq_search" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+         |), qv AS (
+         |  SELECT list(value ORDER BY ts_us, event_id) AS qv FROM (
+         |    SELECT ts_us, event_id, value FROM e
+         |    ORDER BY ts_us, event_id LIMIT 8)
+         |), wind AS (
+         |  SELECT user_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pos,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+         |  FROM e
+         |), wf AS (
+         |  SELECT user_id, CAST(pos AS INT) AS pos, w, qv
+         |  FROM wind CROSS JOIN qv WHERE len(w) = 8
+         |), mu AS (
+         |  SELECT *, list_reduce(w, (a, b) -> a + b) / 8.0 AS mu_w,
+         |    list_reduce(qv, (a, b) -> a + b) / 8.0 AS mu_q
+         |  FROM wf
+         |), sd AS (
+         |  SELECT *,
+         |    sqrt(list_reduce(list_transform(w, x -> (x - mu_w) * (x - mu_w)),
+         |      (a, b) -> a + b) / 8.0) AS sd_w,
+         |    sqrt(list_reduce(list_transform(qv, x -> (x - mu_q) * (x - mu_q)),
+         |      (a, b) -> a + b) / 8.0) AS sd_q
+         |  FROM mu
+         |), z AS (
+         |  SELECT user_id, pos,
+         |    list_transform(w, x -> CASE WHEN sd_w > 0.0
+         |      THEN (x - mu_w) / sd_w ELSE 0.0 END) AS zw,
+         |    list_transform(qv, x -> CASE WHEN sd_q > 0.0
+         |      THEN (x - mu_q) / sd_q ELSE 0.0 END) AS zq
+         |  FROM sd
+         |), d AS (
+         |  SELECT user_id, pos,
+         |    ${rndSql("list_reduce(list_transform(range(1, 9), " +
+            "i -> (zw[i] - zq[i]) * (zw[i] - zq[i])), (a, b) -> a + b)", 6)} AS d6
+         |  FROM z
+         |), r AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY d6, user_id, pos) AS INT) AS rk
+         |  FROM d
+         |)
+         |SELECT rk, user_id, pos, d6 FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin)
 }

@@ -13,6 +13,32 @@ class AnalyticSpec extends SparkSpec {
 
   private def q(name: String) = AnalyticQueries.queries(name)(spark, sf)
 
+  test("rank-1 ALS step equals an exact BigInt driver replay") {
+    val got = q("q_als_rank1_step").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent replay of the whole fixed-point alternation in BigInt
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rC = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum }
+    val xK = rC.groupBy(_._1._1).map { case (u, cells) =>
+      u -> BigInt(cells.values.sum) * 10 / (1 + cells.size) }
+    val expect = rC.groupBy(_._1._2).map { case (it, cells) =>
+      val nI = cells.map { case ((u, _), r) => BigInt(r) * xK(u) }.sum
+      val sx2 = cells.keys.map { case (u, _) => xK(u) * xK(u) }.sum
+      it -> (cells.size.toLong, (nI * BigInt(10000000) /
+        (BigInt(1000000) + sx2)).toLong)
+    }
+    assert(got.length == expect.size)
+    got.foreach { case (it, n, y) =>
+      assert((n, y) == expect(it), s"item $it: got ($n, $y), want ${expect(it)}")
+    }
+    // the solve is non-degenerate on the fixture: positive ratings give
+    // positive factors, and items differ (the factorization has signal)
+    assert(got.forall(_._3 > 0L))
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
   test("SweepLine running sum == global-window form on an adversarial stream") {
     import spark.implicits._
     // duplicate timestamps with mixed-sign deltas, a long gap (forces

@@ -16,6 +16,37 @@ class TemporalSpec extends SparkSpec {
       col("event_id"), col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
       col("event_type"), col("value"))
 
+  test("subsequence search equals a full driver-side z-norm replay") {
+    val got = graft.queries.TemporalQueries
+      .queries("q_ts_subseq_search")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // independent replay: same windows, same ascending fold order, same
+    // σ=0 rule, same rounding, same (d6, user, pos) ranking
+    val ev = evUs.select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val m = 8
+    val q = ev.sortBy(e => (e._2, e._3)).take(m).map(_._4)
+    def fsum(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    def zn(xs: Seq[Double]): Seq[Double] = {
+      val mu = fsum(xs) / m.toDouble
+      val sd = math.sqrt(fsum(xs.map(x => (x - mu) * (x - mu))) / m.toDouble)
+      xs.map(x => if (sd > 0.0) (x - mu) / sd else 0.0)
+    }
+    val zq = zn(q.toSeq)
+    val cand = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      vs.indices.dropRight(m - 1).map { i =>
+        val zw = zn(vs.slice(i, i + m).toSeq)
+        val d2 = fsum(zw.zip(zq).map { case (a, b) => (a - b) * (a - b) })
+        (u, i + 1, math.floor(d2 * 1e6 + 0.5) / 1e6)
+      }
+    }
+    val expect = cand.sortBy(c => (c._3, c._1, c._2)).take(20)
+      .zipWithIndex.map { case ((u, p, d), i) => (i + 1, u, p, d) }
+    assert(got.toSeq == expect,
+      s"replay mismatch:\n got=${got.toSeq}\n exp=$expect")
+  }
+
   test("asOf matches per-row brute-force argmax") {
     val e = evUs
     val clicks = e.where(col("event_type") === "click")
