@@ -163,7 +163,8 @@ object StreamingQueries {
 
   private def runToParquet(df: DataFrame, statePartitions: Int = 0,
       stagedSrc: Option[String] = None,
-      expectOneDataBatch: Boolean = false): String = {
+      expectOneDataBatch: Boolean = false,
+      expectMinDataBatches: Int = 0): String = {
     val out = tempDir("graft_stream_out", deferred = true)
     val cp = tempDir("graft_stream_cp", deferred = false)
     val sess = df.sparkSession
@@ -181,6 +182,12 @@ object StreamingQueries {
         require(dataBatches == 1,
           s"expected exactly one data micro-batch, got $dataBatches — " +
             "the single-batch staging contract this query's oracle relies on is broken")
+      }
+      if (expectMinDataBatches > 0) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= expectMinDataBatches,
+          s"expected >= $expectMinDataBatches data micro-batches, got $dataBatches — " +
+            "the multi-batch staging this query's state contract is proven under is broken")
       }
     } finally {
       sess.conf.set("spark.sql.shuffle.partitions", prev)
@@ -514,6 +521,59 @@ object StreamingQueries {
         deleteNow(cp)
         deleteNow(tmp)
       }
+    }),
+
+    // CONTINUOUS subsequence matching (EventStream.subseqMatches
+    // scaladoc — the streaming form of q_ts_subseq_search and the 15th
+    // gated streaming shape): events arrive as three TIME-TERTILE
+    // micro-batches (files staged with strictly ascending mtimes,
+    // maxFilesPerTrigger=1 — the file source takes oldest-first), the
+    // per-user O(m) tail state closes windows ACROSS batch boundaries,
+    // and matches (d6 ≤ 4.0, density-measured 295/8950 windows at
+    // sf0.01 before registration) append the moment their last point
+    // arrives. Oracle = the batch window recompute under the same
+    // threshold — equality requires the boundary-spanning windows that
+    // only the carried state can produce.
+    "stream_subseq_sink" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val m = 8
+      val tau = 4.0
+      val ev = graft.Tables.events(s, dir)
+      // the q_ts_subseq_search pattern rule: first m values of the
+      // smallest user with >= m events (see its scaladoc for why the
+      // global head is degenerate at derived scale)
+      val qUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= m).agg(min(col("user_id"))).head().getLong(0)
+      val qv = ev.where(col("user_id") === qUser)
+        .select(expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .orderBy(col("ts_us"), col("event_id")).limit(m)
+        .collect().map(_.getDouble(2))
+      val tmp = tempDir("graft_stream_tssrc", deferred = false)
+      val ranked = ev.withColumn("_t", ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts_ns"), col("event_id"))))
+      (1 to 3).foreach { i =>
+        val sub = tempDir("graft_stream_tspart", deferred = false)
+        ranked.where(col("_t") === i)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+        val part = java.nio.file.Files.list(sub).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = tmp.resolve(s"b$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        deleteNow(sub)
+      }
+      val stream = graft.Tables.normalizeEvents(
+        s.readStream.schema(EventStream.storedSchema(s, tmp.toString))
+          .option("maxFilesPerTrigger", 1).parquet(tmp.toString))
+      val sink = runToParquet(
+        EventStream.subseqMatches(stream, qv, m, tau).toDF(),
+        statePartitions = defaultStateParts, stagedSrc = Some(tmp.toString),
+        expectMinDataBatches = 2)
+      s.read.parquet(sink).orderBy("user_id", "pos")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -704,5 +764,14 @@ object StreamingQueries {
     // the continuous-ingest gate IS the whole-corpus batch recompute:
     // the monotone order-free drop rule makes micro-batch boundaries
     // unobservable in the final state
-    "stream_semdedup_sink" -> SimilarityQueries.semDedupSql)
+    "stream_semdedup_sink" -> SimilarityQueries.semDedupSql,
+
+    // the streaming matcher's oracle: the SHARED batch window chain
+    // (TemporalQueries.subseqCtes) thresholded — every match, no rank;
+    // the stream can only equal this if its state carried the
+    // batch-boundary-spanning window tails
+    "stream_subseq_sink" ->
+      s"""WITH ${TemporalQueries.subseqCtes}
+         |SELECT user_id, pos, d6 FROM d WHERE d6 <= 4.0
+         |ORDER BY user_id, pos""".stripMargin)
 }

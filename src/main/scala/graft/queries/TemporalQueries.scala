@@ -78,10 +78,18 @@ object TemporalQueries {
       val m = 8
       val e = ev(s, dir).select(
         col("user_id"), col("ts_us"), col("event_id"), col("value"))
-      // query pattern: the corpus-wide first m values in (ts, id) order,
-      // collected order-safely via sort_array(struct) — collect_list
-      // after orderBy does NOT survive repartitioning
-      val q = e.orderBy(col("ts_us"), col("event_id")).limit(m)
+      // query pattern: the first m values of the SMALLEST user with >= m
+      // events (NOT the global head — at derived scale the global head
+      // is m identical key-shifted copies of one event, a flat pattern
+      // that z-maps to the zero vector and matches nothing; a per-user
+      // series head guarantees a d6=0 self-match at every scale, so the
+      // gate is provably non-vacuous). Collected order-safely via
+      // sort_array(struct) — collect_list after orderBy does NOT
+      // survive repartitioning.
+      val qUser = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= m).agg(min(col("user_id"))).head().getLong(0)
+      val q = e.where(col("user_id") === qUser)
+        .orderBy(col("ts_us"), col("event_id")).limit(m)
         .agg(expr("transform(sort_array(collect_list(" +
           "struct(ts_us, event_id, value))), x -> x.value)").as("qv"))
       val ord = Window.partitionBy(col("user_id"))
@@ -150,47 +158,60 @@ object TemporalQueries {
     // seed equals Spark's 0.0 seed exactly — (0.0 + x) ≡ x in IEEE),
     // same σ=0 zero-vector rule, same 6-dp/(user, pos) ranking
     "q_ts_subseq_search" ->
-      s"""WITH e AS (
-         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
-         |), qv AS (
-         |  SELECT list(value ORDER BY ts_us, event_id) AS qv FROM (
-         |    SELECT ts_us, event_id, value FROM e
-         |    ORDER BY ts_us, event_id LIMIT 8)
-         |), wind AS (
-         |  SELECT user_id,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pos,
-         |    list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
-         |  FROM e
-         |), wf AS (
-         |  SELECT user_id, CAST(pos AS INT) AS pos, w, qv
-         |  FROM wind CROSS JOIN qv WHERE len(w) = 8
-         |), mu AS (
-         |  SELECT *, list_reduce(w, (a, b) -> a + b) / 8.0 AS mu_w,
-         |    list_reduce(qv, (a, b) -> a + b) / 8.0 AS mu_q
-         |  FROM wf
-         |), sd AS (
-         |  SELECT *,
-         |    sqrt(list_reduce(list_transform(w, x -> (x - mu_w) * (x - mu_w)),
-         |      (a, b) -> a + b) / 8.0) AS sd_w,
-         |    sqrt(list_reduce(list_transform(qv, x -> (x - mu_q) * (x - mu_q)),
-         |      (a, b) -> a + b) / 8.0) AS sd_q
-         |  FROM mu
-         |), z AS (
-         |  SELECT user_id, pos,
-         |    list_transform(w, x -> CASE WHEN sd_w > 0.0
-         |      THEN (x - mu_w) / sd_w ELSE 0.0 END) AS zw,
-         |    list_transform(qv, x -> CASE WHEN sd_q > 0.0
-         |      THEN (x - mu_q) / sd_q ELSE 0.0 END) AS zq
-         |  FROM sd
-         |), d AS (
-         |  SELECT user_id, pos,
-         |    ${rndSql("list_reduce(list_transform(range(1, 9), " +
-            "i -> (zw[i] - zq[i]) * (zw[i] - zq[i])), (a, b) -> a + b)", 6)} AS d6
-         |  FROM z
-         |), r AS (
+      s"""WITH $subseqCtes,
+         |r AS (
          |  SELECT *, CAST(row_number() OVER (ORDER BY d6, user_id, pos) AS INT) AS rk
          |  FROM d
          |)
          |SELECT rk, user_id, pos, d6 FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin)
+
+  /** CTE chain ending in `d(user_id, pos, d6)` — every per-user length-8
+    * window scored z-normalized against the corpus-head query pattern.
+    * Shared by q_ts_subseq_search's top-k and stream_subseq_sink's
+    * thresholded-match oracle (the shared-builder discipline — never
+    * compose oracles by string surgery).
+    */
+  private[queries] def subseqCtes: String =
+    s"""e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+       |), qu AS (
+       |  SELECT user_id FROM e GROUP BY user_id HAVING count(*) >= 8
+       |  ORDER BY user_id LIMIT 1
+       |), qv AS (
+       |  SELECT list(value ORDER BY ts_us, event_id) AS qv FROM (
+       |    SELECT ts_us, event_id, value FROM e JOIN qu USING (user_id)
+       |    ORDER BY ts_us, event_id LIMIT 8)
+       |), wind AS (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pos,
+       |    list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+       |  FROM e
+       |), wf AS (
+       |  SELECT user_id, CAST(pos AS INT) AS pos, w, qv
+       |  FROM wind CROSS JOIN qv WHERE len(w) = 8
+       |), mu AS (
+       |  SELECT *, list_reduce(w, (a, b) -> a + b) / 8.0 AS mu_w,
+       |    list_reduce(qv, (a, b) -> a + b) / 8.0 AS mu_q
+       |  FROM wf
+       |), sd AS (
+       |  SELECT *,
+       |    sqrt(list_reduce(list_transform(w, x -> (x - mu_w) * (x - mu_w)),
+       |      (a, b) -> a + b) / 8.0) AS sd_w,
+       |    sqrt(list_reduce(list_transform(qv, x -> (x - mu_q) * (x - mu_q)),
+       |      (a, b) -> a + b) / 8.0) AS sd_q
+       |  FROM mu
+       |), z AS (
+       |  SELECT user_id, pos,
+       |    list_transform(w, x -> CASE WHEN sd_w > 0.0
+       |      THEN (x - mu_w) / sd_w ELSE 0.0 END) AS zw,
+       |    list_transform(qv, x -> CASE WHEN sd_q > 0.0
+       |      THEN (x - mu_q) / sd_q ELSE 0.0 END) AS zq
+       |  FROM sd
+       |), d AS (
+       |  SELECT user_id, pos,
+       |    ${rndSql("list_reduce(list_transform(range(1, 9), " +
+          "i -> (zw[i] - zq[i]) * (zw[i] - zq[i])), (a, b) -> a + b)", 6)} AS d6
+       |  FROM z
+       |)""".stripMargin
 }

@@ -469,4 +469,68 @@ object EventStream {
     q.awaitTermination()
     state.get()._1
   }
+
+  final case class SubseqState(buf: Seq[(Long, Long, Double)], n: Long)
+  final case class SubseqMatch(user_id: Long, pos: Int, d6: Double)
+
+  /** CONTINUOUS z-normalized subsequence matching — the streaming form
+    * of the q_ts_subseq_search primitive and the literal problem of the
+    * retrieved EDBT 2019 paper ("Time Series Similarity Search for
+    * Streaming Data in Distributed Systems"): per-user state holds ONLY
+    * the last m−1 points (O(m) per key forever — no watermark needed,
+    * nothing ages), and every arriving point closes the window ENDING
+    * at it, scored against the fixed query pattern carried in the
+    * closure (m doubles — smaller than any broadcast). A match (d6 ≤
+    * tau) appends the window's START ordinal immediately — detection
+    * latency is one micro-batch.
+    *
+    * Event-time order contract: batches must arrive time-split (the
+    * caller stages tertile files with ascending mtimes) and each
+    * batch's per-user rows sort by (ts, id) here — under that contract
+    * the emitted set is EXACTLY the batch query's window set (the
+    * oracle is the batch recompute; the boundary-spanning windows are
+    * the part only the state makes possible).
+    *
+    * The z-norm/distance arithmetic is the batch query's, op for op
+    * (ascending foldLeft ≡ the aggregate/list_reduce folds — the
+    * TemporalSpec replay pins driver-fold ≡ codegen equality).
+    */
+  def subseqMatches(events: DataFrame, qv: Array[Double], m: Int,
+      tau: Double): Dataset[SubseqMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fsum(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    def zn(xs: Seq[Double]): Seq[Double] = {
+      val mu = fsum(xs) / m.toDouble
+      val sd = math.sqrt(fsum(xs.map(x => (x - mu) * (x - mu))) / m.toDouble)
+      xs.map(x => if (sd > 0.0) (x - mu) / sd else 0.0)
+    }
+    val zq = zn(qv.toSeq)
+    events.select(col("user_id").cast("long"),
+        expr("ts_ns DIV 1000").as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[SubseqState]) => {
+          val st = state.getOption.getOrElse(SubseqState(Seq.empty, 0L))
+          var buf = st.buf
+          var n = st.n
+          val out = scala.collection.mutable.ArrayBuffer.empty[SubseqMatch]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            buf = buf :+ ((r._2, r._3, r._4))
+            n += 1
+            if (buf.length == m) {
+              val zw = zn(buf.map(_._3))
+              val d2 = fsum(zw.zip(zq).map { case (a, b) => (a - b) * (a - b) })
+              val d6 = math.floor(d2 * 1e6 + 0.5) / 1e6
+              if (d6 <= tau) out += SubseqMatch(uid, (n - m + 1).toInt, d6)
+              buf = buf.tail
+            }
+          }
+          state.update(SubseqState(buf, n))
+          out.iterator
+        })
+  }
 }

@@ -184,6 +184,36 @@ class StreamingHygieneSpec extends SparkSpec {
       s"purchase-side eviction emitted ${batches.map(_._3).sum}, batch says $expUnmatchedPurch")
   }
 
+  test("streaming subseq matcher emits windows that SPAN micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQueries.queries("stream_subseq_sink")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.nonEmpty, "fixture must produce matches (the self-window at least)")
+    // reconstruct the per-user global positions of the time-tertile
+    // boundaries: a match whose window [pos, pos+7] crosses one can only
+    // have been emitted from the carried O(m) tail state
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = ev.length
+    val tertOf = ev.sortBy(e => (e._2, e._3)).zipWithIndex.map { case (e, i) =>
+      // ntile(3): first n mod 3 tiles take ceil(n/3)
+      val (big, rem) = (n / 3 + 1, n % 3)
+      val t = if (i < big.toLong * rem) i / big + 1
+        else ((i - big * rem) / (n / 3)) + rem + 1
+      (e._1, e._3) -> t
+    }.toMap
+    val posTert = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._2, e._3)).map(e => tertOf((u, e._3)))
+    }
+    val spanning = got.filter { case (u, pos) =>
+      val ts = posTert(u).slice(pos - 1, pos + 7)
+      ts.distinct.length > 1
+    }
+    assert(spanning.nonEmpty,
+      s"no emitted match spans a batch boundary — the state contract is unexercised (${got.length} matches)")
+  }
+
   test("continuous semDedup ingest equals the batch path row-for-row") {
     // the stream ran ≥2 genuine micro-batches (the query asserts it),
     // yet the final state must be indistinguishable from the one-shot

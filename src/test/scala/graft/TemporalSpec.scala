@@ -25,7 +25,8 @@ class TemporalSpec extends SparkSpec {
     val ev = evUs.select("user_id", "ts_us", "event_id", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val m = 8
-    val q = ev.sortBy(e => (e._2, e._3)).take(m).map(_._4)
+    val qUser = ev.groupBy(_._1).filter(_._2.length >= m).keys.min
+    val q = ev.filter(_._1 == qUser).sortBy(e => (e._2, e._3)).take(m).map(_._4)
     def fsum(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
     def zn(xs: Seq[Double]): Seq[Double] = {
       val mu = fsum(xs) / m.toDouble
