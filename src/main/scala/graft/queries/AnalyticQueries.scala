@@ -25,6 +25,63 @@ import graft.queries.QueryHelpers._
   */
 object AnalyticQueries {
 
+  /** CTE chain ending in `y1(event_type, n_users, y_m)` — the step-1
+    * ALS item factors; both ALS oracles compose on it (the
+    * shared-builder discipline — never string surgery).
+    */
+  private def alsCtes: String =
+    """c AS (SELECT user_id, event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS rc FROM events),
+      |r AS MATERIALIZED (SELECT user_id, event_type, CAST(sum(rc) AS BIGINT) AS r_c
+      |  FROM c GROUP BY 1, 2),
+      |xu AS (SELECT user_id,
+      |    (CAST(sum(r_c) AS BIGINT) * 10) // (1 + count(*)) AS x_k
+      |  FROM r GROUP BY user_id),
+      |yi AS (SELECT r.event_type, count(*) AS n_users,
+      |    CAST(sum(r.r_c * xu.x_k) AS BIGINT) AS n_i,
+      |    CAST(sum(xu.x_k * xu.x_k) AS BIGINT) AS sx2
+      |  FROM r JOIN xu USING (user_id) GROUP BY r.event_type),
+      |y1 AS (SELECT event_type, n_users,
+      |    CAST((n_i::HUGEINT * 10000000) // (1000000::HUGEINT + sx2)
+      |      AS BIGINT) AS y_m
+      |  FROM yi)""".stripMargin
+
+  /** (user_id, event_type, r_c) — the ALS rating matrix in exact cents
+    * (one map-side-combined aggregate over events).
+    */
+  private def alsRatings(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("rc"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("rc")).as("r_c"))
+
+  /** Milli-scaled user factors under the ALS init y ≡ 1:
+    * x = Σr/(1+n_u) via BIGINT floor division.
+    */
+  private def alsUserInit(r: DataFrame): DataFrame =
+    r.groupBy(col("user_id"))
+      .agg(sum(col("r_c")).as("sr"), count(lit(1)).as("n_u"))
+      .select(col("user_id"), expr("(sr * 10) DIV (1 + n_u)").as("x_k"))
+
+  /** Item half-solve from milli-scaled user factors `x_k`:
+    * y_micros = (Σ r·x)·10⁷ DIV (10⁶ + Σ x²) — numerator cents·millis
+    * = scale 10⁵, denominator 10⁶, output micros; SCALE-INVARIANT
+    * across iterations, so step 1 and step 2 share it verbatim. The
+    * final division widens through DECIMAL(38,0) (N·10⁷ ~ 10²⁰ at
+    * fixture magnitudes — past BIGINT).
+    */
+  private def alsItemSolve(r: DataFrame, xu: DataFrame): DataFrame =
+    r.join(xu, "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r_c") * col("x_k")).as("n_i"),
+        sum(col("x_k") * col("x_k")).as("sx2"))
+      .select(col("event_type"), col("n_users"),
+        expr("""CAST(CAST(n_i AS DECIMAL(38,0)) * CAST(10000000 AS DECIMAL(38,0))
+          |  DIV (CAST(1000000 AS DECIMAL(38,0)) + CAST(sx2 AS DECIMAL(38,0)))
+          |  AS BIGINT)""".stripMargin).as("y_micros"))
+
   /** 30-minute session gap in MICROseconds. Session math runs on integer
     * micros on both engines: Spark's raw ts_ns keeps full nanosecond
     * precision but DuckDB narrows the TIMESTAMP(NANOS) parquet column to
@@ -310,23 +367,36 @@ object AnalyticQueries {
     // user-keyed join — the classic distributed-ALS data layout where
     // each side shuffles on its own key once per half-step.
     "q_als_rank1_step" -> ((s, dir) => {
-      val r = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"),
-          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("rc"))
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(sum(col("rc")).as("r_c"))
-      val xu = r.groupBy(col("user_id"))
-        .agg(sum(col("r_c")).as("sr"), count(lit(1)).as("n_u"))
-        .select(col("user_id"), expr("(sr * 10) DIV (1 + n_u)").as("x_k"))
-      r.join(xu, "user_id")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("r_c") * col("x_k")).as("n_i"),
-          sum(col("x_k") * col("x_k")).as("sx2"))
+      val r = alsRatings(s, dir)
+      alsItemSolve(r, alsUserInit(r)).orderBy("event_type")
+    }),
+
+    // ---- the SECOND full ALS alternation, composed on q_als_rank1_step
+    // (the kmeans_step → kmeans_fit_unrolled pattern): user re-solve
+    // against the step-1 item factors (x₂ = Σr·y/(1+Σy²), numerator at
+    // scale 10⁸ = cents·micros, denominator at 10¹², the 10⁷-scaled
+    // division widened through DECIMAL — N·10⁷ ~ 10²⁰ overflows BIGINT
+    // at fixture magnitudes already), then the item re-solve (the same
+    // N·10⁷ DIV (10⁶+Σx²) formula as step 1 — the item solve from
+    // milli-scaled x is scale-invariant across iterations). AnalyticSpec
+    // pins the ridge objective NON-INCREASING across all four
+    // half-solves — the ALS convergence guarantee, visible through the
+    // fixed point.
+    "q_als_rank1_step2" -> ((s, dir) => {
+      val r = alsRatings(s, dir)
+      val y1 = alsItemSolve(r, alsUserInit(r)).select(
+        col("event_type"), col("y_micros").as("y_m"))
+      val xu2 = r.join(broadcast(y1), "event_type")
+        .groupBy(col("user_id"))
+        .agg(sum(col("r_c") * col("y_m")).as("n_u"),
+          sum(col("y_m") * col("y_m")).as("sy2"))
+        .select(col("user_id"),
+          expr("""CAST(CAST(n_u AS DECIMAL(38,0)) * CAST(10000000 AS DECIMAL(38,0))
+            |  DIV (CAST(1000000000000 AS DECIMAL(38,0)) + CAST(sy2 AS DECIMAL(38,0)))
+            |  AS BIGINT)""".stripMargin).as("x_k"))
+      alsItemSolve(r, xu2)
         .select(col("event_type"), col("n_users"),
-          expr("""CAST(CAST(n_i AS DECIMAL(38,0)) * CAST(10000000 AS DECIMAL(38,0))
-            |  DIV (CAST(1000000 AS DECIMAL(38,0)) + CAST(sx2 AS DECIMAL(38,0)))
-            |  AS BIGINT)""".stripMargin).as("y_micros"))
+          col("y_micros").as("y2_micros"))
         .orderBy("event_type")
     }),
 
@@ -780,21 +850,30 @@ object AnalyticQueries {
     // widened 10⁷-scaled item division (HUGEINT == decimal
     // IntegralDivide); DuckDB sum(BIGINT) returns HUGEINT — cast back
     "q_als_rank1_step" ->
-      """WITH c AS (SELECT user_id, event_type,
-        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS rc FROM events),
-        |r AS (SELECT user_id, event_type, CAST(sum(rc) AS BIGINT) AS r_c
-        |  FROM c GROUP BY 1, 2),
-        |xu AS (SELECT user_id,
-        |    (CAST(sum(r_c) AS BIGINT) * 10) // (1 + count(*)) AS x_k
-        |  FROM r GROUP BY user_id),
-        |yi AS (SELECT r.event_type, count(*) AS n_users,
-        |    CAST(sum(r.r_c * xu.x_k) AS BIGINT) AS n_i,
-        |    CAST(sum(xu.x_k * xu.x_k) AS BIGINT) AS sx2
-        |  FROM r JOIN xu USING (user_id) GROUP BY r.event_type)
-        |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
-        |  CAST((n_i::HUGEINT * 10000000) // (1000000::HUGEINT + sx2)
-        |    AS BIGINT) AS y_micros
-        |FROM yi ORDER BY event_type""".stripMargin,
+      s"""WITH $alsCtes
+         |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+         |  y_m AS y_micros
+         |FROM y1 ORDER BY event_type""".stripMargin,
+
+    // step-2 twin: the shared step-1 chain (alsCtes — the
+    // shared-builder discipline), then the user re-solve against y1
+    // (scales 10⁸/10¹², HUGEINT-widened 10⁷ division) and the
+    // identical scale-invariant item solve
+    "q_als_rank1_step2" ->
+      s"""WITH $alsCtes,
+         |xu2 AS (SELECT r.user_id,
+         |    CAST((CAST(sum(r.r_c * y1.y_m) AS HUGEINT) * 10000000) //
+         |      (1000000000000::HUGEINT + CAST(sum(y1.y_m * y1.y_m) AS BIGINT))
+         |      AS BIGINT) AS x_k
+         |  FROM r JOIN y1 USING (event_type) GROUP BY r.user_id),
+         |yi2 AS (SELECT r.event_type, count(*) AS n_users,
+         |    CAST(sum(r.r_c * xu2.x_k) AS BIGINT) AS n_i,
+         |    CAST(sum(xu2.x_k * xu2.x_k) AS BIGINT) AS sx2
+         |  FROM r JOIN xu2 USING (user_id) GROUP BY r.event_type)
+         |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+         |  CAST((n_i::HUGEINT * 10000000) // (1000000::HUGEINT + sx2)
+         |    AS BIGINT) AS y2_micros
+         |FROM yi2 ORDER BY event_type""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -39,6 +39,49 @@ class AnalyticSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > 1)
   }
 
+  test("ALS alternations: ridge objective non-increasing across all four half-solves") {
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rC = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum }
+    // the exact fixed-point pipeline, replayed: x1 (y≡1), y1, x2, y2
+    val x1 = rC.groupBy(_._1._1).map { case (u, cs) =>
+      u -> BigInt(cs.values.sum) * 10 / (1 + cs.size) }
+    def itemSolve(x: Map[Long, BigInt]): Map[String, BigInt] =
+      rC.groupBy(_._1._2).map { case (it, cs) =>
+        val n = cs.map { case ((u, _), r) => BigInt(r) * x(u) }.sum
+        val s2 = cs.keys.map { case (u, _) => x(u) * x(u) }.sum
+        it -> n * BigInt(10000000) / (BigInt(1000000) + s2)
+      }
+    val y1 = itemSolve(x1)
+    val x2 = rC.groupBy(_._1._1).map { case (u, cs) =>
+      val n = cs.map { case ((_, i), r) => BigInt(r) * y1(i) }.sum
+      val s2 = cs.keys.map { case (_, i) => y1(i) * y1(i) }.sum
+      u -> n * BigInt(10000000) / (BigInt("1000000000000") + s2)
+    }
+    val y2 = itemSolve(x2)
+    // each half-solve is the (truncated) ridge-least-squares optimum
+    // given the other side, so J = SSE + λ(Σx²+Σy²) must not increase
+    def j(x: Map[Long, Double], y: Map[String, Double]): Double = {
+      val sse = rC.map { case ((u, i), r) =>
+        val e = r / 100.0 - x(u) * y(i); e * e }.sum
+      sse + x.values.map(v => v * v).sum + y.values.map(v => v * v).sum
+    }
+    val xd1 = x1.map { case (k, v) => k -> v.toDouble / 1e3 }
+    val xd2 = x2.map { case (k, v) => k -> v.toDouble / 1e3 }
+    val yd0 = y1.map { case (k, _) => k -> 1.0 }
+    val yd1 = y1.map { case (k, v) => k -> v.toDouble / 1e6 }
+    val yd2 = y2.map { case (k, v) => k -> v.toDouble / 1e6 }
+    val js = Seq(j(xd1, yd0), j(xd1, yd1), j(xd2, yd1), j(xd2, yd2))
+    js.zip(js.tail).foreach { case (a, b) =>
+      assert(b <= a * (1.0 + 1e-9), s"objective rose: $js")
+    }
+    // and the registered step-2 query returns exactly this y2
+    val got2 = q("q_als_rank1_step2").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    y2.foreach { case (it, v) => assert(got2(it) == v.toLong) }
+  }
+
   test("SweepLine running sum == global-window form on an adversarial stream") {
     import spark.implicits._
     // duplicate timestamps with mixed-sign deltas, a long gap (forces
