@@ -287,6 +287,19 @@ object Similarity {
   def ivfTopKMulti(
       embDf: DataFrame, coarse: Seq[CentroidND], nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
+    val joined = probedScored(embDf, coarse, nQueries, nprobe)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos5").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("cos5"))
+  }
+
+  /** The shared multi-probe candidate stage of [[ivfTopKMulti]] and
+    * [[hardNegatives]]: each query's `nprobe` nearest coarse cells'
+    * members, scored with the 5-dp rounded cosine.
+    */
+  private def probedScored(embDf: DataFrame, coarse: Seq[CentroidND],
+      nQueries: Int, nprobe: Int): DataFrame = {
     val sorted = coarse.sortBy(_.cid)
     val celled = Assign.withNearestND(withNorm(embDf), col("v"), sorted, "cell")
     // per-query distance to every coarse cell, staged as named columns
@@ -300,15 +313,31 @@ object Similarity {
       .withColumn("p", explode(slice(probeArr, 1, nprobe)))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("p.c").as("cell"))
-    val joined = broadcast(probes)
+    broadcast(probes)
       .join(celled.select(col("vec_id"), col("v"), col("nrm"), col("cell")), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos5", rnd5(
         ArrayKernels.dotFast(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+  }
+
+  /** ANCE-style hard-negative mining (Xiong et al. 2021,
+    * arXiv:2007.00808 — contrastive negatives mined from the ANN index,
+    * not sampled at random): for each anchor, the top-`k` candidates
+    * from its `nprobe` nearest cells whose cosine lies in [lo, hi) —
+    * close enough to be informative, below the near-positive band. The
+    * band filters BEFORE the rank (the k survivors are the hardest
+    * in-band negatives); determinism is the cos5/vec_id ranking
+    * contract. Cost is the multi-probe candidate stage — the mining
+    * pass a contrastive training pipeline runs per anchor batch.
+    */
+  def hardNegatives(embDf: DataFrame, coarse: Seq[CentroidND],
+      nQueries: Int, k: Int, nprobe: Int, lo: Double, hi: Double): DataFrame = {
+    val joined = probedScored(embDf, coarse, nQueries, nprobe)
+      .where(col("cos5") >= lo && col("cos5") < hi)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos5").desc, col("vec_id"))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select(col("qid"), col("cell"), col("rk"), col("vec_id"), col("cos5"))
+      .select(col("qid"), col("rk"), col("vec_id"), col("cos5"))
   }
 
   /** Multi-table LSH near-dup pairs: T independent plane sets, candidate

@@ -333,6 +333,20 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // ANCE-style HARD-NEGATIVE mining (Similarity.hardNegatives
+    // scaladoc — Xiong et al. 2021: contrastive negatives come from the
+    // ANN index, not random sampling): per anchor, the 5 hardest
+    // candidates from its 4 nearest cells inside the semi-hard band
+    // cos ∈ [0.1, 0.5) — band density measured BEFORE registration
+    // (1101 in-band of 4990 anchor-candidate pairs at sf0.01; the band
+    // sits below the 0.4+ near-dup region SemDeDup removes). Same
+    // probe staging as sim_ann_ivf_mp; the band filters before the
+    // rank.
+    "pipeline_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Similarity.emb(s, dir), coarse,
+        nQueries = 10, k = 5, nprobe = 4, lo = 0.1, hi = 0.5)
+        .orderBy("qid", "rk")),
+
     // incremental SemDeDup ingest (Similarity.semDedupIngest scaladoc):
     // the persisted cell-bucketed postings store + the persisted prefix
     // DROP set are yesterday's state; the batch assigns itself via the
@@ -809,6 +823,29 @@ object SimilarityQueries {
     // (foldSq + row_number over (d, cid)), 5-dp-rounded centroid
     // distance for the keep-farthest rule, ties drop the larger vec_id
     "dedup_semantic" -> semDedupSql,
+
+    // hard-negatives twin: the multi-probe chain (prk ≤ 4) with the
+    // band filter applied before the identical (cos5 DESC, vec_id) rank
+    "pipeline_hard_negatives" ->
+      s"""WITH $embCte,
+         |$centCteSql,
+         |cd AS MATERIALIZED (SELECT vec_id, v, nrm, cid, ${foldSq("v", "cv", D)} AS d
+         |      FROM en CROSS JOIN cent),
+         |cc AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crk
+         |        FROM cd) WHERE crk = 1),
+         |pr AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS pcell,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prk
+         |      FROM cd WHERE vec_id < 10),
+         |p2 AS (SELECT qid, qv, qnrm, pcell FROM pr WHERE prk <= 4),
+         |j AS (SELECT p2.qid, b.vec_id,
+         |        ${rndSql(cosN("p2.qv", "b.v", "p2.qnrm", "b.nrm"), 5)} AS cos5
+         |      FROM p2 JOIN cc b ON b.cell = p2.pcell AND b.vec_id <> p2.qid),
+         |f AS (SELECT * FROM j WHERE cos5 >= 0.1 AND cos5 < 0.5),
+         |r AS (SELECT qid, vec_id, cos5,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS INT) AS rk
+         |      FROM f)
+         |SELECT qid, rk, vec_id, cos5 FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // prototypes twin: ivfSql's assignment chain, centroid cosine via
     // the same unrolled dot with a folded centroid norm, identical

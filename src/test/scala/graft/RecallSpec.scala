@@ -31,6 +31,27 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: in-band, contiguous ranks, and the hardest of the probed band") {
+    val got = q("pipeline_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "fixture must yield in-band negatives")
+    got.foreach { case (_, _, _, c) =>
+      assert(c >= 0.1 && c < 0.5, s"out-of-band negative at cos5=$c") }
+    got.groupBy(_._1).foreach { case (qid, ms) =>
+      assert(ms.length <= 5)
+      assert(ms.map(_._2).sorted.toSeq == (1 to ms.length),
+        s"anchor $qid ranks not contiguous")
+      // hardness: ranked descending by cos5 (ties ascend by vec_id)
+      val byRk = ms.sortBy(_._2).map(m => (m._4, m._3))
+      byRk.zip(byRk.tail).foreach { case ((c1, v1), (c2, v2)) =>
+        assert(c1 > c2 || (c1 == c2 && v1 < v2)) }
+    }
+    // the negatives sit strictly below the near-positive region the
+    // SemDeDup pass removes (tau = 0.4 < hi is deliberate overlap; the
+    // band cap is what separates them from positives at hi = 0.5)
+    assert(got.forall(_._4 < 0.5))
+  }
+
   test("multi-probe IVF recall >= single-probe recall against brute-force top-3") {
     val truth = q("sim_topk").where(col("rk") <= 3)
       .select("qid", "vec_id").collect()
