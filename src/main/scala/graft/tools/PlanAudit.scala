@@ -159,7 +159,18 @@ object PlanAudit {
     "text_wordpiece_train",
     // round 16: serving from the TRAINED vocab — same narrow fold per
     // distinct word against the 1-row broadcast piece map
-    "text_wordpiece_encode_trained")
+    "text_wordpiece_encode_trained",
+    // round 16 wave 2/3: the curation recipes — the mixture sampler's
+    // rates must ride a broadcast join (the corpus itself never
+    // shuffles), the NB classifier's scoring pass must be narrow
+    // against the 1-row broadcast weight map (the DSIR shape), the
+    // prototype pruning is one broadcast centroid join + one cell
+    // window, the subsequence search is one per-user window pass +
+    // TakeOrdered, the ALS step is two map-side-combined aggregates +
+    // one user-keyed join, hard negatives share the multi-probe stage
+    "pipeline_mixture_sample", "pipeline_classifier_score",
+    "pipeline_prune_prototypes", "q_ts_subseq_search",
+    "q_als_rank1_step", "pipeline_hard_negatives")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
