@@ -50,7 +50,20 @@ object WordpieceTrain {
     */
   def fit(docs: DataFrame, iters: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
-    var vocab = BpeTrain.initVocab(docs).localCheckpoint(true)
+    val (ms, fin, _) = fitWithInit(docs, iters)
+    (ms, fin)
+  }
+
+  /** [[fit]] plus the CHECKPOINTED iteration-0 dict, so [[vocab]] can
+    * derive the alphabet from it instead of re-running the initVocab
+    * corpus scan (the alphabet must come from the INITIAL dict — after
+    * rewriting, a fully-merged character may no longer appear bare in
+    * the final syms).
+    */
+  def fitWithInit(docs: DataFrame, iters: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
+    val init = BpeTrain.initVocab(docs).localCheckpoint(true)
+    var vocab = init
     val out = Seq.newBuilder[(Int, String, String, Long, Long)]
     for (it <- 1 to iters) {
       val sc = symCounts(vocab)
@@ -66,10 +79,10 @@ object WordpieceTrain {
       out += ((it, l, r, f, wu))
       val next = vocab.select(col("word"), col("freq"),
         BpeTrain.mergeFold(col("syms"), l, r).as("syms")).localCheckpoint(true)
-      vocab.unpersist(blocking = false)
+      if (!(vocab eq init)) vocab.unpersist(blocking = false)
       vocab = next
     }
-    (out.result(), vocab)
+    (out.result(), vocab, init)
   }
 
   /** Train `iters` likelihood-ranked merges; returns the merge table
@@ -94,9 +107,10 @@ object WordpieceTrain {
   def vocab(docs: DataFrame, iters: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (table, fin) = fit(docs, iters)
-    val alphabet = BpeTrain.initVocab(docs)
-      .select(explode(col("syms")).as("piece")).distinct()
+    val (table, fin, init) = fitWithInit(docs, iters)
+    // alphabet from the checkpointed iteration-0 dict — NOT a second
+    // initVocab corpus scan (review finding)
+    val alphabet = init.select(explode(col("syms")).as("piece")).distinct()
     fin.unpersist(blocking = false)
     alphabet.unionByName(
         table.map { case (_, l, r, _, _) => l + r }.toDF("piece"))

@@ -367,7 +367,10 @@ object AnalyticQueries {
     // user-keyed join — the classic distributed-ALS data layout where
     // each side shuffles on its own key once per half-step.
     "q_als_rank1_step" -> ((s, dir) => {
-      val r = alsRatings(s, dir)
+      // the rating aggregate feeds two plan branches (user init + item
+      // solve) — materialize once (the oracle's `r AS MATERIALIZED`,
+      // the Modularity deg-checkpoint discipline)
+      val r = alsRatings(s, dir).localCheckpoint(true)
       alsItemSolve(r, alsUserInit(r)).orderBy("event_type")
     }),
 
@@ -383,7 +386,8 @@ object AnalyticQueries {
     // half-solves — the ALS convergence guarantee, visible through the
     // fixed point.
     "q_als_rank1_step2" -> ((s, dir) => {
-      val r = alsRatings(s, dir)
+      // r feeds FOUR branches here (y1's two + xu2 + the final solve)
+      val r = alsRatings(s, dir).localCheckpoint(true)
       val y1 = alsItemSolve(r, alsUserInit(r)).select(
         col("event_type"), col("y_micros").as("y_m"))
       val xu2 = r.join(broadcast(y1), "event_type")

@@ -550,9 +550,15 @@ object StreamingQueries {
         .orderBy(col("ts_us"), col("event_id")).limit(m)
         .collect().map(_.getDouble(2))
       val tmp = tempDir("graft_stream_tssrc", deferred = false)
+      // tertile rank in the MATCHER'S order — (ts_us, event_id), not
+      // (ts_ns, event_id): with nano-precision fixtures two same-user
+      // events can share ts_us with opposite ns/id order, and a ns-
+      // ranked boundary between them would stage them out of the order
+      // the per-batch sort + oracle use (review finding, fixed before
+      // any fixture exposed it)
       val ranked = ev.withColumn("_t", ntile(3).over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts_ns"), col("event_id"))))
+          .orderBy(expr("ts_ns DIV 1000"), col("event_id"))))
       (1 to 3).foreach { i =>
         val sub = tempDir("graft_stream_tspart", deferred = false)
         ranked.where(col("_t") === i)

@@ -249,8 +249,13 @@ object TextQueries {
 
     // the greedy longest-match walk RE-POINTED at the trained
     // vocabulary (alphabet ∪ the 8 likelihood-ranked merges) — the
-    // serving/training pair the r15 verdict asked for; maxPiece 9
-    // covers the longest piece 8 merges can build
+    // serving/training pair the r15 verdict asked for. maxPiece 9 is
+    // an explicit serving CAP applied identically on both engines,
+    // NOT a coverage guarantee: merges can fuse merged pieces, so k
+    // merges can in principle build pieces up to 2^k chars (a
+    // repetitive corpus would); pieces past the cap are ignored by
+    // the walk on BOTH sides. TextOpsSpec pins that the fixture's
+    // trained pieces all fit, so the cap is lossless where gated.
     "text_wordpiece_encode_trained" -> ((s, dir) =>
       graft.operators.UnigramLm.wordpieceEncode(docs(s, dir),
           graft.operators.WordpieceTrain.vocab(docs(s, dir), iters = 8),

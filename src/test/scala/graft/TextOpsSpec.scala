@@ -473,6 +473,17 @@ class TextOpsSpec extends SparkSpec {
       "top-v model must broadcast — a sort-merge join would shuffle the corpus bigram stream")
   }
 
+  test("wordpiece serving cap is lossless on the fixture: every trained piece fits maxPiece") {
+    val pieces = graft.operators.WordpieceTrain
+      .vocab(Tables.documents(spark, sf), iters = 8)
+      .collect().map(_.getString(0))
+    // maxPiece = 9 is a CAP, not a bound merges can't exceed (k merges
+    // can build 2^k-char pieces on a repetitive corpus); this pins that
+    // on the gated fixtures no trained piece is silently ignored
+    assert(pieces.nonEmpty && pieces.map(_.length).max <= 9,
+      s"trained piece longer than the serving cap: ${pieces.maxBy(_.length)}")
+  }
+
   test("ppl buckets: every doc bucketed, per-lang tertiles replay the ntile rule") {
     val rows = graft.queries.TextQueries.queries("text_ppl_buckets")(spark, sf)
       .collect()
