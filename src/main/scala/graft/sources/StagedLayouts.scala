@@ -305,12 +305,20 @@ object StagedLayouts {
     */
   def semDropStoreAppended(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
+    // dependency staged BEFORE entering the memo: a computeIfAbsent
+    // mapping fn that calls another computeIfAbsent on the SAME map
+    // throws ConcurrentHashMap's "Recursive update" whenever the two
+    // keys happen to land in one hash bin — the bin layout varies with
+    // the sfDir string, which is why 15 rounds never hit it and the
+    // derived-dir sweep did (sim_ann_delete_pq, r16). Hoisted in every
+    // same-map-nested builder; the hoisted call is itself memoized, so
+    // the eager evaluation is a map hit when already staged.
+    val (base, thr) = semDropStore(s, sfDir)
     sigStore.computeIfAbsent(s"semdropsapp:$sfDir", _ => timing(s"semdropsapp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_semdrops_app_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_semdrops_app").toString
       staged.put(s"semdropsappstore:$sfDir", tmp)
-      val (base, thr) = semDropStore(s, sfDir)
       val rows = s.table(base)
       (0 until 3).foreach { day =>
         val w = rows.where(col("vec_id") % 3 === day).coalesce(1).write
@@ -400,12 +408,14 @@ object StagedLayouts {
     */
   def simhashStoreAppended(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
+    // hoisted out of the memo — the same-map "Recursive update" hazard
+    // (semDropStoreAppended scaladoc)
+    val (base, thr) = simhashStore(s, sfDir)
     sigStore.computeIfAbsent(s"sigapp:$sfDir", _ => timing(s"sigapp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_sigstore_app_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_app").toString
       staged.put(s"sigappstore:$sfDir", tmp)
-      val (base, thr) = simhashStore(s, sfDir)
       val rows = s.table(base)
       (0 until 3).foreach { day =>
         val w = rows.where(col("doc_id") % 3 === day)
@@ -429,12 +439,14 @@ object StagedLayouts {
     */
   def simhashStoreCompacted(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
+    // hoisted out of the memo — the same-map "Recursive update" hazard
+    // (semDropStoreAppended scaladoc)
+    val (app, thr) = simhashStoreAppended(s, sfDir)
     sigStore.computeIfAbsent(s"sigcmp:$sfDir", _ => timing(s"sigcmp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_sigstore_cmp_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_cmp").toString
       staged.put(s"sigcmpstore:$sfDir", tmp)
-      val (app, thr) = simhashStoreAppended(s, sfDir)
       // read the store's FILES as a plain parquet scan (what a real
       // compactor does): reading via the catalog table claims
       // HashPartitioning(bk, 8), which lets Catalyst drop the
@@ -464,12 +476,15 @@ object StagedLayouts {
     */
   def ivfPqStoreCompacted(s: SparkSession, sfDir: String): (String, Long) = {
     require(hookInstalled)
+    // hoisted out of the memo — the same-map "Recursive update" hazard
+    // (semDropStoreAppended scaladoc; this builder is the one the
+    // derived sweep caught red)
+    val (base, thr) = ivfPqPostingsStore(s, sfDir)
     sigStore.computeIfAbsent(s"ivfpqcmp:$sfDir", _ => timing(s"ivfpqcmp:$sfDir") {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
       val name = s"graft_ivfpqstore_cmp_$tag"
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqcmp").toString
       staged.put(s"ivfpqcmpstore:$sfDir", tmp)
-      val (base, thr) = ivfPqPostingsStore(s, sfDir)
       // plain-file scan for the same reason as simhashStoreCompacted
       s.read.parquet(tableLocation(s, base))
         .where(!graft.operators.StoreLifecycle.tombstonedVecs(col("vec_id"), thr))
