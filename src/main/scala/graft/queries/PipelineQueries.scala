@@ -33,6 +33,67 @@ object PipelineQueries {
 
   private def hashBucketSql(k: String) = QueryHelpers.hashBucketSql(k)
 
+  /** Shared NB-classifier CTE chain ending in
+    * `lab(doc_id, lang, ws, n_words, pos)` and `sc(doc_id, score_u)` —
+    * pipeline_classifier_score and pipeline_classifier_calibration
+    * compose on it (the shared-builder discipline; algebra mirrors
+    * operators.NbQuality exactly: Gopher-gate labels, 128-bucket md5
+    * hash, add-1 integer-micros log-odds + prior, LEFT JOIN + defu).
+    */
+  private def nbCtes: String = {
+    val stopList = graft.operators.TextAnalysis.stopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""t AS (SELECT doc_id, lang,
+       |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang, ws,
+       |    CAST(len(ws) AS INT) AS n_words,
+       |    CAST(list_reduce(list_transform(ws, w -> length(w)),
+       |      (a, b) -> a + b) AS INT) AS sum_wl,
+       |    CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS INT) AS n_stop,
+       |    CAST(list_max(list_transform(list_distinct(ws),
+       |      w -> len(list_filter(ws, x -> x = w)))) AS INT) AS max_wf,
+       |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 AS INT) ELSE 0 END AS n_tri,
+       |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 - len(list_distinct(
+       |      list_transform(generate_series(1, len(ws) - 2),
+       |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS INT)
+       |      ELSE 0 END AS n_tri_dup
+       |  FROM t),
+       |lab AS MATERIALIZED (SELECT doc_id, lang, ws, n_words,
+       |    ((n_words >= 50 AND n_words <= 100000)
+       |      AND (3 * n_words <= sum_wl AND sum_wl <= 10 * n_words)
+       |      AND n_stop >= 2 AND 5 * max_wf <= n_words
+       |      AND 10 * n_tri_dup <= 3 * n_tri) AS pos
+       |  FROM m),
+       |occ AS (SELECT pos, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 128 AS bk
+       |  FROM (SELECT pos, unnest(ws) AS w FROM lab)),
+       |cnt AS (SELECT bk,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS q_b
+       |  FROM occ GROUP BY bk),
+       |tot AS (SELECT CAST(sum(p_b) AS BIGINT) AS pp,
+       |    CAST(sum(q_b) AS BIGINT) AS qq FROM cnt),
+       |w AS MATERIALIZED (SELECT bk,
+       |    CAST(floor(ln(((p_b + 1.0) * (qq + 128.0)) /
+       |      ((q_b + 1.0) * (pp + 128.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
+       |  FROM cnt CROSS JOIN tot),
+       |defu AS (SELECT CAST(floor(ln((qq + 128.0) / (pp + 128.0))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS du FROM tot),
+       |pri AS (SELECT CAST(floor(ln(
+       |      (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) /
+       |      (CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS prior_u FROM lab),
+       |o2 AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 128 AS bk
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM lab)),
+       |ds AS (SELECT o2.doc_id,
+       |    CAST(sum(coalesce(w.wu, (SELECT du FROM defu))) AS BIGINT) AS tok_u
+       |  FROM o2 LEFT JOIN w USING (bk) GROUP BY o2.doc_id),
+       |sc AS (SELECT l.doc_id,
+       |    CAST((SELECT prior_u FROM pri) + coalesce(ds.tok_u, 0) AS BIGINT)
+       |      AS score_u
+       |  FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id)""".stripMargin
+  }
+
   /** Shared CTE chain for the KMV pair-algebra oracles: per-event-type
     * k-min sketches, per-pair union sketch, and estimates (ra, rb, ru)
     * exposed as relation `e` for the caller-supplied final SELECT —
@@ -160,6 +221,29 @@ object PipelineQueries {
     "pipeline_classifier_score" -> ((s, dir) =>
       graft.operators.NbQuality.score(Tables.documents(s, dir),
         nBuckets = 128).orderBy("doc_id")),
+
+    // classifier OBSERVABILITY (the sim_recall_report pattern, applied
+    // to the quality model): decile the corpus by classifier score and
+    // measure the teacher gate's pass rate per decile — the calibration
+    // curve an operator reads before trusting a score threshold. The
+    // global decile window is the declared eval-report shape (output is
+    // 10 rows; production calibrates on a sampled corpus slice).
+    "pipeline_classifier_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.NbQuality.score(docs, nBuckets = 128)
+        .select(col("doc_id"), col("score_u"))
+      val lab = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.gopherKeepExpr.as("pos"))
+      scored.join(lab, "doc_id")
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("score_u").desc, col("doc_id"))).cast("int"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_rate6",
+          rnd(col("n_pass").cast("double") / col("n_docs"), 6))
+        .orderBy("decile")
+    }),
 
     // ---- END-TO-END SELECTION pipeline: the round-15 operators
     // composed as one declarative plan — Gopher quality gate → semantic
@@ -791,60 +875,26 @@ object PipelineQueries {
     // same add-1 integer-micros log-odds + prior, LEFT JOIN + defu
     // coalesce mirroring the Scala unseen-bucket default (the DSIR
     // no-drift discipline — unreachable in-corpus)
-    "pipeline_classifier_score" -> {
-      val stopList = graft.operators.TextAnalysis.stopwords
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, lang,
-         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
-         |  FROM documents),
-         |m AS (SELECT doc_id, lang, ws,
-         |    CAST(len(ws) AS INT) AS n_words,
-         |    CAST(list_reduce(list_transform(ws, w -> length(w)),
-         |      (a, b) -> a + b) AS INT) AS sum_wl,
-         |    CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS INT) AS n_stop,
-         |    CAST(list_max(list_transform(list_distinct(ws),
-         |      w -> len(list_filter(ws, x -> x = w)))) AS INT) AS max_wf,
-         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 AS INT) ELSE 0 END AS n_tri,
-         |    CASE WHEN len(ws) >= 3 THEN CAST(len(ws) - 2 - len(list_distinct(
-         |      list_transform(generate_series(1, len(ws) - 2),
-         |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS INT)
-         |      ELSE 0 END AS n_tri_dup
-         |  FROM t),
-         |lab AS MATERIALIZED (SELECT doc_id, lang, ws, n_words,
-         |    ((n_words >= 50 AND n_words <= 100000)
-         |      AND (3 * n_words <= sum_wl AND sum_wl <= 10 * n_words)
-         |      AND n_stop >= 2 AND 5 * max_wf <= n_words
-         |      AND 10 * n_tri_dup <= 3 * n_tri) AS pos
-         |  FROM m),
-         |occ AS (SELECT pos, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 128 AS bk
-         |  FROM (SELECT pos, unnest(ws) AS w FROM lab)),
-         |cnt AS (SELECT bk,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
-         |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS q_b
-         |  FROM occ GROUP BY bk),
-         |tot AS (SELECT CAST(sum(p_b) AS BIGINT) AS pp,
-         |    CAST(sum(q_b) AS BIGINT) AS qq FROM cnt),
-         |w AS MATERIALIZED (SELECT bk,
-         |    CAST(floor(ln(((p_b + 1.0) * (qq + 128.0)) /
-         |      ((q_b + 1.0) * (pp + 128.0))) * 1000000.0 + 0.5) AS BIGINT) AS wu
-         |  FROM cnt CROSS JOIN tot),
-         |defu AS (SELECT CAST(floor(ln((qq + 128.0) / (pp + 128.0))
-         |    * 1000000.0 + 0.5) AS BIGINT) AS du FROM tot),
-         |pri AS (SELECT CAST(floor(ln(
-         |      (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) /
-         |      (CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) + 1.0))
-         |    * 1000000.0 + 0.5) AS BIGINT) AS prior_u FROM lab),
-         |o2 AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 128 AS bk
-         |  FROM (SELECT doc_id, unnest(ws) AS w FROM lab)),
-         |ds AS (SELECT o2.doc_id,
-         |    CAST(sum(coalesce(w.wu, (SELECT du FROM defu))) AS BIGINT) AS tok_u
-         |  FROM o2 LEFT JOIN w USING (bk) GROUP BY o2.doc_id)
-         |SELECT l.doc_id, l.lang, l.n_words,
-         |  (SELECT prior_u FROM pri) + coalesce(ds.tok_u, 0) AS score_u,
-         |  ((SELECT prior_u FROM pri) + coalesce(ds.tok_u, 0)) > 0 AS keep
-         |FROM lab l LEFT JOIN ds ON l.doc_id = ds.doc_id
-         |ORDER BY l.doc_id""".stripMargin
-    },
+    "pipeline_classifier_score" ->
+      s"""WITH $nbCtes
+         |SELECT l.doc_id, l.lang, l.n_words, sc.score_u,
+         |  (sc.score_u > 0) AS keep
+         |FROM lab l JOIN sc ON l.doc_id = sc.doc_id
+         |ORDER BY l.doc_id""".stripMargin,
+
+    // calibration twin: the shared NB chain, per-decile pass rate of
+    // the teacher gate
+    "pipeline_classifier_calibration" ->
+      s"""WITH $nbCtes,
+         |dec AS (SELECT l.doc_id, l.pos, sc.score_u,
+         |    ntile(10) OVER (ORDER BY sc.score_u DESC, l.doc_id) AS decile
+         |  FROM lab l JOIN sc ON l.doc_id = sc.doc_id)
+         |SELECT CAST(decile AS INT) AS decile,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  ${rndSql("CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+         |    AS pass_rate6
+         |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,

