@@ -386,6 +386,57 @@ object Modularity {
         col("m_dir"))
   }
 
+  /** [[louvainStepWeighted]] SPECIALIZED to identity labels (every node
+    * its own community) — the only labelling [[louvainFit]]'s ladder
+    * ever uses, where the general step's joins collapse algebraically
+    * (GraphSpec pins row-for-row equality with the general form):
+    *
+    *  - k_iA ≡ 0: under identity labels a node's own community has no
+    *    other member, so its non-self link weight into it is zero;
+    *  - d_A ≡ k_i: the own-community degree sum is the node's own
+    *    degree (self-loop included);
+    *  - k_iC ≡ w(src→dst): the edge list carries no parallel edges
+    *    (the supply contract at level 1; [[coarsenWeighted]]'s groupBy
+    *    guarantees it at levels ≥ 2), so the neighbor-community link
+    *    weight IS the edge weight — no k_ic aggregate at all.
+    *
+    * The gain expression is the SAME decimal(19×19→38) tree as the
+    * general step with those three substitutions inlined, so gain_num
+    * is bit-identical. What disappears per level: the labels frame,
+    * the community-degree-sum join+checkpoint, and the k_ic
+    * groupBy+checkpoint — the general step's three heaviest stages —
+    * leaving one degree aggregate and one edge-level join pass
+    * (measured: the r16 ladder's 44 s isolated cold at sf0.1 was
+    * dominated by exactly those stages; BASELINE.md round-17 A/B).
+    */
+  def louvainStepIdentity(g: DataFrame, parity: Int = 0): DataFrame = {
+    val deg = g.groupBy(col("src")).agg(sum(col("w")).as("k"))
+      .localCheckpoint(true) // feeds both endpoint joins AND m_dir
+    val mRow = deg.agg(sum(col("k")).as("m_dir"))
+    val cand = g.where(col("src") =!= col("dst"))
+      .where(pmod(col("src"), lit(2)) === parity)
+      .join(deg.select(col("src"), col("k").as("k_i")), "src")
+      .join(deg.select(col("src").as("dst"), col("k").as("d_b")), "dst")
+      .crossJoin(broadcast(mRow))
+      // the general step's gain tree with k_ia = 0, d_a = k_i,
+      // k_ic = w inlined — identical decimal ops, identical values
+      .withColumn("gain",
+        (col("m_dir").cast(d19) * (col("w") - lit(0L)).cast(d19)
+          - col("k_i").cast(d19) * (col("d_b") - col("k_i")).cast(d19)
+          - col("k_i").cast(d19) * col("k_i").cast(d19)).cast(d38))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("gain").desc, col("dst"))
+    val best = cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("src").as("node"), col("dst").as("cn"), col("gain"))
+    deg.select(col("src").as("node")).join(best, Seq("node"), "left")
+      .select(col("node"), col("node").as("community"),
+        when(col("gain") > 0, col("cn")).otherwise(col("node"))
+          .as("new_community"),
+        coalesce(when(col("gain") > 0, col("gain")), lit(0).cast(d38))
+          .as("gain_num"))
+  }
+
   /** [[coarsen]] for an already-WEIGHTED graph (levels ≥ 2): parallel
     * super-edges fold by SUMMING weights instead of counting rows —
     * total edge mass is preserved across every level.
@@ -430,9 +481,11 @@ object Modularity {
     * contracted graph, NOT a re-scan of the original edge list (the
     * original graph is touched exactly twice: the level-1 move and the
     * level-1 contraction). Each half-sweep merges at most half the
-    * nodes, so levels shrink ~2× each — measured ~40 s cold at sf0.1
-    * for the 4-level ladder, the price of the complete algorithm
-    * rather than a scan (BASELINE r16).
+    * nodes, so levels shrink ~2× each — measured ~15 s cold at sf0.1
+    * for the 4-level ladder after the r17 identity-specialization cut
+    * ([[louvainStepIdentity]] + the one-scan qNumIdent + the
+    * zero-mover plateau exit; 2.9× under r16's 44 s — BASELINE r17),
+    * the price of the complete algorithm rather than a scan.
     *
     * Returns (node, community) — the best composed label per original
     * node.
@@ -440,14 +493,25 @@ object Modularity {
   def louvainFit(edges: DataFrame, maxLevels: Int = 4,
       patience: Int = 2): DataFrame = {
     // identity-labelled weighted Q total of a super-graph: every node
-    // its own community, so intra = the self-loop mass — pricing a
-    // level's RESULT on its own contracted graph
-    def qNumIdent(g: DataFrame): BigInt =
-      BigInt(scoreWeighted(g,
-          g.select(col("src").as("node")).distinct()
-            .select(col("node"), col("node").as("community")))
-        .agg(sum(col("q_num")).cast(DecimalType(38, 0)).as("q"))
-        .head.getDecimal(0).toBigIntegerExact)
+    // its own community, so intra = the self-loop mass and d_c = the
+    // node's own degree — the [[scoreWeighted]] sum collapses to
+    // Σ_c (M·e_c − d_c²) = M·Σself − Σd², ONE scan of the contracted
+    // edge list (per-src degree+self-loop aggregate, 1-row collect)
+    // instead of the general scorer's two label joins + checkpoint
+    // (GraphSpec pins equality with the general form; the r17 ladder
+    // cost cut rests on this and louvainStepIdentity)
+    def qNumIdent(g: DataFrame): BigInt = {
+      val r = g.groupBy(col("src"))
+        .agg(sum(col("w")).as("d"),
+          sum(when(col("src") === col("dst"), col("w")).otherwise(lit(0L)))
+            .as("sl"))
+        .agg(sum(col("d")).as("m"), sum(col("sl")).as("ssl"),
+          sum((col("d").cast(d19) * col("d").cast(d19)).cast(d38))
+            .cast(DecimalType(38, 0)).as("dsq"))
+        .head
+      BigInt(r.getLong(0)) * BigInt(r.getLong(1)) -
+        BigInt(r.getDecimal(2).toBigIntegerExact)
+    }
     val nodes = edges.select(col("src").as("node")).distinct()
     var mapping = nodes.select(col("node"), col("node").as("community"))
       .localCheckpoint(true)
@@ -458,28 +522,38 @@ object Modularity {
     var level = 0
     var dry = 0
     while (dry < patience && level < maxLevels) {
-      val lab = g.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("community"))
-      val moved = louvainStepWeighted(g, lab, parity = 0)
+      // identity labels are the ladder's invariant — the specialized
+      // step (GraphSpec pins its equality with the general form) skips
+      // the general step's label/community-degree/k_ic stages
+      val moved = louvainStepIdentity(g, parity = 0)
         .select(col("node").as("_sup"), col("new_community"))
         .localCheckpoint(true)
-      mapping = mapping
-        .join(moved, mapping("community") === moved("_sup"))
-        .select(col("node"), col("new_community").as("community"))
-        .localCheckpoint(true)
-      g = coarsenWeighted(g,
-          moved.select(col("_sup").as("node"),
-            col("new_community").as("community")))
-        .select(col("c_src").as("src"), col("c_dst").as("dst"), col("w"))
-        .localCheckpoint(true)
-      // the 1-row per-level collect — the level's Q priced on its OWN
-      // contracted graph (identity labels), which the next level needs
-      // anyway: contraction preserves Q (scoreWeighted scaladoc,
-      // spec-pinned), so no original-graph re-scan ever happens here
-      val q = qNumIdent(g)
-      if (q > bestQ) { bestQ = q; best = mapping; dry = 0 }
-      else dry += 1
-      level += 1
+      // plateau early-exit (1 count over the checkpointed |super-nodes|
+      // frame): zero movers ⇒ the graph cannot contract, every later
+      // level replays identically, Q never changes — so the remaining
+      // ladder is dead weight and `best` is already final (exactly what
+      // letting `patience` run out would return, minus the dead levels)
+      if (moved.where(col("new_community") =!= col("_sup")).isEmpty) {
+        level = maxLevels; dry = patience
+      } else {
+        mapping = mapping
+          .join(moved, mapping("community") === moved("_sup"))
+          .select(col("node"), col("new_community").as("community"))
+          .localCheckpoint(true)
+        g = coarsenWeighted(g,
+            moved.select(col("_sup").as("node"),
+              col("new_community").as("community")))
+          .select(col("c_src").as("src"), col("c_dst").as("dst"), col("w"))
+          .localCheckpoint(true)
+        // the 1-row per-level collect — the level's Q priced on its OWN
+        // contracted graph (identity labels), which the next level needs
+        // anyway: contraction preserves Q (scoreWeighted scaladoc,
+        // spec-pinned), so no original-graph re-scan ever happens here
+        val q = qNumIdent(g)
+        if (q > bestQ) { bestQ = q; best = mapping; dry = 0 }
+        else dry += 1
+        level += 1
+      }
     }
     best
   }

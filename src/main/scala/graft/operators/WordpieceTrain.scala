@@ -50,7 +50,11 @@ object WordpieceTrain {
     */
   def fit(docs: DataFrame, iters: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
-    val (ms, fin, _) = fitWithInit(docs, iters)
+    val (ms, fin, init) = fitWithInit(docs, iters)
+    // the caller never sees init — release its checkpoint here (the
+    // r16 review finding: leaving it pinned leaked one distinct-word
+    // frame per training run for the session lifetime)
+    init.unpersist(blocking = false)
     (ms, fin)
   }
 
@@ -58,7 +62,8 @@ object WordpieceTrain {
     * derive the alphabet from it instead of re-running the initVocab
     * corpus scan (the alphabet must come from the INITIAL dict — after
     * rewriting, a fully-merged character may no longer appear bare in
-    * the final syms).
+    * the final syms). Ownership: the CALLER unpersists all three
+    * returned frames ([[fit]] and [[vocab]] do).
     */
   def fitWithInit(docs: DataFrame, iters: Int)
       : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
@@ -109,9 +114,13 @@ object WordpieceTrain {
     import spark.implicits._
     val (table, fin, init) = fitWithInit(docs, iters)
     // alphabet from the checkpointed iteration-0 dict — NOT a second
-    // initVocab corpus scan (review finding)
+    // initVocab corpus scan (review finding). Materialized eagerly
+    // (|alphabet| rows — tiny) so BOTH training frames can be released
+    // here instead of pinning init for the session lifetime.
     val alphabet = init.select(explode(col("syms")).as("piece")).distinct()
+      .localCheckpoint(true)
     fin.unpersist(blocking = false)
+    init.unpersist(blocking = false)
     alphabet.unionByName(
         table.map { case (_, l, r, _, _) => l + r }.toDF("piece"))
       .distinct()

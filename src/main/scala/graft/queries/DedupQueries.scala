@@ -246,6 +246,29 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // store-lifecycle TIME TRAVEL (read-at-version): the piece the
+    // versioned copy-on-write stores were missing — SERVING a
+    // historical version. The persisted manifest
+    // (StagedLayouts.simhashStoreVersions — the log-is-storage shape)
+    // resolves current−1 = the pre-delete ingest state via a K-row
+    // driver lookup, and the UNCHANGED bucketed probe plan replays
+    // yesterday's incremental-dedup decisions against it — the
+    // "reproduce a past training run's exact input" ask. Oracle = the
+    // whole-corpus recompute that never saw the delete
+    // (dedup_incremental's oracle verbatim — time travel must restore
+    // the pre-delete answers EXACTLY); IncrementalSpec pins v−1 ≡ the
+    // pre-delete serving row-for-row and current-version serving
+    // undisturbed by the historical read.
+    "q_store_time_travel" -> ((s, dir) => {
+      val versions = graft.sources.StagedLayouts.simhashStoreVersions(s, dir)
+      val cur = versions.agg(max(col("version"))).head.getInt(0)
+      val at = versions.where(col("version") === cur - 1)
+        .select(col("table_name"), col("thr")).head
+      Dedup.incrementalDedup(s.table(at.getString(0)),
+          docs(s, dir).where(col("doc_id") > at.getLong(1)))
+        .orderBy("doc_id")
+    }),
+
     // the MinHash-banded twin of dedup_incremental (Jaccard-similar
     // docs the token-frequency simhash profile can't catch): persisted
     // band-row store with signatures riding the rows, broadcast batch
@@ -979,6 +1002,9 @@ object DedupQueries {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_hamming" -> simhashHammingSql,
     "dedup_incremental" -> incrementalSql,
+    // time travel to the pre-delete version must restore
+    // dedup_incremental's answers EXACTLY — one oracle text, two reads
+    "q_store_time_travel" -> incrementalSql,
     "dedup_incremental_minhash" -> incrementalMinhashSql,
 
     "dedup_fuzzy_edit" ->

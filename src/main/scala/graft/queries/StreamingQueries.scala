@@ -542,8 +542,13 @@ object StreamingQueries {
       // the q_ts_subseq_search pattern rule: first m values of the
       // smallest user with >= m events (see its scaladoc for why the
       // global head is degenerate at derived scale)
-      val qUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= m).agg(min(col("user_id"))).head().getLong(0)
+      val qRow = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= m).agg(min(col("user_id"))).head()
+      // explicit failure beats the opaque NPE getLong throws on the
+      // null min() of an empty filter (review finding)
+      require(!qRow.isNullAt(0),
+        s"no user has >= $m events — corpus too small for the pattern rule")
+      val qUser = qRow.getLong(0)
       val qv = ev.where(col("user_id") === qUser)
         .select(expr("ts_ns DIV 1000").as("ts_us"),
           col("event_id"), col("value"))

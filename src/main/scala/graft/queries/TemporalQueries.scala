@@ -86,8 +86,13 @@ object TemporalQueries {
       // gate is provably non-vacuous). Collected order-safely via
       // sort_array(struct) — collect_list after orderBy does NOT
       // survive repartitioning.
-      val qUser = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= m).agg(min(col("user_id"))).head().getLong(0)
+      val qRow = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= m).agg(min(col("user_id"))).head()
+      // explicit failure beats the opaque NPE getLong throws on the
+      // null min() of an empty filter (review finding)
+      require(!qRow.isNullAt(0),
+        s"no user has >= $m events — corpus too small for the pattern rule")
+      val qUser = qRow.getLong(0)
       val q = e.where(col("user_id") === qUser)
         .orderBy(col("ts_us"), col("event_id")).limit(m)
         .agg(expr("transform(sort_array(collect_list(" +

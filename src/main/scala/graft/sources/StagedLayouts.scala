@@ -466,6 +466,41 @@ object StagedLayouts {
     })
   }
 
+  /** The simhash store's VERSION MANIFEST — the read-at-version log
+    * over the lifecycle the appended/compacted stores already stage:
+    * copy-on-write keeps superseded versions on disk, and this tiny
+    * persisted table (the log IS storage — the Delta/Iceberg shape) is
+    * what resolves "version N" to a concrete table. One row per
+    * addressable version: v3 = the 3-append ingest ladder's final
+    * state (pre-delete), v4 = the tombstone-folding compaction
+    * (current = max(version)). Versions 1–2 are the mid-ladder append
+    * states — real in the file layout but not separately addressable
+    * (each append extends the same table), exactly like a log whose
+    * older snapshots have been vacuumed. At production scale the
+    * manifest is the only thing a time-travel read ever scans before
+    * touching data: resolving a version is a K-row driver lookup, and
+    * serving then runs the UNCHANGED bucketed probe plan against the
+    * resolved table.
+    */
+  def simhashStoreVersions(s: SparkSession, sfDir: String): DataFrame = {
+    require(hookInstalled)
+    // hoisted out of the memo — the same-map "Recursive update" hazard
+    // (semDropStoreAppended scaladoc)
+    val (app, thrA) = simhashStoreAppended(s, sfDir)
+    val (cmp, thrC) = simhashStoreCompacted(s, sfDir)
+    val dir = staged.computeIfAbsent(s"sigversions:$sfDir",
+      _ => timing(s"sigversions:$sfDir") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sigversions").toString
+        import s.implicits._
+        Seq((3, app, "ingest", thrA), (4, cmp, "compact+delete", thrC))
+          .toDF("version", "table_name", "action", "thr")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+        tmp
+      })
+    s.read.parquet(s"$dir/manifest")
+  }
+
   /** The COMPACTED IVF-PQ postings store — [[simhashStoreCompacted]]'s
     * twin on the fastest-growing store (codes per vector, many
     * batches): [[ivfPqPostingsStore]] with the vector tombstones

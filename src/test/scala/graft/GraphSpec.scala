@@ -381,6 +381,44 @@ class GraphSpec extends SparkSpec {
       s"positive-gain merge must fire with the exact gain: $step3")
   }
 
+  test("identity-specialized louvain step equals the general form bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Modularity
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), BigInt(r.getDecimal(3).toBigIntegerExact))).toSeq
+    // a weighted super-graph with self-loops, parallel-free (the
+    // coarsenWeighted output contract), mixed parities and ties
+    val g2 = Seq((100L, 100L, 6L), (200L, 200L, 6L), (100L, 200L, 1L),
+      (200L, 100L, 1L), (2L, 4L, 5L), (4L, 2L, 5L), (2L, 100L, 2L),
+      (100L, 2L, 2L), (3L, 4L, 5L), (4L, 3L, 5L)).toDF("src", "dst", "w")
+      .localCheckpoint(true)
+    def ident(g: org.apache.spark.sql.DataFrame) =
+      g.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("community"))
+    for (p <- Seq(0, 1))
+      assert(rows(Modularity.louvainStepIdentity(g2, parity = p)) ==
+        rows(Modularity.louvainStepWeighted(g2, ident(g2), parity = p)),
+        s"identity specialization diverged on the toy graph (parity $p)")
+    // and on the fixture: level 1 (w ≡ 1, loop-free) AND level 2 (the
+    // contracted weighted graph with self-loops) — the two shapes
+    // louvainFit's ladder actually feeds it
+    val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)
+      .withColumn("w", lit(1L)).localCheckpoint(true)
+    assert(rows(Modularity.louvainStepIdentity(edges)) ==
+      rows(Modularity.louvainStepWeighted(edges, ident(edges))),
+      "identity specialization diverged on the fixture level-1 graph")
+    val l1 = Modularity.louvainStepIdentity(edges)
+      .select(col("node"), col("new_community").as("community"))
+      .localCheckpoint(true)
+    val g2f = Modularity.coarsenWeighted(edges, l1)
+      .select(col("c_src").as("src"), col("c_dst").as("dst"), col("w"))
+      .localCheckpoint(true)
+    assert(rows(Modularity.louvainStepIdentity(g2f)) ==
+      rows(Modularity.louvainStepWeighted(g2f, ident(g2f))),
+      "identity specialization diverged on the fixture level-2 graph")
+  }
+
   test("louvain multi-level: level 2 merges super-nodes and lifts Q on the fixture") {
     import graft.operators.Modularity
     val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)

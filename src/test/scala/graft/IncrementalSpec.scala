@@ -250,6 +250,36 @@ class IncrementalSpec extends SparkSpec {
       "compacted store must keep the exchange-free bucketed probe plan")
   }
 
+  test("lifecycle: time travel serves the pre-delete version exactly; current is undisturbed") {
+    import graft.sources.StagedLayouts
+    // the manifest resolves versions to the stores copy-on-write kept
+    val versions = StagedLayouts.simhashStoreVersions(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(versions.map(_._1).toSeq == Seq(3, 4) &&
+      versions.last._3 == "compact+delete",
+      s"manifest must list ingest < compact versions: ${versions.toSeq}")
+    // read-at-version v−1 ≡ the PRE-DELETE serving, row-for-row (the
+    // reproduce-yesterday's-training-input contract)
+    val tt = graft.queries.DedupQueries
+      .queries("q_store_time_travel")(spark, sf).collect().toSeq
+    val preDelete = graft.queries.DedupQueries
+      .queries("dedup_incremental")(spark, sf).collect().toSeq
+    assert(tt == preDelete,
+      "time-travel read diverged from the pre-delete serving")
+    // and it must DIFFER from the post-delete current (the gate is
+    // vacuous if the delete never changed a decision)
+    val current = graft.queries.DedupQueries
+      .queries("dedup_incremental_compact")(spark, sf).collect().toSeq
+    assert(tt != current,
+      "fixture delete must flip at least one decision or the gate is vacuous")
+    // the historical read must not disturb current-version serving
+    val currentAgain = graft.queries.DedupQueries
+      .queries("dedup_incremental_compact")(spark, sf).collect().toSeq
+    assert(currentAgain == current,
+      "current-version serving changed after a time-travel read")
+  }
+
   test("lifecycle: cluster delete re-solve ≡ converged recompute on the post-delete prefix") {
     import graft.operators.StoreLifecycle
     val (thr, _) = bounds

@@ -196,7 +196,12 @@ class StreamingHygieneSpec extends SparkSpec {
       .select(col("user_id"), col("ts_ns"), col("event_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val n = ev.length
-    val tertOf = ev.sortBy(e => (e._2, e._3)).zipWithIndex.map { case (e, i) =>
+    // rank by (ts_us, event_id) — the MATCHER'S staging order (see the
+    // StreamingQueries staging comment): with nano-precision fixtures
+    // two events can share ts_us with opposite ns/id order, and a
+    // ns-ranked reconstruction would disagree with the actual staged
+    // tertile split exactly at such a boundary (review finding)
+    val tertOf = ev.sortBy(e => (e._2 / 1000, e._3)).zipWithIndex.map { case (e, i) =>
       // ntile(3): first n mod 3 tiles take ceil(n/3)
       val (big, rem) = (n / 3 + 1, n % 3)
       val t = if (i < big.toLong * rem) i / big + 1
@@ -204,7 +209,7 @@ class StreamingHygieneSpec extends SparkSpec {
       (e._1, e._3) -> t
     }.toMap
     val posTert = ev.groupBy(_._1).map { case (u, es) =>
-      u -> es.sortBy(e => (e._2, e._3)).map(e => tertOf((u, e._3)))
+      u -> es.sortBy(e => (e._2 / 1000, e._3)).map(e => tertOf((u, e._3)))
     }
     val spanning = got.filter { case (u, pos) =>
       val ts = posTert(u).slice(pos - 1, pos + 7)
