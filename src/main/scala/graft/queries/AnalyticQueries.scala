@@ -82,6 +82,58 @@ object AnalyticQueries {
           |  DIV (CAST(1000000 AS DECIMAL(38,0)) + CAST(sx2 AS DECIMAL(38,0)))
           |  AS BIGINT)""".stripMargin).as("y_micros"))
 
+  /** Rank-2 user factor init: x1 = the rank-1 milli-scaled mean-rating
+    * solve ([[alsUserInit]]'s formula), x2 = a deterministic
+    * milli-scaled second feature 1 + (user_id mod 199) ∈ [1, 199]
+    * (real value ≤ 0.199) — linearly independent of x1 by
+    * construction, small enough that every normal-equation entry stays
+    * far inside BIGINT, and strictly positive so the fixture's
+    * all-positive ratings keep b2 > 0 (the gate still covers negative
+    * Cramer numerators — truncation toward zero is verified identical
+    * in Spark DIV and DuckDB `//`).
+    */
+  private def alsUserInit2(r: DataFrame): DataFrame =
+    r.groupBy(col("user_id"))
+      .agg(sum(col("r_c")).as("sr"), count(lit(1)).as("n_u"))
+      .select(col("user_id"), expr("(sr * 10) DIV (1 + n_u)").as("x1"),
+        (lit(1L) + col("user_id") % 199).as("x2"))
+
+  /** Rank-2 item half-solve — the per-key 2×2 ridge normal equations
+    * solved by EXACT Cramer: A = Σ x xᵀ + λ·10⁶ I (milli² scale, λ=1),
+    * b = Σ r·x (cents·milli), y = A⁻¹b read out in MICROS as
+    * (adjugate·b)·10⁷ DIV det. Determinant and adjugate products are
+    * decimal(38,0)-widened (num·10⁷ ~ 10³¹ at fixture magnitudes —
+    * far past BIGINT, the q_als_rank1_step overflow lesson); the A/b
+    * accumulations stay BIGINT (≤ 10¹⁷ at 10× derived scale; a 100-TB
+    * run widens the sums through decimal the same way). The ridge
+    * guarantees det > 0, so the solve is total.
+    */
+  private def alsItemSolve2(r: DataFrame, xu: DataFrame): DataFrame = {
+    r.join(xu, "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("x1") * col("x1")) + lit(1000000L)).as("a11"),
+        sum(col("x1") * col("x2")).as("a12"),
+        (sum(col("x2") * col("x2")) + lit(1000000L)).as("a22"),
+        sum(col("r_c") * col("x1")).as("b1"),
+        sum(col("r_c") * col("x2")).as("b2"))
+      .select(col("event_type"), col("n_users"),
+        // y1 = (b1·a22 − b2·a12)·10⁷ DIV det
+        expr("""CAST((CAST(b1 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
+          |  - CAST(b2 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
+          |  * CAST(10000000 AS DECIMAL(38,0))
+          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
+          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
+          |  AS BIGINT)""".stripMargin).as("y1_micros"),
+        // y2 = (a11·b2 − a12·b1)·10⁷ DIV det
+        expr("""CAST((CAST(a11 AS DECIMAL(38,0)) * CAST(b2 AS DECIMAL(38,0))
+          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(b1 AS DECIMAL(38,0)))
+          |  * CAST(10000000 AS DECIMAL(38,0))
+          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
+          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
+          |  AS BIGINT)""".stripMargin).as("y2_micros"))
+  }
+
   /** 30-minute session gap in MICROseconds. Session math runs on integer
     * micros on both engines: Spark's raw ts_ns keeps full nanosecond
     * precision but DuckDB narrows the TIMESTAMP(NANOS) parquet column to
@@ -402,6 +454,19 @@ object AnalyticQueries {
         .select(col("event_type"), col("n_users"),
           col("y_micros").as("y2_micros"))
         .orderBy("event_type")
+    }),
+
+    // ---- rank-2 ALS item half-solve (the r ≥ 2 generalization the
+    // rank-1 pair stops short of — real recommender/feature
+    // factorization needs per-key r×r normal equations): user factors
+    // (x1, x2) from alsUserInit2, then each item's 2×2 ridge system
+    // solved by exact BigInt-free Cramer entirely in decimal fixed
+    // point (alsItemSolve2 scaladoc for scales and widening). Same
+    // distributed-ALS layout as rank 1: one cells aggregate, one
+    // user-keyed join, one item-keyed map-side-combined aggregate.
+    "q_als_rank2_step" -> ((s, dir) => {
+      val r = alsRatings(s, dir).localCheckpoint(true)
+      alsItemSolve2(r, alsUserInit2(r)).orderBy("event_type")
     }),
 
     // ---- date/time function family over o_orderdate
@@ -878,6 +943,33 @@ object AnalyticQueries {
          |  CAST((n_i::HUGEINT * 10000000) // (1000000::HUGEINT + sx2)
          |    AS BIGINT) AS y2_micros
          |FROM yi2 ORDER BY event_type""".stripMargin,
+
+    // rank-2 twin: same cents ratings and milli x1 chain as rank 1,
+    // x2 = 1 + user_id % 199 milli, per-item 2×2 Cramer with the
+    // HUGEINT products mirroring Spark's DECIMAL(38,0) widening and
+    // `//` ≡ DIV truncation (verified equal on negatives)
+    "q_als_rank2_step" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS rc FROM events),
+        |r AS MATERIALIZED (SELECT user_id, event_type,
+        |    CAST(sum(rc) AS BIGINT) AS r_c FROM c GROUP BY 1, 2),
+        |xu AS (SELECT user_id,
+        |    (CAST(sum(r_c) AS BIGINT) * 10) // (1 + count(*)) AS x1,
+        |    1 + user_id % 199 AS x2
+        |  FROM r GROUP BY user_id),
+        |yi AS (SELECT r.event_type, count(*) AS n_users,
+        |    CAST(sum(xu.x1 * xu.x1) AS BIGINT) + 1000000 AS a11,
+        |    CAST(sum(xu.x1 * xu.x2) AS BIGINT) AS a12,
+        |    CAST(sum(xu.x2 * xu.x2) AS BIGINT) + 1000000 AS a22,
+        |    CAST(sum(r.r_c * xu.x1) AS BIGINT) AS b1,
+        |    CAST(sum(r.r_c * xu.x2) AS BIGINT) AS b2
+        |  FROM r JOIN xu USING (user_id) GROUP BY r.event_type)
+        |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(((b1::HUGEINT * a22 - b2::HUGEINT * a12) * 10000000) //
+        |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y1_micros,
+        |  CAST(((a11::HUGEINT * b2 - a12::HUGEINT * b1) * 10000000) //
+        |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_micros
+        |FROM yi ORDER BY event_type""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -82,6 +82,51 @@ class AnalyticSpec extends SparkSpec {
     y2.foreach { case (it, v) => assert(got2(it) == v.toLong) }
   }
 
+  test("rank-2 ALS: exact BigInt Cramer replay; ridge objective drops from the init") {
+    val got = q("q_als_rank2_step").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rC = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum }
+    val x = rC.groupBy(_._1._1).map { case (u, cs) =>
+      u -> (BigInt(cs.values.sum) * 10 / (1 + cs.size), BigInt(1 + u % 199)) }
+    val lam = BigInt(1000000)
+    val expect = rC.groupBy(_._1._2).map { case (it, cs) =>
+      val us = cs.keys.map(_._1).toSeq
+      val a11 = us.map(u => x(u)._1 * x(u)._1).sum + lam
+      val a12 = us.map(u => x(u)._1 * x(u)._2).sum
+      val a22 = us.map(u => x(u)._2 * x(u)._2).sum + lam
+      val b1 = cs.map { case ((u, _), r) => BigInt(r) * x(u)._1 }.sum
+      val b2 = cs.map { case ((u, _), r) => BigInt(r) * x(u)._2 }.sum
+      val det = a11 * a22 - a12 * a12
+      assert(det > 0, s"ridge must keep det positive ($it)")
+      it -> (cs.size.toLong, ((b1 * a22 - b2 * a12) * 10000000 / det).toLong,
+        ((a11 * b2 - a12 * b1) * 10000000 / det).toLong)
+    }
+    assert(got.length == expect.size)
+    got.foreach { case (it, n, y1, y2) =>
+      assert((n, y1, y2) == expect(it),
+        s"item $it: got ($n, $y1, $y2), want ${expect(it)}")
+    }
+    // the two factor coordinates carry distinct signal
+    assert(got.map(_._3).distinct.length > 1 && got.map(_._4).distinct.length > 1)
+    // the half-solve is the ridge optimum given X, so J must drop from
+    // the y ≡ (1, 0) init (J = SSE + λ(Σ‖x‖² + Σ‖y‖²), λ = 1, real units)
+    val xd = x.map { case (u, (x1, x2)) =>
+      u -> (x1.toDouble / 1e3, x2.toDouble / 1e3) }
+    def j(y: Map[String, (Double, Double)]): Double = {
+      val sse = rC.map { case ((u, i), r) =>
+        val e = r / 100.0 - (xd(u)._1 * y(i)._1 + xd(u)._2 * y(i)._2); e * e }.sum
+      sse + xd.values.map(v => v._1 * v._1 + v._2 * v._2).sum +
+        y.values.map(v => v._1 * v._1 + v._2 * v._2).sum
+    }
+    val yInit = expect.map { case (it, _) => it -> (1.0, 0.0) }
+    val ySolved = got.map(g => g._1 -> (g._3.toDouble / 1e6, g._4.toDouble / 1e6)).toMap
+    assert(j(ySolved) <= j(yInit) * (1.0 + 1e-9),
+      s"rank-2 item solve raised the ridge objective: ${j(yInit)} -> ${j(ySolved)}")
+  }
+
   test("SweepLine running sum == global-window form on an adversarial stream") {
     import spark.implicits._
     // duplicate timestamps with mixed-sign deltas, a long gap (forces
