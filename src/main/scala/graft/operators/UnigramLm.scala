@@ -208,6 +208,67 @@ object UnigramLm {
     model.toDF("piece", "cnt")
   }
 
+  /** The SentencePiece training loop proper (Kudo 2018 §3.2): seed
+    * LARGE (2× the target), hard-EM, then prune to target size by
+    * LIKELIHOOD LOSS — the utility a piece's occurrences would lose if
+    * it were dropped and they fell back to character segmentation —
+    * and re-EM over the survivors. [[fitPruned]] ranks the prune by
+    * raw count; this ranks by the published criterion:
+    *
+    *   loss(p) = c_p · (ln w(p) − Σ_{ch ∈ p} ln w(ch))
+    *
+    * with w the current round's Laplace weights. Because every weight
+    * shares the denominator T+P, the formula canonicalizes to
+    * c_p · (ln(c_p+1) + (len−1)·ln(T+P) − Σ ln(c_ch+1)) — computed in
+    * integer MICROS (floor(·1e6 + 0.5)) with a FIXED left-to-right
+    * ln-sum order, the WordpieceTrain.scoreU discipline: identical
+    * IEEE ops in identical order on both engines, exact BIGINT
+    * compare, ties lexicographic. A high-count piece barely better
+    * than its own characters prunes before a rarer piece that
+    * compresses strongly — the distinction count ranking cannot make
+    * (TextOpsSpec pins a trace where the two orders differ).
+    *
+    * The ranking itself runs DRIVER-SIDE over the K-row collected
+    * model (the centroid discipline — the model is already a driver
+    * Seq between EM rounds); every char of a multi-char piece is in
+    * the model by seeding, so the lookup is total. Returns the final
+    * pruned (piece, cnt) model: alphabet + ≤ `pruneTo` multi-char
+    * survivors.
+    */
+  def fitLossPruned(docs: DataFrame, rounds: Int = 2, maxLen: Int = 12,
+                    maxPiece: Int = 4, vocabCap: Int = 48,
+                    pruneTo: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = wordDict(docs, maxLen).localCheckpoint(true)
+    var model: Seq[(String, Long)] = seedPieces(dict, maxPiece, vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    for (_ <- 1 to rounds) {
+      val segs = emCount(dict, weightMap(model, model.size), maxPiece)
+      val recounted = model.map { case (pc, _) => pc -> segs.getOrElse(pc, 0L) }
+      val byPiece = recounted.toMap
+      val lt = math.log((recounted.map(_._2).sum + recounted.size).toDouble)
+      def lossU(pc: String, c: Long): Long = {
+        // ln-sum strictly left-to-right over positions (the oracle's
+        // l1 + l2 + coalesce(l3, 0) + coalesce(l4, 0) chain — adding
+        // +0.0 for absent positions is IEEE-exact)
+        val lnch = (0 until maxPiece).map { i =>
+          if (i < pc.length)
+            math.log((byPiece(pc.substring(i, i + 1)) + 1L).toDouble)
+          else 0.0
+        }.reduceLeft(_ + _)
+        math.floor(c.toDouble * ((math.log((c + 1L).toDouble)
+          + (pc.length - 1).toDouble * lt) - lnch) * 1e6 + 0.5).toLong
+      }
+      val (singles, multis) = recounted.partition(_._1.length == 1)
+      val kept = multis.map { case (pc, c) => (pc, c, lossU(pc, c)) }
+        .sortBy { case (pc, _, lu) => (-lu, pc) }.take(pruneTo)
+      model = (singles ++ kept.map(k => (k._1, k._2))).sortBy(_._1)
+    }
+    dict.unpersist(blocking = false)
+    model.toDF("piece", "cnt")
+  }
+
   /** Train-then-ENCODE — [[BpeTrain.encode]]'s unigram twin: the
     * fitted model applied back through one more Viterbi pass under the
     * FINAL weights, emitting each dict word's subword count (the

@@ -195,6 +195,20 @@ object TextQueries {
           pruneTo = 24)
         .orderBy("piece")),
 
+    // the FULL SentencePiece training loop (UnigramLm.fitLossPruned
+    // scaladoc; Kudo 2018 §3.2): seed at 2× target (48 multi-char
+    // pieces), hard-EM, prune to 24 by LIKELIHOOD LOSS — what a
+    // piece's occurrences would lose falling back to character
+    // segmentation, in integer micros with a fixed ln-op order (the
+    // WordpieceTrain.scoreU discipline) — then re-EM over survivors.
+    // Oracle = the pruned chain with a loss-ranked prune CTE per
+    // round. TextOpsSpec pins target size, count-vs-loss rank
+    // divergence, and a hand-computed loss trace.
+    "text_unigram_train" -> ((s, dir) =>
+      graft.operators.UnigramLm.fitLossPruned(docs(s, dir), rounds = 2,
+          vocabCap = 48, pruneTo = 24)
+        .orderBy("piece")),
+
     // the trained unigram LM applied back (BpeTrain.encode's twin):
     // one more Viterbi pass under the FINAL weights, per-word subword
     // counts — the corpus token budget under the learned LM. Oracle =
@@ -508,6 +522,54 @@ object TextQueries {
        |SELECT p AS piece, cnt FROM mp$rounds ORDER BY piece""".stripMargin
   }
 
+  /** `text_unigram_train`'s oracle: the [[unigramPrunedSql]] chain with
+    * the prune CTE ranked by LIKELIHOOD LOSS instead of raw count —
+    * loss_u(p) = floor(c_p·(ln(c_p+1) + (len−1)·ln(T+P) − Σ ln(c_ch+1))
+    * ·1e6 + 0.5), the shared-denominator canonical form of
+    * c_p·(ln w_p − Σ ln w_ch). The per-char ln sum is an EXPLICIT
+    * position chain (l1 + l2 + coalesce(l3,0) + coalesce(l4,0) — the
+    * fixed left-to-right IEEE order the Spark driver replays; +0.0 for
+    * absent positions is exact), each char looked up by LEFT JOIN
+    * against the same model state (always present: seeding admits
+    * every single char). Exact BIGINT compare, ties lexicographic.
+    */
+  private def unigramLossPrunedSql(rounds: Int, maxLen: Int, maxPiece: Int,
+                                   vocabCap: Int, pruneTo: Int): String = {
+    def roundCtes(r: Int): String = {
+      val prev = if (r == 1) "m0" else s"mp${r - 1}"
+      val chJoins = (1 to maxPiece).map(i =>
+        s"  LEFT JOIN m$r a$i ON a$i.p = substr(mm.p, $i, 1)").mkString("\n")
+      val lnch = s"ln(CAST(a1.cnt + 1 AS DOUBLE)) + ln(CAST(a2.cnt + 1 AS DOUBLE))" +
+        (3 to maxPiece).map(i =>
+          s" + coalesce(ln(CAST(a$i.cnt + 1 AS DOUBLE)), 0.0)").mkString
+      unigramViterbiCtes(r, maxLen, maxPiece, prev) +
+        unigramCountCtes(r, maxLen, prev) +
+        s""",
+           |lt$r AS (SELECT ln(CAST(
+           |    (SELECT CAST(sum(cnt) AS BIGINT) FROM m$r)
+           |    + (SELECT count(*) FROM m$r) AS DOUBLE)) AS lt),
+           |lp$r AS MATERIALIZED (
+           |  SELECT mm.p, mm.cnt,
+           |    CAST(floor(CAST(mm.cnt AS DOUBLE)
+           |      * ((ln(CAST(mm.cnt + 1 AS DOUBLE))
+           |          + CAST(length(mm.p) - 1 AS DOUBLE) * lt.lt)
+           |         - ($lnch))
+           |      * 1e6 + 0.5) AS BIGINT) AS loss_u
+           |  FROM m$r mm CROSS JOIN lt$r lt
+           |$chJoins
+           |  WHERE length(mm.p) > 1),
+           |mp$r AS MATERIALIZED (
+           |  SELECT p, cnt FROM m$r WHERE length(p) = 1
+           |  UNION ALL
+           |  SELECT p, cnt FROM (
+           |    SELECT p, cnt FROM lp$r
+           |    ORDER BY loss_u DESC, p LIMIT $pruneTo) tp$r)""".stripMargin
+    }
+    s"""WITH ${unigramSeedCtes(maxLen, maxPiece, vocabCap)},
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}
+       |SELECT p AS piece, cnt FROM mp$rounds ORDER BY piece""".stripMargin
+  }
+
   /** One more Viterbi pass at the FINAL model's weights, read out as
     * per-word subword counts — `text_unigram_encode`'s oracle tail.
     */
@@ -650,6 +712,8 @@ object TextQueries {
       vocabCap = 200),
     "text_unigram_lm_pruned" -> unigramPrunedSql(rounds = 2, maxLen = 12,
       maxPiece = 4, vocabCap = 200, pruneTo = 24),
+    "text_unigram_train" -> unigramLossPrunedSql(rounds = 2, maxLen = 12,
+      maxPiece = 4, vocabCap = 48, pruneTo = 24),
     "text_unigram_encode" -> unigramEncodeSql(rounds = 2, maxLen = 12,
       maxPiece = 4, vocabCap = 200),
     // bit-identical to the literal-map form — shares its oracle

@@ -312,6 +312,43 @@ class TextOpsSpec extends SparkSpec {
       s"pruning must change the segmentation (cd -> c d): $pruned")
   }
 
+  test("unigram-lm: likelihood-loss prune diverges from count prune where fallback cost differs") {
+    import graft.operators.UnigramLm
+    // designed so count rank and loss rank DISAGREE: "ab" is the
+    // high-count piece (20 uses) but its chars also occur 20× each as
+    // standalone words, so falling back to a+b is CHEAP — loss_ab =
+    // 20·(ln21 + ln(T+P) − ln21 − ln21) ≈ 25.7; "xy" has half the
+    // count but its chars occur ONLY inside it (abandoned after EM,
+    // count 0), so fallback is EXPENSIVE — loss_xy = 10·(ln11 +
+    // ln(T+P)) ≈ 67.3. Count keeps ab; likelihood loss keeps xy.
+    val text = ((1 to 20).map(_ => "ab") ++ (1 to 20).map(_ => "a") ++
+      (1 to 20).map(_ => "b") ++ (1 to 10).map(_ => "xy")).mkString(" ")
+    val d = Seq(text).toDF("text")
+    val byLoss = UnigramLm
+      .fitLossPruned(d, rounds = 1, maxPiece = 2, vocabCap = 100, pruneTo = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLoss.contains("xy") && !byLoss.contains("ab"),
+      s"loss prune must keep xy over the higher-count ab: $byLoss")
+    val byCount = UnigramLm
+      .fitPruned(d, rounds = 1, maxPiece = 2, vocabCap = 100, pruneTo = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCount.contains("ab") && !byCount.contains("xy"),
+      s"count prune must keep ab — the ranks genuinely diverge: $byCount")
+    // re-EM over the survivors: ab's occurrences fall back to chars
+    val round2 = UnigramLm
+      .fitLossPruned(d, rounds = 2, maxPiece = 2, vocabCap = 100, pruneTo = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(round2("xy") == 10L && round2("a") == 40L && round2("b") == 40L,
+      s"post-prune re-EM must re-segment ab into chars: $round2")
+    // the target-size contract at fixture scale: alphabet + exactly
+    // pruneTo multi-char survivors (seeded at 2x the target)
+    val fix = graft.queries.TextQueries
+      .queries("text_unigram_train")(spark, sf).collect()
+      .map(r => r.getString(0))
+    assert(fix.count(_.length > 1) == 24,
+      s"fixture multi-char vocab must land exactly on the prune target, got ${fix.count(_.length > 1)}")
+  }
+
   test("unigram-lm: broadcast-table encode is bit-identical to the literal-map encode") {
     import graft.operators.UnigramLm
     val d = docsOf(
