@@ -124,6 +124,84 @@ object TemporalQueries {
       top.withColumn("rk", row_number().over(
           Window.orderBy(col("d6"), col("user_id"), col("pos"))).cast("int"))
         .select(col("rk"), col("user_id"), col("pos"), col("d6"))
+    }),
+
+    // ---- motif discovery (matrix-profile-lite): each length-8 window's
+    // nearest OTHER window under z-normalized Euclidean distance, with
+    // the candidate space bounded by a SAX word — the quantized shape
+    // signature of the z-normed window (binary→quartile alphabet per
+    // Chiu/Keogh/Lonardi KDD'03 probabilistic motif discovery; the
+    // exact-within-bucket scoring mirrors the matrix profile's nearest-
+    // other-window semantics, Yeh et al. ICDM'16). Semantics: candidates
+    // = window pairs sharing the full 8-symbol alphabet-4 SAX word
+    // (breakpoints at the standard-normal quartiles ±0.6744897501960817
+    // and 0); trivial matches excluded matrix-profile-style (same user,
+    // |Δpos| < 8); per-window nearest by (d6, user_b, pos_b); output =
+    // global top 20 motif anchors by (d6, user_a, pos_a). Exactness:
+    // zw is computed ONCE per window with the ascending-fold discipline
+    // and the SAX symbol + distance both derive from those bits, so the
+    // bucket membership and ranking are bit-identical across engines.
+    // Scale: ONE shuffle on the SAX word bounds candidates to same-
+    // shape buckets (word length × alphabet size is the granularity
+    // knob — density probed at 0.5M pairs sf0.01 / 67M at 10× derived);
+    // per-window nearest is a bounded window function; selection is
+    // TakeOrderedAndProject, never a global sort.
+    "q_ts_motif" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = 8
+      val bp = 0.6744897501960817 // standard-normal upper quartile
+      val e = ev(s, dir).select(
+        col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      def fsum(a: Column): Column = aggregate(a, lit(0.0), (x, y) => x + y)
+      val wind = e
+        .withColumn("w", collect_list(col("value"))
+          .over(ord.rowsBetween(Window.currentRow, m - 1)))
+        .withColumn("pos", row_number().over(ord))
+        .where(size(col("w")) === m)
+        .withColumn("mu_w", fsum(col("w")) / lit(m.toDouble))
+        .withColumn("sd_w", sqrt(fsum(transform(col("w"),
+          x => (x - col("mu_w")) * (x - col("mu_w")))) / lit(m.toDouble)))
+        .withColumn("zw", transform(col("w"), x =>
+          when(col("sd_w") > 0.0, (x - col("mu_w")) / col("sd_w"))
+            .otherwise(lit(0.0))))
+        .withColumn("sg", array_join(transform(col("zw"), x =>
+          when(x >= bp, lit("3")).when(x >= 0.0, lit("2"))
+            .when(x >= -bp, lit("1")).otherwise(lit("0"))), ""))
+        .select(col("user_id"), col("pos"), col("zw"), col("sg"))
+      val a = wind.select(col("sg"), col("user_id").as("user_a"),
+        col("pos").as("pos_a"), col("zw").as("za"))
+      val b = wind.select(col("sg"), col("user_id").as("user_b"),
+        col("pos").as("pos_b"), col("zw").as("zb"))
+      // distance = the same ascending left-associative fold as the
+      // oracle's list_reduce, but UNROLLED into codegen'd arithmetic:
+      // the zip_with/aggregate HOF form is interpreted (allocates a
+      // zipped array per pair) and measured ~3.6× slower end-to-end
+      // over the 67M derived-scale candidate pairs (120 s → 33 s)
+      val dist = (1 to m).map { i =>
+        val d = element_at(col("za"), i) - element_at(col("zb"), i)
+        d * d
+      }.reduceLeft(_ + _)
+      val pairs = a.join(b, "sg")
+        .where(!(col("user_a") === col("user_b") &&
+          abs(col("pos_a") - col("pos_b")) < m))
+        .withColumn("d6", rnd(dist, 6))
+      // per-window nearest = lexicographic min of (d6, user_b, pos_b):
+      // a partial-aggregating groupBy (map-side combine shrinks the
+      // candidate volume BEFORE the exchange), not a row_number window
+      // (which would shuffle+sort every candidate pair — measured 1.4×
+      // slower end-to-end at the 67M-pair derived scale)
+      val nn = pairs
+        .groupBy(col("user_a"), col("pos_a"))
+        .agg(min(struct(col("d6"), col("user_b"), col("pos_b"))).as("nb"))
+        .select(col("user_a"), col("pos_a"), col("nb.user_b").as("user_b"),
+          col("nb.pos_b").as("pos_b"), col("nb.d6").as("d6"))
+      val top = nn.orderBy(col("d6"), col("user_a"), col("pos_a")).limit(20)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("d6"), col("user_a"), col("pos_a"))).cast("int"))
+        .select(col("rk"), col("user_a"), col("pos_a"),
+          col("user_b"), col("pos_b"), col("d6"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -168,7 +246,71 @@ object TemporalQueries {
          |  SELECT *, CAST(row_number() OVER (ORDER BY d6, user_id, pos) AS INT) AS rk
          |  FROM d
          |)
-         |SELECT rk, user_id, pos, d6 FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin)
+         |SELECT rk, user_id, pos, d6 FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // motif twin: zw computed once per window (same frame-ordered lists,
+    // same ascending folds, same σ=0 rule), SAX word and distance both
+    // derived from those exact bits; same 6-dp rounding and id tie-breaks
+    "q_ts_motif" ->
+      s"""WITH $znWindowCtes,
+         |sx AS (
+         |  SELECT user_id, pos, zw,
+         |    list_aggregate(list_transform(zw, x ->
+         |      CASE WHEN x >= 0.6744897501960817 THEN '3'
+         |           WHEN x >= 0.0 THEN '2'
+         |           WHEN x >= -0.6744897501960817 THEN '1'
+         |           ELSE '0' END), 'string_agg', '') AS sg
+         |  FROM zs
+         |), pr AS (
+         |  SELECT a.user_id AS user_a, a.pos AS pos_a,
+         |    b.user_id AS user_b, b.pos AS pos_b,
+         |    ${rndSql("list_reduce(list_transform(range(1, 9), " +
+            "i -> (a.zw[i] - b.zw[i]) * (a.zw[i] - b.zw[i])), (x, y) -> x + y)", 6)} AS d6
+         |  FROM sx a JOIN sx b ON a.sg = b.sg
+         |  WHERE NOT (a.user_id = b.user_id AND abs(a.pos - b.pos) < 8)
+         |), nn AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_a, pos_a ORDER BY d6, user_b, pos_b) AS r
+         |  FROM pr
+         |), top AS (
+         |  SELECT user_a, pos_a, user_b, pos_b, d6,
+         |    CAST(row_number() OVER (ORDER BY d6, user_a, pos_a) AS INT) AS rk
+         |  FROM nn WHERE r = 1
+         |)
+         |SELECT rk, user_a, pos_a, user_b, pos_b, d6
+         |FROM top WHERE rk <= 20 ORDER BY rk""".stripMargin)
+
+  /** CTE chain ending in `zs(user_id, pos, zw)` — every per-user
+    * length-8 window z-normalized with the same frame-ordered lists and
+    * ascending folds as [[subseqCtes]] (its w-side twin, kept textually
+    * aligned — subseqCtes additionally threads the query vector through
+    * mu/sd, so the two chains stay separate builders rather than one
+    * string-surgered template). Shared by q_ts_motif's oracle.
+    */
+  private[queries] def znWindowCtes: String =
+    s"""e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+       |), wind AS (
+       |  SELECT user_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pos,
+       |    list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+       |  FROM e
+       |), wf AS (
+       |  SELECT user_id, CAST(pos AS INT) AS pos, w FROM wind WHERE len(w) = 8
+       |), mu AS (
+       |  SELECT *, list_reduce(w, (a, b) -> a + b) / 8.0 AS mu_w FROM wf
+       |), sd AS (
+       |  SELECT *,
+       |    sqrt(list_reduce(list_transform(w, x -> (x - mu_w) * (x - mu_w)),
+       |      (a, b) -> a + b) / 8.0) AS sd_w
+       |  FROM mu
+       |), zs AS (
+       |  SELECT user_id, pos,
+       |    list_transform(w, x -> CASE WHEN sd_w > 0.0
+       |      THEN (x - mu_w) / sd_w ELSE 0.0 END) AS zw
+       |  FROM sd
+       |)""".stripMargin
 
   /** CTE chain ending in `d(user_id, pos, d6)` — every per-user length-8
     * window scored z-normalized against the corpus-head query pattern.

@@ -48,6 +48,53 @@ class TemporalSpec extends SparkSpec {
       s"replay mismatch:\n got=${got.toSeq}\n exp=$expect")
   }
 
+  test("motif discovery equals a full driver-side SAX-bucketed replay") {
+    val got = graft.queries.TemporalQueries
+      .queries("q_ts_motif")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5)))
+    // independent replay: same windows, same ascending folds, same SAX
+    // quartile symbols, same trivial-match exclusion, same per-window
+    // nearest and global top-20 ranking
+    val ev = evUs.select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val m = 8
+    val bp = 0.6744897501960817
+    def fsum(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    def zn(xs: Seq[Double]): Seq[Double] = {
+      val mu = fsum(xs) / m.toDouble
+      val sd = math.sqrt(fsum(xs.map(x => (x - mu) * (x - mu))) / m.toDouble)
+      xs.map(x => if (sd > 0.0) (x - mu) / sd else 0.0)
+    }
+    def sax(zw: Seq[Double]): String = zw.map(x =>
+      if (x >= bp) '3' else if (x >= 0.0) '2'
+      else if (x >= -bp) '1' else '0').mkString
+    val wins = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      vs.indices.dropRight(m - 1).map { i =>
+        val zw = zn(vs.slice(i, i + m).toSeq)
+        (u, i + 1, zw, sax(zw))
+      }
+    }
+    val bySax = wins.groupBy(_._4)
+    val nearest = wins.flatMap { case (ua, pa, za, sg) =>
+      val cands = bySax(sg).filter { case (ub, pb, _, _) =>
+        !(ub == ua && math.abs(pb - pa) < m)
+      }.map { case (ub, pb, zb, _) =>
+        val d2 = fsum(za.zip(zb).map { case (x, y) => (x - y) * (x - y) })
+        (math.floor(d2 * 1e6 + 0.5) / 1e6, ub, pb)
+      }
+      if (cands.isEmpty) None
+      else { val (d, ub, pb) = cands.min; Some((ua, pa, ub, pb, d)) }
+    }
+    val expect = nearest.sortBy(c => (c._5, c._1, c._2)).take(20)
+      .zipWithIndex.map { case ((ua, pa, ub, pb, d), i) =>
+        (i + 1, ua, pa, ub, pb, d) }
+    assert(expect.nonEmpty, "motif gate is vacuous at fixture scale")
+    assert(got.toSeq == expect,
+      s"replay mismatch:\n got=${got.toSeq}\n exp=$expect")
+  }
+
   test("asOf matches per-row brute-force argmax") {
     val e = evUs
     val clicks = e.where(col("event_type") === "click")
