@@ -170,7 +170,17 @@ object PlanAudit {
     // one user-keyed join, hard negatives share the multi-probe stage
     "pipeline_mixture_sample", "pipeline_classifier_score",
     "pipeline_prune_prototypes", "q_ts_subseq_search",
-    "q_als_rank1_step", "pipeline_hard_negatives")
+    "q_als_rank1_step", "pipeline_hard_negatives",
+    // round 17: time travel must serve the resolved historical store
+    // with the UNCHANGED bucketed probe plan (version manifest is a
+    // K-row driver lookup, not a plan operator); rank-2 ALS is the
+    // same two map-side-combined aggregates as rank-1 (the 2×2 Cramer
+    // readout is a narrow projection); unigram training's EM rounds
+    // run over the word DICT with the piece table broadcast; motif is
+    // one SAX-word self-join (shuffle bounded by the signature) +
+    // partial-aggregating per-window min + TakeOrderedAndProject
+    "q_store_time_travel", "q_als_rank2_step", "text_unigram_train",
+    "q_ts_motif")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
