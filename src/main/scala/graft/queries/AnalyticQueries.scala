@@ -46,6 +46,35 @@ object AnalyticQueries {
       |      AS BIGINT) AS y_m
       |  FROM yi)""".stripMargin
 
+  /** Rank-2 twin of [[alsCtes]]: CTE chain ending in
+    * `y2s(event_type, n_users, y1_m, y2_m)` — the step-1 rank-2 item
+    * factors (cents ratings, milli x1/x2 init, per-item 2×2 Cramer
+    * with HUGEINT products mirroring Spark's DECIMAL(38,0) widening
+    * and `//` ≡ DIV truncation). Both rank-2 oracles compose on it.
+    */
+  private def als2Ctes: String =
+    """c AS (SELECT user_id, event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS rc FROM events),
+      |r AS MATERIALIZED (SELECT user_id, event_type,
+      |    CAST(sum(rc) AS BIGINT) AS r_c FROM c GROUP BY 1, 2),
+      |xu AS (SELECT user_id,
+      |    (CAST(sum(r_c) AS BIGINT) * 10) // (1 + count(*)) AS x1,
+      |    1 + user_id % 199 AS x2
+      |  FROM r GROUP BY user_id),
+      |yi AS (SELECT r.event_type, count(*) AS n_users,
+      |    CAST(sum(xu.x1 * xu.x1) AS BIGINT) + 1000000 AS a11,
+      |    CAST(sum(xu.x1 * xu.x2) AS BIGINT) AS a12,
+      |    CAST(sum(xu.x2 * xu.x2) AS BIGINT) + 1000000 AS a22,
+      |    CAST(sum(r.r_c * xu.x1) AS BIGINT) AS b1,
+      |    CAST(sum(r.r_c * xu.x2) AS BIGINT) AS b2
+      |  FROM r JOIN xu USING (user_id) GROUP BY r.event_type),
+      |y2s AS (SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+      |    CAST(((b1::HUGEINT * a22 - b2::HUGEINT * a12) * 10000000) //
+      |      (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y1_m,
+      |    CAST(((a11::HUGEINT * b2 - a12::HUGEINT * b1) * 10000000) //
+      |      (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_m
+      |  FROM yi)""".stripMargin
+
   /** (user_id, event_type, r_c) — the ALS rating matrix in exact cents
     * (one map-side-combined aggregate over events).
     */
@@ -133,6 +162,40 @@ object AnalyticQueries {
           |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
           |  AS BIGINT)""".stripMargin).as("y2_micros"))
   }
+
+  /** Rank-2 USER half-solve from micro-scaled item factors (y1_m,
+    * y2_m): per-user 2×2 ridge normal equations A = Σ y yᵀ + λ·10¹² I
+    * (micros² scale, λ = 1), b = Σ r·y (cents·micros = 10⁸), solved by
+    * the same exact Cramer as [[alsItemSolve2]] with x read out in
+    * MILLIS: (adjugate·b)·10⁷ DIV det (adj·b ~ 10³⁰ · 10⁷ = 10³⁷ at
+    * observed factor magnitudes — inside DECIMAL(38,0); det ~ 10³³).
+    * Per-user sums run over ≤ |items| rows, so the A/b accumulations
+    * stay far inside BIGINT at any corpus scale (users grow, per-user
+    * item counts don't). Milli output feeds [[alsItemSolve2]] verbatim
+    * — the rank-2 alternation closes over the same scales.
+    */
+  private def alsUserSolve2(r: DataFrame, y: DataFrame): DataFrame =
+    r.join(broadcast(y), "event_type")
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("y1_m") * col("y1_m")) + lit(1000000000000L)).as("a11"),
+        sum(col("y1_m") * col("y2_m")).as("a12"),
+        (sum(col("y2_m") * col("y2_m")) + lit(1000000000000L)).as("a22"),
+        sum(col("r_c") * col("y1_m")).as("b1"),
+        sum(col("r_c") * col("y2_m")).as("b2"))
+      .select(col("user_id"),
+        expr("""CAST((CAST(b1 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
+          |  - CAST(b2 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
+          |  * CAST(10000000 AS DECIMAL(38,0))
+          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
+          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
+          |  AS BIGINT)""".stripMargin).as("x1"),
+        expr("""CAST((CAST(a11 AS DECIMAL(38,0)) * CAST(b2 AS DECIMAL(38,0))
+          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(b1 AS DECIMAL(38,0)))
+          |  * CAST(10000000 AS DECIMAL(38,0))
+          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
+          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
+          |  AS BIGINT)""".stripMargin).as("x2"))
 
   /** 30-minute session gap in MICROseconds. Session math runs on integer
     * micros on both engines: Spark's raw ts_ns keeps full nanosecond
@@ -467,6 +530,28 @@ object AnalyticQueries {
     "q_als_rank2_step" -> ((s, dir) => {
       val r = alsRatings(s, dir).localCheckpoint(true)
       alsItemSolve2(r, alsUserInit2(r)).orderBy("event_type")
+    }),
+
+    // ---- the SECOND full rank-2 alternation (the q_als_rank1_step2
+    // pattern at r = 2): user re-solve against the step-1 item factors
+    // — per-user 2×2 ridge Cramer (alsUserSolve2; A sums run over the
+    // user's ≤|items| ratings, so the normal equations stay tiny and
+    // exact at any corpus scale), then the item re-solve through the
+    // SAME alsItemSolve2 (milli x in, micro y out — the rank-2 scales
+    // close over the alternation). The broadcast of the ≤|items|-row
+    // factor table is the distributed-ALS production shape: the rating
+    // matrix shuffles once per half-step on its own key, factors ride
+    // the small side. AnalyticSpec pins the ridge objective
+    // NON-INCREASING across all four rank-2 half-solves.
+    "q_als_rank2_step2" -> ((s, dir) => {
+      // r feeds four branches (init, step-1 solve, user re-solve, item
+      // re-solve) — materialize once
+      val r = alsRatings(s, dir).localCheckpoint(true)
+      val y1 = alsItemSolve2(r, alsUserInit2(r)).select(
+        col("event_type"), col("y1_micros").as("y1_m"),
+        col("y2_micros").as("y2_m"))
+      alsItemSolve2(r, alsUserSolve2(r, y1))
+        .orderBy("event_type")
     }),
 
     // ---- date/time function family over o_orderdate
@@ -949,27 +1034,43 @@ object AnalyticQueries {
     // HUGEINT products mirroring Spark's DECIMAL(38,0) widening and
     // `//` ≡ DIV truncation (verified equal on negatives)
     "q_als_rank2_step" ->
-      """WITH c AS (SELECT user_id, event_type,
-        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS rc FROM events),
-        |r AS MATERIALIZED (SELECT user_id, event_type,
-        |    CAST(sum(rc) AS BIGINT) AS r_c FROM c GROUP BY 1, 2),
-        |xu AS (SELECT user_id,
-        |    (CAST(sum(r_c) AS BIGINT) * 10) // (1 + count(*)) AS x1,
-        |    1 + user_id % 199 AS x2
-        |  FROM r GROUP BY user_id),
-        |yi AS (SELECT r.event_type, count(*) AS n_users,
-        |    CAST(sum(xu.x1 * xu.x1) AS BIGINT) + 1000000 AS a11,
-        |    CAST(sum(xu.x1 * xu.x2) AS BIGINT) AS a12,
-        |    CAST(sum(xu.x2 * xu.x2) AS BIGINT) + 1000000 AS a22,
-        |    CAST(sum(r.r_c * xu.x1) AS BIGINT) AS b1,
-        |    CAST(sum(r.r_c * xu.x2) AS BIGINT) AS b2
-        |  FROM r JOIN xu USING (user_id) GROUP BY r.event_type)
-        |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
-        |  CAST(((b1::HUGEINT * a22 - b2::HUGEINT * a12) * 10000000) //
-        |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y1_micros,
-        |  CAST(((a11::HUGEINT * b2 - a12::HUGEINT * b1) * 10000000) //
-        |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_micros
-        |FROM yi ORDER BY event_type""".stripMargin,
+      s"""WITH $als2Ctes
+         |SELECT event_type, n_users, y1_m AS y1_micros, y2_m AS y2_micros
+         |FROM y2s ORDER BY event_type""".stripMargin,
+
+    // the second rank-2 alternation: per-USER 2×2 ridge Cramer against
+    // the step-1 factors (A at micros² scale + λ·10¹², b at
+    // cents·micros, x out in millis — adj·b·10⁷ ~ 10³⁷ inside
+    // HUGEINT/DECIMAL(38,0)), then the identical per-item Cramer over
+    // the re-solved milli factors
+    "q_als_rank2_step2" ->
+      s"""WITH $als2Ctes,
+         |ua AS (SELECT r.user_id,
+         |    CAST(sum(y.y1_m * y.y1_m) AS BIGINT) + 1000000000000 AS ua11,
+         |    CAST(sum(y.y1_m * y.y2_m) AS BIGINT) AS ua12,
+         |    CAST(sum(y.y2_m * y.y2_m) AS BIGINT) + 1000000000000 AS ua22,
+         |    CAST(sum(r.r_c * y.y1_m) AS BIGINT) AS ub1,
+         |    CAST(sum(r.r_c * y.y2_m) AS BIGINT) AS ub2
+         |  FROM r JOIN y2s y USING (event_type) GROUP BY r.user_id),
+         |xu2 AS (SELECT user_id,
+         |    CAST(((ub1::HUGEINT * ua22 - ub2::HUGEINT * ua12) * 10000000) //
+         |      (ua11::HUGEINT * ua22 - ua12::HUGEINT * ua12) AS BIGINT) AS x1,
+         |    CAST(((ua11::HUGEINT * ub2 - ua12::HUGEINT * ub1) * 10000000) //
+         |      (ua11::HUGEINT * ua22 - ua12::HUGEINT * ua12) AS BIGINT) AS x2
+         |  FROM ua),
+         |yi2 AS (SELECT r.event_type, count(*) AS n_users,
+         |    CAST(sum(xu2.x1 * xu2.x1) AS BIGINT) + 1000000 AS a11,
+         |    CAST(sum(xu2.x1 * xu2.x2) AS BIGINT) AS a12,
+         |    CAST(sum(xu2.x2 * xu2.x2) AS BIGINT) + 1000000 AS a22,
+         |    CAST(sum(r.r_c * xu2.x1) AS BIGINT) AS b1,
+         |    CAST(sum(r.r_c * xu2.x2) AS BIGINT) AS b2
+         |  FROM r JOIN xu2 USING (user_id) GROUP BY r.event_type)
+         |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(((b1::HUGEINT * a22 - b2::HUGEINT * a12) * 10000000) //
+         |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y1_micros,
+         |  CAST(((a11::HUGEINT * b2 - a12::HUGEINT * b1) * 10000000) //
+         |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_micros
+         |FROM yi2 ORDER BY event_type""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

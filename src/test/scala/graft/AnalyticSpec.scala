@@ -127,6 +127,76 @@ class AnalyticSpec extends SparkSpec {
       s"rank-2 item solve raised the ridge objective: ${j(yInit)} -> ${j(ySolved)}")
   }
 
+  test("rank-2 ALS alternation: BigInt replay; objective non-increasing over four half-solves") {
+    val got = q("q_als_rank2_step2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rC = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum }
+    // half-solve replays in BigInt (truncating division ≡ DIV ≡ //)
+    def itemSolve(x: Map[Long, (BigInt, BigInt)]): Map[String, (Long, BigInt, BigInt)] = {
+      val lam = BigInt(1000000)
+      rC.groupBy(_._1._2).map { case (it, cs) =>
+        val us = cs.keys.map(_._1).toSeq
+        val a11 = us.map(u => x(u)._1 * x(u)._1).sum + lam
+        val a12 = us.map(u => x(u)._1 * x(u)._2).sum
+        val a22 = us.map(u => x(u)._2 * x(u)._2).sum + lam
+        val b1 = cs.map { case ((u, _), r) => BigInt(r) * x(u)._1 }.sum
+        val b2 = cs.map { case ((u, _), r) => BigInt(r) * x(u)._2 }.sum
+        val det = a11 * a22 - a12 * a12
+        it -> (cs.size.toLong, (b1 * a22 - b2 * a12) * 10000000 / det,
+          (a11 * b2 - a12 * b1) * 10000000 / det)
+      }
+    }
+    def userSolve(y: Map[String, (BigInt, BigInt)]): Map[Long, (BigInt, BigInt)] = {
+      val lam = BigInt("1000000000000")
+      rC.groupBy(_._1._1).map { case (u, cs) =>
+        val is = cs.keys.map(_._2).toSeq
+        val a11 = is.map(i => y(i)._1 * y(i)._1).sum + lam
+        val a12 = is.map(i => y(i)._1 * y(i)._2).sum
+        val a22 = is.map(i => y(i)._2 * y(i)._2).sum + lam
+        val b1 = cs.map { case ((_, i), r) => BigInt(r) * y(i)._1 }.sum
+        val b2 = cs.map { case ((_, i), r) => BigInt(r) * y(i)._2 }.sum
+        val det = a11 * a22 - a12 * a12
+        u -> ((b1 * a22 - b2 * a12) * 10000000 / det,
+          (a11 * b2 - a12 * b1) * 10000000 / det)
+      }
+    }
+    val xInit = rC.groupBy(_._1._1).map { case (u, cs) =>
+      u -> (BigInt(cs.values.sum) * 10 / (1 + cs.size), BigInt(1 + u % 199)) }
+    val y1 = itemSolve(xInit)
+    val x2 = userSolve(y1.map { case (i, v) => i -> (v._2, v._3) })
+    val y2 = itemSolve(x2)
+    assert(got.length == y2.size)
+    got.foreach { case (it, n, a, b) =>
+      val w = y2(it)
+      assert((n, a, b) == (w._1, w._2.toLong, w._3.toLong),
+        s"item $it: got ($n, $a, $b), want $w")
+    }
+    // ridge objective J = SSE + λ(Σ‖x‖² + Σ‖y‖²) must be non-increasing
+    // across init → item solve → user re-solve → item re-solve (each
+    // half-solve is the exact ridge optimum given the other side)
+    def j(x: Map[Long, (Double, Double)], y: Map[String, (Double, Double)]): Double = {
+      val sse = rC.map { case ((u, i), r) =>
+        val e = r / 100.0 - (x(u)._1 * y(i)._1 + x(u)._2 * y(i)._2); e * e }.sum
+      sse + x.values.map(v => v._1 * v._1 + v._2 * v._2).sum +
+        y.values.map(v => v._1 * v._1 + v._2 * v._2).sum
+    }
+    val xd0 = xInit.map { case (u, v) => u -> (v._1.toDouble / 1e3, v._2.toDouble / 1e3) }
+    val xd2 = x2.map { case (u, v) => u -> (v._1.toDouble / 1e3, v._2.toDouble / 1e3) }
+    val yd0 = y1.map { case (i, _) => i -> (1.0, 0.0) }
+    val yd1 = y1.map { case (i, v) => i -> (v._2.toDouble / 1e6, v._3.toDouble / 1e6) }
+    val yd2 = y2.map { case (i, v) => i -> (v._2.toDouble / 1e6, v._3.toDouble / 1e6) }
+    val js = Seq(j(xd0, yd0), j(xd0, yd1), j(xd2, yd1), j(xd2, yd2))
+    js.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1.0 + 1e-9), s"objective rose along the alternation: $js")
+    }
+    // the second alternation actually moved the factors (non-vacuous)
+    assert(got.exists { case (it, _, a, b) =>
+      val v = y1(it); a != v._2.toLong || b != v._3.toLong })
+  }
+
   test("SweepLine running sum == global-window form on an adversarial stream") {
     import spark.implicits._
     // duplicate timestamps with mixed-sign deltas, a long gap (forces
