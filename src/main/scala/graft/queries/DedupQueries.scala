@@ -269,6 +269,42 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // store-lifecycle SCHEMA EVOLUTION (add-column — THE most common
+    // lakehouse evolution): the store gains a `lang` column via
+    // metadata-only ALTER TABLE between ingest batches
+    // (StagedLayouts.simhashStoreEvolved); legacy files lack the
+    // column and the reader NULL-fills it, the bucket spec survives,
+    // and the UNCHANGED probe plan serves the batch decisions PLUS the
+    // matched prior's lang (NULL when the nearest prior predates the
+    // evolution or is an in-batch doc). Scale shape: the lang lookup
+    // streams the store scan once with the batch-sized decision table
+    // BROADCAST against it (never a store-sized shuffle), and the
+    // no-match remainder recovers through a broadcast anti-join.
+    // Oracle = the whole-corpus recompute deriving lang from the
+    // deterministic doc_id rule — it never sees the store, the batches,
+    // or the ALTER. IncrementalSpec pins decisions ≡ dedup_incremental
+    // (evolution must never change answers), NULL-fill on legacy rows,
+    // and the exchange-free store scan.
+    "q_store_schema_evolution" -> ((s, dir) => {
+      val (tbl, thr) = graft.sources.StagedLayouts.simhashStoreEvolved(s, dir)
+      val store = s.table(tbl)
+      val dec = Dedup.incrementalDedup(store,
+          docs(s, dir).where(col("doc_id") > thr))
+        .localCheckpoint(true) // feeds two branches (match + anti)
+      val langLookup = store.where(col("lang").isNotNull)
+        .groupBy(col("doc_id").as("lp_doc")).agg(max(col("lang")).as("prior_lang"))
+      val matched = langLookup
+        .join(broadcast(dec), col("lp_doc") === col("nearest_prior"))
+        .drop("lp_doc")
+      val rest = dec
+        .join(broadcast(matched.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .withColumn("prior_lang", lit(null).cast("string"))
+      matched.unionByName(rest)
+        .select(col("doc_id"), col("kept"), col("n_prior_dups"),
+          col("nearest_prior"), col("min_ham"), col("prior_lang"))
+        .orderBy("doc_id")
+    }),
+
     // the MinHash-banded twin of dedup_incremental (Jaccard-similar
     // docs the token-frequency simhash profile can't catch): persisted
     // band-row store with signatures riding the rows, broadcast batch
@@ -573,9 +609,23 @@ object DedupQueries {
     * physically rewritten store) — compaction must never change
     * answers.
     */
-  private def incrementalSqlWith(excludeDeleted: Boolean): String = {
+  /** `withPriorLang` re-derives `q_store_schema_evolution`'s evolution
+    * column from the deterministic ingest rule alone: a prior carries
+    * lang iff it is a STORE doc (≤ thr) written post-evolution
+    * (doc_id % 3 = 2), with lang = ('en','de','fr')[(doc_id // 3) % 3]
+    * — the oracle never sees the store, the batch ladder, or the ALTER.
+    */
+  private def incrementalSqlWith(excludeDeleted: Boolean,
+      withPriorLang: Boolean = false): String = {
     val del = if (excludeDeleted)
       " AND NOT (doc_a % 17 = 3 AND doc_a <= (SELECT t FROM thr))" else ""
+    val lang = if (!withPriorLang) "" else
+      """,
+        |  CASE WHEN a.nearest_prior <= (SELECT t FROM thr)
+        |         AND a.nearest_prior % 3 = 2
+        |       THEN CASE ((a.nearest_prior // 3) % 3)
+        |         WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+        |       ELSE NULL END AS prior_lang""".stripMargin
     s"""WITH $simhashCtes,
        |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
        |blocks AS (SELECT doc_id, fp,
@@ -592,7 +642,7 @@ object DedupQueries {
        |        FROM p WHERE doc_b > (SELECT t FROM thr)$del GROUP BY doc_b)
        |SELECT f.doc_id, (a.doc_id IS NULL) AS kept,
        |  coalesce(a.n_prior_dups, CAST(0 AS BIGINT)) AS n_prior_dups,
-       |  a.nearest_prior, a.min_ham
+       |  a.nearest_prior, a.min_ham$lang
        |FROM fp f LEFT JOIN agg a ON a.doc_id = f.doc_id
        |WHERE f.doc_id > (SELECT t FROM thr)
        |ORDER BY f.doc_id""".stripMargin
@@ -1005,6 +1055,12 @@ object DedupQueries {
     // time travel to the pre-delete version must restore
     // dedup_incremental's answers EXACTLY — one oracle text, two reads
     "q_store_time_travel" -> incrementalSql,
+
+    // the same recompute + the rule-derived prior_lang column — the
+    // evolved store must serve identical decisions, and the evolution
+    // column must land exactly where the ingest rule says it does
+    "q_store_schema_evolution" ->
+      incrementalSqlWith(excludeDeleted = false, withPriorLang = true),
     "dedup_incremental_minhash" -> incrementalMinhashSql,
 
     "dedup_fuzzy_edit" ->

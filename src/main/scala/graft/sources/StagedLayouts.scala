@@ -466,6 +466,49 @@ object StagedLayouts {
     })
   }
 
+  /** The SCHEMA-EVOLVED simhash store — the add-column lifecycle step
+    * the versioned store family was missing: two legacy ingest batches
+    * written under the original (doc_id, fp, bk) schema, then
+    * `ALTER TABLE ... ADD COLUMNS (lang STRING)` (metadata-only — no
+    * file is rewritten, the Delta/Iceberg add-column shape), then one
+    * post-evolution batch carrying the new column. Old files simply
+    * lack the column and the reader NULL-fills it; the table keeps its
+    * `bk` bucket spec across the evolution, so the exchange-free probe
+    * plan survives (IncrementalSpec pins both). Batch split is the
+    * deterministic doc_id % 3 rule (2 = evolved), lang =
+    * ('en','de','fr')[(doc_id DIV 3) % 3] — reconstructible by the
+    * DuckDB oracle without ever seeing the store. Returns
+    * (table name, thr).
+    */
+  def simhashStoreEvolved(s: SparkSession, sfDir: String): (String, Long) = {
+    require(hookInstalled)
+    // hoisted out of the memo — the same-map "Recursive update" hazard
+    // (semDropStoreAppended scaladoc)
+    val (base, thr) = simhashStore(s, sfDir)
+    sigStore.computeIfAbsent(s"sigevo:$sfDir", _ => timing(s"sigevo:$sfDir") {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val name = s"graft_sigstore_evo_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore_evo").toString
+      staged.put(s"sigevostore:$sfDir", tmp)
+      val rows = s.table(base)
+      (0 until 2).foreach { day =>
+        val w = rows.where(col("doc_id") % 3 === day)
+          .repartition(8, col("bk"))
+          .write.bucketBy(8, "bk").sortBy("bk")
+        (if (day == 0) w.option("path", s"$tmp/$name").mode("overwrite")
+         else w.mode("append")).saveAsTable(name)
+      }
+      s.sql(s"ALTER TABLE $name ADD COLUMNS (lang STRING)")
+      rows.where(col("doc_id") % 3 === 2)
+        .withColumn("lang", expr(
+          "CASE ((doc_id DIV 3) % 3) WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END"))
+        .repartition(8, col("bk"))
+        .write.bucketBy(8, "bk").sortBy("bk")
+        .mode("append").saveAsTable(name)
+      (name, thr)
+    })
+  }
+
   /** The simhash store's VERSION MANIFEST — the read-at-version log
     * over the lifecycle the appended/compacted stores already stage:
     * copy-on-write keeps superseded versions on disk, and this tiny

@@ -280,6 +280,49 @@ class IncrementalSpec extends SparkSpec {
       "current-version serving changed after a time-travel read")
   }
 
+  test("lifecycle: schema evolution NULL-fills legacy rows, keeps decisions and the bucketed plan") {
+    import graft.sources.StagedLayouts
+    val (tbl, thr) = StagedLayouts.simhashStoreEvolved(spark, sf)
+    val store = spark.table(tbl)
+    // legacy rows (pre-ALTER files) read back NULL; evolved rows carry
+    // the deterministic rule's lang — schema evolution is metadata-only
+    val byGen = store.groupBy((col("doc_id") % 3 === 2).as("evolved"))
+      .agg(count(col("lang")).as("n_lang"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byGen(false)._1 == 0L && byGen(false)._2 > 0L,
+      "legacy rows must NULL-fill the evolved column")
+    assert(byGen(true)._1 == byGen(true)._2 && byGen(true)._2 > 0L,
+      "post-evolution rows must all carry lang")
+    // the evolved store must serve IDENTICAL decisions (evolution never
+    // changes answers), with prior_lang layered on top
+    val evo = graft.queries.DedupQueries
+      .queries("q_store_schema_evolution")(spark, sf).collect().toSeq
+    val plain = graft.queries.DedupQueries
+      .queries("dedup_incremental")(spark, sf).collect().toSeq
+    assert(evo.map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getInt(4))) ==
+      plain.map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getInt(4))),
+      "schema evolution changed serving decisions")
+    // the evolution column is observable (some matched prior is an
+    // evolved store row) and correctly absent elsewhere
+    val langs = evo.map(r => if (r.isNullAt(5)) null else r.getString(5))
+    assert(langs.exists(_ != null), "no decision surfaced an evolved prior")
+    evo.foreach { r =>
+      val hasLang = !r.isNullAt(5)
+      val prior = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(hasLang == prior.exists(p => p <= thr && p % 3 == 2),
+        s"prior_lang presence must follow the ingest rule: row $r")
+    }
+    // the bucket spec survived the ALTER: the store side of the probe
+    // plans with NO exchange (the exchange-free serving contract)
+    val p = plan(store.groupBy(col("bk")).agg(count(lit(1))))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"evolved store lost its bucketed layout:\n$p")
+  }
+
   test("lifecycle: cluster delete re-solve ≡ converged recompute on the post-delete prefix") {
     import graft.operators.StoreLifecycle
     val (thr, _) = bounds
