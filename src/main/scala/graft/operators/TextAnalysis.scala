@@ -440,6 +440,66 @@ object TextAnalysis {
     * convention. Docs with < 2 tokens surface with n_bigrams = 0
     * (explode_outer keeps them).
     */
+  /** RHO-loss learnability scoring (Mindermann et al., ICML 2022 —
+    * "points that are learnable, worth learning, and not yet learnt"):
+    * the two-model selection rule, score = loss(current model) −
+    * loss(holdout reference model), realized on the count-LM chassis
+    * of [[lmBigramScore]]. Two bigram models train on DISJOINT
+    * hash-bucket slices — the reference (clean holdout, bucket <
+    * `refLt`) and the current model's training pool (bucket ∈ [curGe,
+    * curLt)) — and every doc is scored against BOTH in one pass over
+    * the shared bigram stream (both capped models broadcast; the
+    * corpus text never shuffles). All outputs are integer counts, so
+    * the selection gate is exact (the lmBigramScore rationale: real
+    * RHO uses log-likelihoods, a monotone function of these counts,
+    * but ln() is not cross-engine bit-stable).
+    *
+    * Returns (doc_id, n_bigrams, n_ref_hits, n_cur_hits).
+    */
+  def lmRhoScore(docs: DataFrame, refLt: Int, curGe: Int, curLt: Int,
+      v: Int): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val withBg = docs.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+    val bkt = graft.queries.QueryHelpers.hashBucket(col("doc_id").cast("string"))
+    // ONE training scan for both models: explode the union of the two
+    // slices once, count per (bigram, slice) map-side-combined, then
+    // two bounded TakeOrdered selections over the (small) count table.
+    // Zero-count bigrams are filtered per side — each model sees only
+    // its own slice's bigrams, exactly as if trained separately.
+    // explode_OUTER + null-drop, NOT inner explode: inner explode lets
+    // InferFiltersFromGenerate clone the whole (interpreted-HOF) bigram
+    // expression into a size(bg) > 0 pre-filter — measured 16.3 s vs
+    // 0.39 s for the identical pass at sf0.1.
+    val counts = withBg
+      .where(bkt < refLt || (bkt >= curGe && bkt < curLt))
+      .select((bkt < refLt).as("is_ref"), explode_outer(col("bg")).as("bigram"))
+      .where(col("bigram").isNotNull)
+      .groupBy(col("bigram"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_cnt"))
+      .localCheckpoint(true) // feeds both model selections
+    val refModel = counts.where(col("ref_cnt") > 0L)
+      .select(col("bigram"), col("ref_cnt"))
+      .orderBy(col("ref_cnt").desc, col("bigram")).limit(v)
+    val curModel = counts.where(col("cur_cnt") > 0L)
+      .select(col("bigram"), col("cur_cnt"))
+      .orderBy(col("cur_cnt").desc, col("bigram")).limit(v)
+    withBg.select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+      .join(broadcast(refModel), Seq("bigram"), "left")
+      .join(broadcast(curModel), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("bigram")).as("n_bigrams"),
+        count(col("ref_cnt")).as("n_ref_hits"),
+        count(col("cur_cnt")).as("n_cur_hits"))
+  }
+
   def lmBigramScore(docs: DataFrame, refBucketLt: Int, v: Int): DataFrame = {
     val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
     // guard size>=2: Spark sequence(1, 0) counts DOWN (DuckDB range is

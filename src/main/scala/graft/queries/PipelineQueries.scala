@@ -147,6 +147,34 @@ object PipelineQueries {
         targetLang = "en", nBuckets = 64, topN = 100)
         .orderBy("rk")),
 
+    // RHO-loss learnability selection (Mindermann et al. ICML'22 —
+    // the two-model data-selection rule): score every doc by
+    // loss(current model) − loss(reference holdout model) and keep the
+    // top 64 — high loss under the trained pool but low loss under the
+    // clean holdout ⇒ learnable and not yet learnt; low rho ⇒ noise
+    // (unlearnable everywhere) or already learnt. Both models are the
+    // engine's count-LM (TextAnalysis.lmRhoScore: disjoint hash-bucket
+    // slices, top-1000-capped broadcast tables, ONE shared bigram
+    // pass), losses are the OOV-rate proxy in integer micros (BIGINT
+    // DIV — the text_ppl_buckets convention) so selection is exact.
+    // Selection is TakeOrderedAndProject, never a global sort.
+    "pipeline_rho_select" -> ((s, dir) => {
+      val sc = graft.operators.TextAnalysis.lmRhoScore(
+        Tables.documents(s, dir), refLt = 25, curGe = 50, curLt = 75, v = 1000)
+      def lossU(hits: String): org.apache.spark.sql.Column =
+        when(col("n_bigrams") === 0L, lit(1000000L))
+          .otherwise(expr(s"((n_bigrams - $hits) * 1000000) DIV n_bigrams"))
+      val scored = sc
+        .withColumn("loss_ref_u", lossU("n_ref_hits").cast("long"))
+        .withColumn("loss_cur_u", lossU("n_cur_hits").cast("long"))
+        .withColumn("rho_u", col("loss_cur_u") - col("loss_ref_u"))
+      scored.orderBy(col("rho_u").desc, col("doc_id")).limit(64)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rho_u").desc, col("doc_id"))).cast("int"))
+        .select(col("rk"), col("doc_id"), col("n_bigrams"),
+          col("loss_ref_u"), col("loss_cur_u"), col("rho_u"))
+    }),
+
     // deterministic global shuffle + sharding — the write-side of every
     // training run: shard = content-hash mod 16, within-shard order =
     // (hash, doc_id), so the permutation is reproducible across runs,
@@ -810,6 +838,57 @@ object PipelineQueries {
         |    (ORDER BY score_u DESC, doc_id) AS INT) AS rk FROM sel)
         |SELECT rk, doc_id, lang, n_words, score_u FROM r
         |WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    // rho twin: the text_lm_score tokenizer/bigram chain with TWO
+    // disjoint-slice models (holdout < 25, current pool [50, 75)),
+    // integer-micro losses via `//` == Spark DIV, top 64 by
+    // (rho DESC, doc_id)
+    "pipeline_rho_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM documents
+         |), bgs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg
+         |  FROM toks
+         |), refc AS (
+         |  SELECT bigram, count(*) AS ref_cnt FROM (
+         |    SELECT unnest(bg) AS bigram FROM bgs
+         |    WHERE ${QueryHelpers.hashBucketSql("CAST(doc_id AS VARCHAR)")} < 25
+         |  ) GROUP BY bigram
+         |  ORDER BY ref_cnt DESC, bigram LIMIT 1000
+         |), curc AS (
+         |  SELECT bigram, count(*) AS cur_cnt FROM (
+         |    SELECT unnest(bg) AS bigram FROM bgs
+         |    WHERE ${QueryHelpers.hashBucketSql("CAST(doc_id AS VARCHAR)")} >= 50
+         |      AND ${QueryHelpers.hashBucketSql("CAST(doc_id AS VARCHAR)")} < 75
+         |  ) GROUP BY bigram
+         |  ORDER BY cur_cnt DESC, bigram LIMIT 1000
+         |), ex AS (
+         |  SELECT doc_id, unnest(bg) AS bigram FROM bgs
+         |), j AS (
+         |  SELECT e.doc_id, count(*) AS nb,
+         |    count(r.ref_cnt) AS nrh, count(c.cur_cnt) AS nch
+         |  FROM ex e LEFT JOIN refc r USING (bigram)
+         |            LEFT JOIN curc c USING (bigram)
+         |  GROUP BY e.doc_id
+         |), sc AS (
+         |  SELECT t.doc_id,
+         |    CAST(coalesce(j.nb, 0) AS BIGINT) AS n_bigrams,
+         |    CAST(CASE WHEN coalesce(j.nb, 0) = 0 THEN 1000000
+         |      ELSE ((j.nb - j.nrh) * 1000000) // j.nb END AS BIGINT) AS loss_ref_u,
+         |    CAST(CASE WHEN coalesce(j.nb, 0) = 0 THEN 1000000
+         |      ELSE ((j.nb - j.nch) * 1000000) // j.nb END AS BIGINT) AS loss_cur_u
+         |  FROM toks t LEFT JOIN j ON t.doc_id = j.doc_id
+         |), rr AS (
+         |  SELECT *, loss_cur_u - loss_ref_u AS rho_u,
+         |    CAST(row_number() OVER (
+         |      ORDER BY loss_cur_u - loss_ref_u DESC, doc_id) AS INT) AS rk
+         |  FROM sc
+         |)
+         |SELECT rk, doc_id, n_bigrams, loss_ref_u, loss_cur_u, rho_u
+         |FROM rr WHERE rk <= 64 ORDER BY rk""".stripMargin,
 
     // A-Res twin: same md5 uniform and capped weight as
     // q_weighted_sample, same power-key, same (key6 DESC, doc_id) rank

@@ -379,6 +379,53 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == ranked.toSeq, "selection changed under repartitioning")
   }
 
+  test("rho select equals a full two-model driver replay; selection is learnability-ordered") {
+    val got = q("pipeline_rho_select").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // independent replay: same tokenizer, same disjoint-slice models
+    // (top-1000, ties lexicographic), same integer-micro losses
+    val rows = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val bgs = rows.map { case (id, t) =>
+      val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")).toSeq
+             else Seq.empty[String])
+    }
+    def model(pred: Long => Boolean): Set[String] =
+      bgs.filter(b => pred(bucket(b._1))).flatMap(_._2)
+        .groupBy(identity).map { case (bg, os) => bg -> os.size }.toSeq
+        .sortBy { case (bg, c) => (-c, bg) }.take(1000).map(_._1).toSet
+    val ref = model(_ < 25)
+    val cur = model(b => b >= 50 && b < 75)
+    assert(ref != cur, "the two slices must train distinguishable models")
+    val scored = bgs.map { case (id, bg) =>
+      val nb = bg.size.toLong
+      def loss(m: Set[String]): Long =
+        if (nb == 0) 1000000L else (nb - bg.count(m)) * 1000000L / nb
+      (id, nb, loss(ref), loss(cur))
+    }
+    val expect = scored.map { case (id, nb, lr, lc) => (id, nb, lr, lc, lc - lr) }
+      .sortBy { case (id, _, _, _, rho) => (-rho, id) }.take(64)
+      .zipWithIndex.map { case ((id, nb, lr, lc, rho), i) =>
+        (i + 1, id, nb, lr, lc, rho) }
+    assert(got.toSeq == expect.toSeq,
+      s"replay mismatch:\n got=${got.take(5).toSeq}…\n exp=${expect.take(5).toSeq}…")
+    // the rule selects real signal: scores spread, and every selected
+    // doc's rho dominates every unselected doc's
+    assert(got.map(_._6).distinct.length > 1, "rho is constant — vacuous gate")
+    val cut = got.map(_._6).min
+    val unselected = scored.map { case (id, _, lr, lc) => (lc - lr, id) }
+      .filterNot(s => got.exists(_._2 == s._2))
+    assert(unselected.forall(_._1 <= cut),
+      "an unselected doc outscores a selected one")
+  }
+
   test("A-Res WOR sample equals a driver-side recompute of top-50 keys") {
     val got = q("q_sample_wor").collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
