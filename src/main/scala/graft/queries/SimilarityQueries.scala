@@ -223,6 +223,70 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // SQ8 scalar quantization + recall/error report — the production
+    // ANN memory lever (1 byte/dim vs 8: an 8× store cut, the standard
+    // Faiss/Milvus SQ8 codec): per-dimension min/max trained on the
+    // corpus (ONE posexplode aggregate, 64 groups), codes
+    // floor((x−mn)·255/(mx−mn)+0.5), serving ASYMMETRIC (raw query ·
+    // decoded store — the ADC convention). Output per query: recall@3
+    // of the quantized ranking vs float truth + the exact INTEGER sum
+    // of |cos₅ − cosq₅| over the truth pairs (both cosines 5-dp-rounded
+    // to integer u5 first, so the error metric is order-free and
+    // hash-exact — no float sum ever crosses engines). Brute scoring is
+    // the codec-isolation baseline; at scale the codes ride the IVF
+    // bucketed stores (sim_ann_*_pq family) — this query gates the
+    // quantizer itself.
+    "sim_quant_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Similarity.emb(s, dir)
+      val dims = e.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val qz = dims.agg(
+        expr("transform(sort_array(collect_list(struct(i, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(sort_array(collect_list(struct(i, mx))), s -> s.mx)")
+          .as("mxs"))
+      val coded = e.crossJoin(broadcast(qz))
+        .withColumn("dec", expr(
+          """transform(sequence(1, 64), i ->
+            |  element_at(mns, i) + (CASE
+            |    WHEN element_at(mxs, i) > element_at(mns, i)
+            |    THEN floor((element_at(v, i) - element_at(mns, i)) * 255.0
+            |      / (element_at(mxs, i) - element_at(mns, i)) + 0.5)
+            |    ELSE 0.0 END)
+            |    * (element_at(mxs, i) - element_at(mns, i)) / 255.0)""".stripMargin))
+        .withColumn("dnrm", sqrt(graft.functions.ArrayKernels
+          .dotFast(col("dec"), col("dec"))))
+        .select(col("vec_id"), col("dec"), col("dnrm"))
+      val q = Similarity.withNorm(e).where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val jq = broadcast(q).crossJoin(coded)
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cosq5", rnd(graft.functions.ArrayKernels
+          .dotFast(col("qv"), col("dec")) / (col("qnrm") * col("dnrm")), 5))
+        .select(col("qid"), col("vec_id"), col("cosq5"))
+        .localCheckpoint(true) // feeds the top-k AND the error join
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cosq5").desc, col("vec_id"))
+      val tq = jq.withColumn("rk", row_number().over(wq)).where(col("rk") <= 3)
+        .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+      val truth = Similarity.bruteTopK(e, nQueries = 10, k = 3)
+        .select(col("qid"), col("vec_id"),
+          floor(col("cos5") * lit(1e5) + lit(0.5)).cast("long").as("c5u"))
+      truth
+        .join(tq, truth("qid") === tq("aqid") && truth("vec_id") === tq("avid"),
+          "left")
+        .join(jq.select(col("qid").as("jqid"), col("vec_id").as("jvid"),
+            floor(col("cosq5") * lit(1e5) + lit(0.5)).cast("long").as("q5u")),
+          truth("qid") === col("jqid") && truth("vec_id") === col("jvid"))
+        .groupBy(col("qid"))
+        .agg(count(col("avid")).as("n_hit"),
+          sum(abs(col("c5u") - col("q5u"))).as("err_u5"))
+        .withColumn("recall6", rnd(col("n_hit") / lit(3.0), 6))
+        .select(col("qid"), col("n_hit"), col("recall6"), col("err_u5"))
+        .orderBy("qid")
+    }),
+
     // the recall-vs-nprobe TUNING CURVE — sim_recall_report generalized
     // from the single nprobe=1 point to the sweep a production ANN
     // deployment actually runs to pick its operating point: total
@@ -912,6 +976,48 @@ object SimilarityQueries {
          |SELECT tb.qid, CAST(count(ta.vec_id) AS BIGINT) AS n_hit,
          |  ${rndSql("count(ta.vec_id) / 3.0", 6)} AS recall6
          |FROM tb LEFT JOIN ta ON tb.qid = ta.qid AND tb.vec_id = ta.vec_id
+         |GROUP BY tb.qid ORDER BY tb.qid""".stripMargin,
+
+    // SQ8 twin: per-dim min/max from ordinality-unnest, the identical
+    // floor-code/decode arithmetic in list form, asymmetric cosine on
+    // the dotUnrolledSql fold, error as exact integer |u5| sums
+    "sim_quant_recall" ->
+      s"""WITH $embCte,
+         |dm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM (
+         |    SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM en)
+         |  GROUP BY i),
+         |qz AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM dm),
+         |cdn AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(1, ${D + 1}), i ->
+         |      mns[i] + (CASE WHEN mxs[i] > mns[i]
+         |        THEN floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)
+         |        ELSE 0.0 END) * (mxs[i] - mns[i]) / 255.0) AS dec
+         |  FROM en CROSS JOIN qz),
+         |cd2 AS MATERIALIZED (SELECT vec_id, dec,
+         |    sqrt(${VecFunctions.dotUnrolledSql("dec", "dec", D)}) AS dnrm
+         |  FROM cdn),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |jq AS MATERIALIZED (SELECT q.qid, b.vec_id,
+         |    ${rndSql(s"(${VecFunctions.dotUnrolledSql("q.qv", "b.dec", D)}) / (q.qnrm * b.dnrm)", 5)} AS cosq5
+         |  FROM q, cd2 b WHERE b.vec_id <> q.qid),
+         |tq AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosq5 DESC, vec_id) AS rk
+         |    FROM jq) WHERE rk <= 3),
+         |jb AS (SELECT qid, vec_id, ${rndSql(cosN("qv", "v", "qnrm", "nrm"), 5)} AS cos5
+         |  FROM q, en WHERE vec_id <> qid),
+         |tb AS (SELECT qid, vec_id, cos5 FROM (
+         |    SELECT qid, vec_id, cos5,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS rk
+         |    FROM jb) WHERE rk <= 3)
+         |SELECT tb.qid, CAST(count(tq.vec_id) AS BIGINT) AS n_hit,
+         |  ${rndSql("count(tq.vec_id) / 3.0", 6)} AS recall6,
+         |  CAST(sum(abs(CAST(floor(tb.cos5 * 100000.0 + 0.5) AS BIGINT)
+         |    - CAST(floor(j2.cosq5 * 100000.0 + 0.5) AS BIGINT))) AS BIGINT) AS err_u5
+         |FROM tb
+         |LEFT JOIN tq ON tb.qid = tq.qid AND tb.vec_id = tq.vec_id
+         |JOIN jq j2 ON tb.qid = j2.qid AND tb.vec_id = j2.vec_id
          |GROUP BY tb.qid ORDER BY tb.qid""".stripMargin,
 
     // the curve's oracle: ONE brute-truth chain + ONE assignment chain,

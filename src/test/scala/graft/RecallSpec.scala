@@ -236,6 +236,62 @@ class RecallSpec extends SparkSpec {
     assert(kept.count() == emb.count())
   }
 
+  test("SQ8 quantizer: reconstruction bounded by half a step; report replays driver-side") {
+    val got = q("sim_quant_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    got.foreach { case (qid, nHit, rec, err) =>
+      assert(nHit >= 0 && nHit <= 3 && err >= 0L, s"malformed row $qid")
+      assert(math.abs(rec - nHit / 3.0) < 1e-6 + 1e-9, s"recall6 drifted at $qid")
+    }
+    // full driver replay: same quantizer, same asymmetric scoring, same
+    // rankings (the ascending-fold dot is the established bit-equal
+    // twin of dotFast)
+    val vs = Similarity.emb(spark, sf).select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val dim = vs.head._2.length
+    val mn = Array.tabulate(dim)(i => vs.map(_._2(i)).min)
+    val mx = Array.tabulate(dim)(i => vs.map(_._2(i)).max)
+    def dec(x: Array[Double]): Array[Double] = Array.tabulate(dim) { i =>
+      val code = if (mx(i) > mn(i))
+        math.floor((x(i) - mn(i)) * 255.0 / (mx(i) - mn(i)) + 0.5) else 0.0
+      mn(i) + code * (mx(i) - mn(i)) / 255.0
+    }
+    // reconstruction error is bounded by half a quantization step/dim
+    vs.foreach { case (id, v) =>
+      val d = dec(v)
+      (0 until dim).foreach { i =>
+        val step = (mx(i) - mn(i)) / 255.0
+        assert(math.abs(v(i) - d(i)) <= step / 2.0 + 1e-12,
+          s"vec $id dim $i reconstructs outside half a step")
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      (0 until dim).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def r5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
+    val nrm = vs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val dnm = vs.map { case (id, v) => id -> math.sqrt(dot(dec(v), dec(v))) }.toMap
+    val decs = vs.map { case (id, v) => id -> dec(v) }.toMap
+    val qs = vs.filter(_._1 < 10)
+    val expect = qs.map { case (qid, qv) =>
+      def rank(score: Long => Double) = vs.map(_._1).filter(_ != qid)
+        .map(id => (score(id), id)).sortBy { case (c, id) => (-c, id) }
+        .take(3).map(_._2).toSet
+      val truthS = vs.filter(_._1 != qid).map { case (id, v) =>
+        id -> r5(dot(qv, v) / (nrm(qid) * nrm(id))) }.toMap
+      val quantS = vs.filter(_._1 != qid).map { case (id, _) =>
+        id -> r5(dot(qv, decs(id)) / (nrm(qid) * dnm(id))) }.toMap
+      val tb = rank(truthS)
+      val tq = rank(quantS)
+      val err = tb.toSeq.map(id =>
+        math.abs(math.floor(truthS(id) * 1e5 + 0.5).toLong -
+          math.floor(quantS(id) * 1e5 + 0.5).toLong)).sum
+      (qid, (tb & tq).size.toLong, err)
+    }
+    assert(got.map(g => (g._1, g._2, g._4)).toSeq == expect.toSeq,
+      s"replay mismatch:\n got=${got.toSeq}\n exp=${expect.toSeq}")
+  }
+
   test("recall curve: monotone nondecreasing in nprobe, exact 1.0 at nprobe = nlist") {
     val rows = graft.queries.SimilarityQueries
       .queries("sim_recall_curve")(spark, sf)
