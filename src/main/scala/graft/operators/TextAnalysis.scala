@@ -440,6 +440,92 @@ object TextAnalysis {
     * convention. Docs with < 2 tokens surface with n_bigrams = 0
     * (explode_outer keeps them).
     */
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form and d = 0.75 are Chen & Goodman 1998's
+    * recommended configuration) — the real smoothed LM the count-LM
+    * proxies ([[lmBigramScore]]) stop short of, realized in EXACT
+    * integer micros so the gate is a hash match:
+    *
+    *   P(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/Npairs
+    *
+    * with d = 3/4 cleared to integers: term1 = (4·c12 − 3)·10⁶ DIV
+    * (4·c1), λ = 3·N1+(w1·)·10⁶ DIV (4·c1), Pcont = N1+(·w2)·10⁶ DIV
+    * Npairs, p_u = term1 + (λ·Pcont) DIV 10⁶; an unseen-history bigram
+    * (c1 = 0) backs off to Pcont directly. Every quantity is a BIGINT
+    * count or floor division — no float ever crosses engines.
+    *
+    * Scale shape: the model is the classic distributed LM layout —
+    * bigram counts are ONE map-side-combined aggregate, the w1/w2
+    * marginals derive from it reusing its (w1, w2) partitioning, the
+    * model stays distributed (NEVER collected or capped — unlike the
+    * broadcast proxy models), and the probe-doc bigram stream joins
+    * against it; Npairs rides a 1-row broadcast.
+    *
+    * The model trains on the held-in hash-bucket slice (< trainLt —
+    * the lmBigramScore split convention), the probe docs score
+    * regardless of slice: held-OUT probes carry genuinely unseen
+    * bigrams and histories, so every smoothing branch (discounted hit,
+    * continuation backoff, unseen history) is live in the gated
+    * output, not just the hit path.
+    *
+    * Returns per probe doc: (doc_id, n_bigrams, n_hit, n_zero,
+    * score_u) — n_hit = bigrams seen in training, n_zero = bigrams
+    * scored 0 (unseen continuation), score_u = Σ p_u exact.
+    */
+  def knBigramScore(docs: DataFrame, nProbe: Int, trainLt: Int): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val withBg = docs.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("bg"))
+    // explode_outer + null-drop, NOT inner explode: the
+    // InferFiltersFromGenerate trap (lmRhoScore scaladoc)
+    val pairs = withBg
+      .select(col("doc_id"), explode_outer(col("bg")).as("b"))
+      .where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = pairs
+      .where(graft.queries.QueryHelpers.hashBucket(
+        col("doc_id").cast("string")) < trainLt)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds three marginals + the probe join
+    val w1s = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val w2s = big.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bwd"))
+    val npairs = big.agg(count(lit(1)).as("npairs"))
+    val pb = pairs.where(col("doc_id") < nProbe)
+    val scored = pb
+      .join(big, Seq("w1", "w2"), "left")
+      .join(w1s, Seq("w1"), "left")
+      .join(w2s, Seq("w2"), "left")
+      .crossJoin(broadcast(npairs))
+      .withColumn("pcont_u",
+        expr("coalesce((n1p_bwd * 1000000) DIV npairs, 0)"))
+      .withColumn("p_u", expr(
+        """CASE WHEN c1 IS NOT NULL THEN
+          |  (CASE WHEN c12 IS NOT NULL
+          |     THEN ((4 * c12 - 3) * 1000000) DIV (4 * c1) ELSE 0 END)
+          |  + ((3 * n1p_fwd * 1000000) DIV (4 * c1) * pcont_u) DIV 1000000
+          |ELSE pcont_u END""".stripMargin))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c12")).as("n_hit"),
+        sum(when(col("p_u") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("p_u")).as("score_u"))
+    docs.where(col("doc_id") < nProbe).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_zero"), lit(0L)).as("n_zero"),
+        coalesce(col("score_u"), lit(0L)).as("score_u"))
+  }
+
   /** RHO-loss learnability scoring (Mindermann et al., ICML 2022 —
     * "points that are learnable, worth learning, and not yet learnt"):
     * the two-model selection rule, score = loss(current model) −

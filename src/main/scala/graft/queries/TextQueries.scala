@@ -94,6 +94,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // interpolated Kneser-Ney bigram scoring (d = 3/4, Chen & Goodman
+    // 1998's configuration) — the REAL smoothed LM behind the count-LM
+    // proxies, in exact integer micros end to end (knBigramScore
+    // scaladoc: the distributed-LM layout — uncapped model, marginals
+    // reuse the count aggregate's partitioning, probe stream joins it)
+    "text_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.knBigramScore(docs(s, dir), nProbe = 20, trainLt = 5)
+        .orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(docs(s, dir)).orderBy("doc_id")),
 
@@ -801,6 +810,60 @@ object TextQueries {
          |  END AS hit_avg
          |FROM toks t LEFT JOIN j ON t.doc_id = j.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Kneser-Ney twin: same tokenizer, the (w1, w2) pair chain, all
+    // marginals as exact counts, the identical integer-micro
+    // interpolation with `//` == Spark DIV
+    "text_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), pairs AS MATERIALIZED (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |      i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b
+        |    FROM toks)
+        |), big AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 5
+        |  GROUP BY 1, 2
+        |), w1s AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_fwd
+        |  FROM big GROUP BY w1
+        |), w2s AS (
+        |  SELECT w2, count(*) AS n1p_bwd FROM big GROUP BY w2
+        |), np AS (SELECT count(*) AS npairs FROM big),
+        |sc AS (
+        |  SELECT p.doc_id, b.c12, u.c1, u.n1p_fwd,
+        |    coalesce((v.n1p_bwd * 1000000) // np.npairs, 0) AS pcont_u
+        |  FROM (SELECT * FROM pairs WHERE doc_id < 20) p
+        |  LEFT JOIN big b USING (w1, w2)
+        |  LEFT JOIN w1s u USING (w1)
+        |  LEFT JOIN w2s v USING (w2)
+        |  CROSS JOIN np
+        |), pu AS (
+        |  SELECT doc_id, c12,
+        |    CASE WHEN c1 IS NOT NULL THEN
+        |      (CASE WHEN c12 IS NOT NULL
+        |         THEN ((4 * c12 - 3) * 1000000) // (4 * c1) ELSE 0 END)
+        |      + ((3 * n1p_fwd * 1000000) // (4 * c1) * pcont_u) // 1000000
+        |    ELSE pcont_u END AS p_u
+        |  FROM sc
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS nb, count(c12) AS nh,
+        |    CAST(sum(CASE WHEN p_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+        |    CAST(sum(p_u) AS BIGINT) AS su
+        |  FROM pu GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(a.nb, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  coalesce(a.nh, CAST(0 AS BIGINT)) AS n_hit,
+        |  coalesce(a.nz, CAST(0 AS BIGINT)) AS n_zero,
+        |  coalesce(a.su, CAST(0 AS BIGINT)) AS score_u
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // ppl-buckets twin: the text_lm_score model chain verbatim, score
     // integer-scaled with `//` == Spark DIV, same NTILE(3) over

@@ -548,4 +548,110 @@ class TextOpsSpec extends SparkSpec {
       if (head.nonEmpty && tail.nonEmpty) assert(head.max <= tail.min)
     }
   }
+
+  /** Exact integer replay of knBigramScore (same tokenizer, slice,
+    * counts, and d = 3/4 interpolation in Long arithmetic).
+    */
+  private def knReplay(rows: Seq[(Long, String)], nProbe: Int,
+      trainLt: Int): Map[Long, (Long, Long, Long, Long)] = {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val bg = rows.map { case (id, t) =>
+      val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (if (ts.length >= 2) ts.sliding(2).map(a => (a(0), a(1))).toSeq
+             else Seq.empty[(String, String)])
+    }
+    val big = bg.filter(b => bucket(b._1) < trainLt).flatMap(_._2)
+      .groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+    val c1 = big.groupBy(_._1._1).map { case (w, ps) => w -> ps.values.sum }
+    val n1pF = big.groupBy(_._1._1).map { case (w, ps) => w -> ps.size.toLong }
+    val n1pB = big.groupBy(_._1._2).map { case (w, ps) => w -> ps.size.toLong }
+    val np = big.size.toLong
+    bg.filter(_._1 < nProbe).map { case (id, ps) =>
+      val pus = ps.map { case (w1, w2) =>
+        val pcont = n1pB.get(w2).map(_ * 1000000L / np).getOrElse(0L)
+        val pu = c1.get(w1) match {
+          case Some(cw1) =>
+            val t1 = big.get((w1, w2))
+              .map(c12 => (4 * c12 - 3) * 1000000L / (4 * cw1)).getOrElse(0L)
+            t1 + (3 * n1pF(w1) * 1000000L / (4 * cw1)) * pcont / 1000000L
+          case None => pcont
+        }
+        (big.contains((w1, w2)), pu)
+      }
+      id -> (ps.size.toLong, pus.count(_._1).toLong,
+        pus.count(_._2 == 0L).toLong, pus.map(_._2).sum)
+    }.toMap
+  }
+
+  test("Kneser-Ney: fixture replay exact; smoothing branches live in the gated output") {
+    val got = graft.queries.TextQueries
+      .queries("text_kneser_ney")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = knReplay(rows, nProbe = 20, trainLt = 5)
+    val probeIds = rows.map(_._1).filter(_ < 20)
+    assert(got.keySet == probeIds.toSet)
+    probeIds.foreach { id =>
+      val e = expect.getOrElse(id, (0L, 0L, 0L, 0L))
+      assert(got(id) == e, s"doc $id: got ${got(id)}, want $e")
+    }
+    // the held-out probes genuinely exercise the smoothing: unseen
+    // bigrams exist (discount + continuation backoff paths live)
+    assert(got.values.exists(v => v._2 < v._1),
+      "every probe bigram was seen — the smoothing gate is vacuous")
+    // sanity: a hit-path score is a real probability mass (0 < p <= 1e6
+    // per bigram on average can exceed 1e6 only on degenerate corpora)
+    got.values.filter(_._1 > 0).foreach { case (nb, _, _, su) =>
+      assert(su > 0L, "scored doc got zero total mass") }
+  }
+
+  test("Kneser-Ney: all four branches on a designed toy; probabilities sum below unity") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    // a training id (bucket < 5) and a probe id (< nProbe, bucket >= 5)
+    val trainId = (0L until 500L).find(bucket(_) < 5).get
+    val probeId = (0L until 20L).find(id => bucket(id) >= 5 && id != trainId).get
+    val toy = Seq(
+      (trainId, "a b a c a b"),   // model: a-b ×2, b-a, a-c, c-a
+      (probeId, "a b z q b"))     // a-b seen; b-z unseen cont (p=0 via
+                                  // pcont(z)=0... z never continues);
+                                  // z-q unseen HISTORY; q-b backoff
+    val got = graft.operators.TextAnalysis
+      .knBigramScore(toy.toDF("doc_id", "text"), nProbe = 20, trainLt = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expect = knReplay(toy, nProbe = 20, trainLt = 5)
+    assert(got == expect, s"toy mismatch: got $got, want $expect")
+    val (nb, nh, nz, su) = got(probeId)
+    assert(nb == 4 && nh == 1, s"probe must hit exactly a-b: $nb/$nh")
+    assert(nz > 0, "unseen-continuation bigrams must score exactly 0")
+    assert(su > 0, "the hit + backoff mass must be positive")
+    // KN is a proper distribution: Σ_w2 P(w2|w1) over the FULL vocab =
+    // 1; the integer-micro replay over observed continuations must
+    // stay below unity (floor divisions only lose mass)
+    val ts = "a b a c a b".split(" ")
+    val pairs = ts.sliding(2).map(a => (a(0), a(1))).toSeq
+    val vocab = ts.distinct
+    val big = pairs.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val c1a = pairs.count(_._1 == "a").toLong
+    val n1pFa = big.keys.count(_._1 == "a").toLong
+    val np = big.size.toLong
+    val mass = vocab.map { w2 =>
+      val pcont = big.keys.count(_._2 == w2).toLong * 1000000L / np
+      val t1 = big.get(("a", w2))
+        .map(c => (4 * c - 3) * 1000000L / (4 * c1a)).getOrElse(0L)
+      t1 + (3 * n1pFa * 1000000L / (4 * c1a)) * pcont / 1000000L
+    }.sum
+    assert(mass <= 1000000L, s"P(·|a) exceeded unity: $mass")
+    assert(mass > 900000L, s"P(·|a) lost too much mass: $mass")
+  }
 }
