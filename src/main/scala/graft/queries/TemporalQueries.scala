@@ -202,6 +202,53 @@ object TemporalQueries {
           Window.orderBy(col("d6"), col("user_a"), col("pos_a"))).cast("int"))
         .select(col("rk"), col("user_a"), col("pos_a"),
           col("user_b"), col("pos_b"), col("d6"))
+    }),
+
+    // ---- CUSUM change-point detection (Page 1954; the positive-side
+    // tabular CUSUM with restart-after-alarm of Montgomery's SPC
+    // text): per user, S_i = max(0, S_{i-1} + (x_i − μ_u − k)), alarm
+    // when S_i > h, reset to 0 after each alarm. EXACT end to end:
+    // values in cents, μ_u = Σx DIV n, k = 2000 (20.00), h = 25000
+    // (250.00) — calibrated so both alarmed and quiet users exist at
+    // EVERY gate scale (1/15 at sf0.001, 46/150 at sf0.01, 496/1500
+    // at sf0.1).
+    // The sequential recurrence no window frame expresses runs as the
+    // q_ewma ordered-array fold — one hash shuffle by user, per-user
+    // state only; the struct accumulator carries (S, n_alarms,
+    // first_alarm_pos, pos, max_S), and since every op is integer the
+    // cross-engine equality is exact regardless of fold mechanics.
+    "q_ts_cusum" -> ((s, dir) => {
+      val k = 2000L; val h = 25000L
+      ev(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("xc"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("xc")))).as("vs"))
+        .withColumn("mu_c", expr("sx DIV n"))
+        .select(col("user_id"), col("n"), col("mu_c"),
+          expr(s"""aggregate(vs,
+            |  named_struct('s', CAST(0 AS BIGINT), 'na', CAST(0 AS BIGINT),
+            |    'fp', CAST(0 AS BIGINT), 'pos', CAST(0 AS BIGINT),
+            |    'smax', CAST(0 AS BIGINT)),
+            |  (acc, x) -> named_struct(
+            |    's', CASE WHEN greatest(CAST(0 AS BIGINT), acc.s + x.xc - mu_c - $k) > $h
+            |           THEN CAST(0 AS BIGINT)
+            |           ELSE greatest(CAST(0 AS BIGINT), acc.s + x.xc - mu_c - $k) END,
+            |    'na', acc.na + CASE WHEN greatest(CAST(0 AS BIGINT), acc.s + x.xc - mu_c - $k) > $h
+            |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+            |    'fp', CASE WHEN acc.fp <> 0 THEN acc.fp
+            |           WHEN greatest(CAST(0 AS BIGINT), acc.s + x.xc - mu_c - $k) > $h
+            |           THEN acc.pos + 1 ELSE CAST(0 AS BIGINT) END,
+            |    'pos', acc.pos + 1,
+            |    'smax', greatest(acc.smax,
+            |      greatest(CAST(0 AS BIGINT), acc.s + x.xc - mu_c - $k)))
+            |)""".stripMargin).as("st"))
+        .select(col("user_id"), col("n"), col("mu_c"),
+          col("st.na").as("n_alarms"), col("st.fp").as("first_alarm"),
+          col("st.smax").as("max_s"))
+        .orderBy("user_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -278,7 +325,49 @@ object TemporalQueries {
          |  FROM nn WHERE r = 1
          |)
          |SELECT rk, user_a, pos_a, user_b, pos_b, d6
-         |FROM top WHERE rk <= 20 ORDER BY rk""".stripMargin)
+         |FROM top WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // CUSUM twin: identical ordered value sequence, identical integer
+    // recurrence, realized as a RECURSIVE CTE stepping one element per
+    // round. NOT list_reduce with a struct accumulator: DuckDB's
+    // list_reduce mutates the struct accumulator in place and
+    // evaluates the result fields against the partially-updated state
+    // — observed smax = 2·s at fixture scale, and even with reads
+    // ordered before their fields' updates, 3/15000 groups still
+    // folded wrong at the derived volume (vector-batch dependent). The
+    // recursion is pure SQL: deterministic under any execution. All
+    // ops integer ⇒ exact.
+    "q_ts_cusum" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc
+        |  FROM events
+        |), g AS MATERIALIZED (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(xc) AS BIGINT) // count(*) AS mu_c,
+        |    list(xc ORDER BY ts_us, event_id) AS vs
+        |  FROM e GROUP BY user_id
+        |), st AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s,
+        |    CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS fp,
+        |    CAST(0 AS BIGINT) AS smax
+        |  FROM g
+        |  UNION ALL
+        |  SELECT user_id, pos + 1,
+        |    CASE WHEN s1 > 25000 THEN CAST(0 AS BIGINT) ELSE s1 END,
+        |    na + CASE WHEN s1 > 25000 THEN 1 ELSE 0 END,
+        |    CASE WHEN fp <> 0 THEN fp
+        |         WHEN s1 > 25000 THEN pos + 1 ELSE CAST(0 AS BIGINT) END,
+        |    greatest(smax, s1)
+        |  FROM (
+        |    SELECT st.user_id, st.pos, st.na, st.fp, st.smax,
+        |      greatest(0, st.s + g.vs[CAST(st.pos AS INT) + 1] - g.mu_c - 2000) AS s1
+        |    FROM st JOIN g USING (user_id) WHERE st.pos < g.n)
+        |)
+        |SELECT g.user_id, g.n, g.mu_c, st.na AS n_alarms,
+        |  st.fp AS first_alarm, st.smax AS max_s
+        |FROM g JOIN st ON st.user_id = g.user_id AND st.pos = g.n
+        |ORDER BY g.user_id""".stripMargin)
 
   /** CTE chain ending in `zs(user_id, pos, zw)` — every per-user
     * length-8 window z-normalized with the same frame-ordered lists and

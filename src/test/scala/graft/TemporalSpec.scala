@@ -95,6 +95,35 @@ class TemporalSpec extends SparkSpec {
       s"replay mismatch:\n got=${got.toSeq}\n exp=$expect")
   }
 
+  test("CUSUM equals a sequential driver replay; both alarmed and quiet users exist") {
+    val got = graft.queries.TemporalQueries
+      .queries("q_ts_cusum")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ev = evUs.select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (k, h) = (2000L, 25000L)
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      val xs = es.sortBy(e => (e._2, e._3))
+        .map(e => math.floor(e._4 * 100.0 + 0.5).toLong)
+      val mu = xs.sum / xs.length
+      var s = 0L; var na = 0L; var fp = 0L; var pos = 0L; var smax = 0L
+      xs.foreach { x =>
+        val s1 = math.max(0L, s + x - mu - k); pos += 1
+        if (s1 > h) { if (fp == 0L) fp = pos; na += 1; s = 0L } else s = s1
+        smax = math.max(smax, s1)
+      }
+      u -> (xs.length.toLong, mu, na, fp, smax)
+    }
+    assert(got == expect, s"CUSUM replay mismatch")
+    assert(got.values.exists(_._3 > 0L), "no user ever alarms — gate vacuous")
+    assert(got.values.exists(_._3 == 0L), "every user alarms — threshold toothless")
+    // first_alarm is consistent: set iff any alarm, within the series
+    got.foreach { case (u, (n, _, na, fp, _)) =>
+      assert((na > 0) == (fp > 0) && fp <= n, s"user $u alarm bookkeeping broken")
+    }
+  }
+
   test("asOf matches per-row brute-force argmax") {
     val e = evUs
     val clicks = e.where(col("event_type") === "click")
