@@ -61,6 +61,41 @@ object StreamingQueries {
     p
   }
 
+  /** Stage the events fixture as THREE event-time-ordered tertile
+    * files (one micro-batch each under maxFilesPerTrigger=1) — the
+    * staging contract of every order-sensitive stateful sink
+    * (stream_subseq_sink, stream_cusum_sink): batch k's events all
+    * precede batch k+1's in (ts_us, event_id) order, so a per-batch
+    * sorted fold composes into the global sequential fold. Tertile
+    * rank is in the MATCHER'S order — (ts_us, event_id), not (ts_ns,
+    * event_id): with nano-precision fixtures two same-user events can
+    * share ts_us with opposite ns/id order, and a ns-ranked boundary
+    * between them would stage them out of the order the per-batch
+    * sort + oracle use (review finding, fixed before any fixture
+    * exposed it).
+    */
+  private def stageTertiles(ev: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val tmp = tempDir("graft_stream_tssrc", deferred = false)
+    val ranked = ev.withColumn("_t", ntile(3).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(expr("ts_ns DIV 1000"), col("event_id"))))
+    (1 to 3).foreach { i =>
+      val sub = tempDir("graft_stream_tspart", deferred = false)
+      ranked.where(col("_t") === i)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = java.nio.file.Files.list(sub).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = tmp.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      deleteNow(sub)
+    }
+    tmp
+  }
+
   /** Copy the events fixture (single file or part-file dir) into `tmp`
     * once per prefix — N prefixes model at-least-once re-delivery of the
     * whole feed.
@@ -160,6 +195,7 @@ object StreamingQueries {
   private val topkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val sketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val qsketchRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val cusumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def runToParquet(df: DataFrame, statePartitions: Int = 0,
       stagedSrc: Option[String] = None,
@@ -554,29 +590,7 @@ object StreamingQueries {
           col("event_id"), col("value"))
         .orderBy(col("ts_us"), col("event_id")).limit(m)
         .collect().map(_.getDouble(2))
-      val tmp = tempDir("graft_stream_tssrc", deferred = false)
-      // tertile rank in the MATCHER'S order — (ts_us, event_id), not
-      // (ts_ns, event_id): with nano-precision fixtures two same-user
-      // events can share ts_us with opposite ns/id order, and a ns-
-      // ranked boundary between them would stage them out of the order
-      // the per-batch sort + oracle use (review finding, fixed before
-      // any fixture exposed it)
-      val ranked = ev.withColumn("_t", ntile(3).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(expr("ts_ns DIV 1000"), col("event_id"))))
-      (1 to 3).foreach { i =>
-        val sub = tempDir("graft_stream_tspart", deferred = false)
-        ranked.where(col("_t") === i)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-        val part = java.nio.file.Files.list(sub).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = tmp.resolve(s"b$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-        deleteNow(sub)
-      }
+      val tmp = stageTertiles(ev)
       val stream = graft.Tables.normalizeEvents(
         s.readStream.schema(EventStream.storedSchema(s, tmp.toString))
           .option("maxFilesPerTrigger", 1).parquet(tmp.toString))
@@ -585,6 +599,44 @@ object StreamingQueries {
         statePartitions = defaultStateParts, stagedSrc = Some(tmp.toString),
         expectMinDataBatches = 2)
       s.read.parquet(sink).orderBy("user_id", "pos")
+    }),
+
+    // CONTINUOUS CUSUM drift alerting (EventStream.cusumAlarms
+    // scaladoc — the online form of q_ts_cusum and the 16th gated
+    // streaming shape): three event-time tertile micro-batches, one
+    // 5-long state record per user carried across boundaries, and a
+    // KNOWN in-control target μ0 = the global stream mean (the SPC
+    // calibrated-target convention — an online detector cannot know
+    // per-user means mid-stream; μ0 is derived from the static table,
+    // a 1-row driver read). Update mode → memory sink; pos is monotone
+    // per update so max(struct) drains each user's FINAL state (the
+    // totals pattern). Oracle = the batch recursive-CTE recompute with
+    // the global target (TemporalQueries.cusumCtes(perUserMu = false)
+    // — shared builder, cross-module like subseqCtes); equality needs
+    // alarms whose accumulation SPANS batch boundaries.
+    "stream_cusum_sink" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      val mu0 = ev
+        .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("xc"))
+        .agg(expr("sum(xc) DIV count(*)")).head().getLong(0)
+      val tmp = stageTertiles(ev)
+      try {
+        val name = s"graft_cusum_${cusumRuns.incrementAndGet()}"
+        val stream = graft.Tables.normalizeEvents(
+          s.readStream.schema(EventStream.storedSchema(s, tmp.toString))
+            .option("maxFilesPerTrigger", 1).parquet(tmp.toString))
+        val sink = EventStream.runToMemory(s,
+          EventStream.cusumAlarms(stream, mu0, k = 2000L, h = 25000L).toDF(),
+          name, OutputMode.Update())
+        sink.groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("n_alarms"), col("first_alarm"),
+            col("max_s"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            col("m.n_alarms").as("n_alarms"),
+            col("m.first_alarm").as("first_alarm"),
+            col("m.max_s").as("max_s"))
+          .orderBy("user_id")
+      } finally deleteNow(tmp)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -784,5 +836,16 @@ object StreamingQueries {
     "stream_subseq_sink" ->
       s"""WITH ${TemporalQueries.subseqCtes}
          |SELECT user_id, pos, d6 FROM d WHERE d6 <= 4.0
-         |ORDER BY user_id, pos""".stripMargin)
+         |ORDER BY user_id, pos""".stripMargin,
+
+    // the streaming detector's oracle: the SHARED recursive CUSUM
+    // chain at the GLOBAL in-control target — the drained final state
+    // can only equal this if alarms whose accumulation spans batch
+    // boundaries came out right
+    "stream_cusum_sink" ->
+      s"""WITH RECURSIVE ${TemporalQueries.cusumCtes(perUserMu = false)}
+         |SELECT g.user_id, g.n, st.na AS n_alarms,
+         |  st.fp AS first_alarm, st.smax AS max_s
+         |FROM g JOIN st ON st.user_id = g.user_id AND st.pos = g.n
+         |ORDER BY g.user_id""".stripMargin)
 }

@@ -338,36 +338,59 @@ object TemporalQueries {
     // recursion is pure SQL: deterministic under any execution. All
     // ops integer ⇒ exact.
     "q_ts_cusum" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc
-        |  FROM events
-        |), g AS MATERIALIZED (
+      s"""WITH RECURSIVE ${cusumCtes(perUserMu = true)}
+         |SELECT g.user_id, g.n, g.mu_c, st.na AS n_alarms,
+         |  st.fp AS first_alarm, st.smax AS max_s
+         |FROM g JOIN st ON st.user_id = g.user_id AND st.pos = g.n
+         |ORDER BY g.user_id""".stripMargin)
+
+  /** Recursive-CTE CUSUM chain ending in `st(user_id, pos, s, na, fp,
+    * smax)` over `g(user_id, n, mu_c, vs)` — one recursion round per
+    * series element. `perUserMu` prices the in-control target as each
+    * user's own mean (q_ts_cusum's retrospective form) vs the GLOBAL
+    * stream mean (stream_cusum_sink's known-target online form).
+    * Callers prefix `WITH RECURSIVE`. Shared builder — see the
+    * q_ts_cusum oracle comment for why this is a recursion and never a
+    * list_reduce struct fold.
+    */
+  private[queries] def cusumCtes(perUserMu: Boolean): String = {
+    val g = if (perUserMu)
+      """g AS MATERIALIZED (
         |  SELECT user_id, count(*) AS n,
         |    CAST(sum(xc) AS BIGINT) // count(*) AS mu_c,
         |    list(xc ORDER BY ts_us, event_id) AS vs
         |  FROM e GROUP BY user_id
-        |), st AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s,
-        |    CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS fp,
-        |    CAST(0 AS BIGINT) AS smax
-        |  FROM g
-        |  UNION ALL
-        |  SELECT user_id, pos + 1,
-        |    CASE WHEN s1 > 25000 THEN CAST(0 AS BIGINT) ELSE s1 END,
-        |    na + CASE WHEN s1 > 25000 THEN 1 ELSE 0 END,
-        |    CASE WHEN fp <> 0 THEN fp
-        |         WHEN s1 > 25000 THEN pos + 1 ELSE CAST(0 AS BIGINT) END,
-        |    greatest(smax, s1)
-        |  FROM (
-        |    SELECT st.user_id, st.pos, st.na, st.fp, st.smax,
-        |      greatest(0, st.s + g.vs[CAST(st.pos AS INT) + 1] - g.mu_c - 2000) AS s1
-        |    FROM st JOIN g USING (user_id) WHERE st.pos < g.n)
-        |)
-        |SELECT g.user_id, g.n, g.mu_c, st.na AS n_alarms,
-        |  st.fp AS first_alarm, st.smax AS max_s
-        |FROM g JOIN st ON st.user_id = g.user_id AND st.pos = g.n
-        |ORDER BY g.user_id""".stripMargin)
+        |)""".stripMargin
+    else
+      """m0 AS MATERIALIZED (
+        |  SELECT CAST(sum(xc) AS BIGINT) // count(*) AS mu FROM e
+        |), g AS MATERIALIZED (
+        |  SELECT user_id, count(*) AS n, (SELECT mu FROM m0) AS mu_c,
+        |    list(xc ORDER BY ts_us, event_id) AS vs
+        |  FROM e GROUP BY user_id
+        |)""".stripMargin
+    s"""e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc
+       |  FROM events
+       |), $g, st AS (
+       |  SELECT user_id, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s,
+       |    CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS fp,
+       |    CAST(0 AS BIGINT) AS smax
+       |  FROM g
+       |  UNION ALL
+       |  SELECT user_id, pos + 1,
+       |    CASE WHEN s1 > 25000 THEN CAST(0 AS BIGINT) ELSE s1 END,
+       |    na + CASE WHEN s1 > 25000 THEN 1 ELSE 0 END,
+       |    CASE WHEN fp <> 0 THEN fp
+       |         WHEN s1 > 25000 THEN pos + 1 ELSE CAST(0 AS BIGINT) END,
+       |    greatest(smax, s1)
+       |  FROM (
+       |    SELECT st.user_id, st.pos, st.na, st.fp, st.smax,
+       |      greatest(0, st.s + g.vs[CAST(st.pos AS INT) + 1] - g.mu_c - 2000) AS s1
+       |    FROM st JOIN g USING (user_id) WHERE st.pos < g.n)
+       |)""".stripMargin
+  }
 
   /** CTE chain ending in `zs(user_id, pos, zw)` — every per-user
     * length-8 window z-normalized with the same frame-ordered lists and

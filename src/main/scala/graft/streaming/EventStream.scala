@@ -495,6 +495,52 @@ object EventStream {
     * (ascending foldLeft ≡ the aggregate/list_reduce folds — the
     * TemporalSpec replay pins driver-fold ≡ codegen equality).
     */
+  final case class CusumState(s: Long, na: Long, fp: Long, pos: Long, smax: Long)
+  final case class CusumRow(user_id: Long, n: Long, n_alarms: Long,
+      first_alarm: Long, max_s: Long)
+
+  /** Streaming CUSUM change-point detection (the online form of
+    * q_ts_cusum — Page 1954's sequential test IS a streaming
+    * algorithm; this is its production shape, continuous per-key drift
+    * alerting). State is ONE 5-long record per user: (S, n_alarms,
+    * first_alarm_pos, pos, max_S). The in-control target μ0 is a KNOWN
+    * constant (SPC convention — a calibrated target, not the per-user
+    * mean, which no online detector can know mid-stream). Within each
+    * micro-batch the group's rows fold in (ts_us, event_id) order;
+    * with batches staged in event-time order (the subseq tertile
+    * contract) the composed fold IS the sequential batch fold, so the
+    * drained final state hash-gates against the batch recompute.
+    * All arithmetic integer cents — exact.
+    */
+  def cusumAlarms(events: DataFrame, mu0: Long, k: Long, h: Long): Dataset[CusumRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col("user_id").isNotNull)
+      .select(col("user_id").cast("long"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("event_id").cast("long"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("xc"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val s1 = math.max(0L, st.s + r._4 - mu0 - k)
+            val pos = st.pos + 1
+            val alarm = s1 > h
+            st = CusumState(
+              if (alarm) 0L else s1,
+              st.na + (if (alarm) 1L else 0L),
+              if (st.fp != 0L) st.fp else if (alarm) pos else 0L,
+              pos,
+              math.max(st.smax, s1))
+          }
+          state.update(st)
+          CusumRow(uid, st.pos, st.na, st.fp, st.smax)
+      }
+  }
+
   def subseqMatches(events: DataFrame, qv: Array[Double], m: Int,
       tau: Double): Dataset[SubseqMatch] = {
     val spark = events.sparkSession

@@ -219,6 +219,52 @@ class StreamingHygieneSpec extends SparkSpec {
       s"no emitted match spans a batch boundary — the state contract is unexercised (${got.length} matches)")
   }
 
+  test("streaming CUSUM carries alarm accumulation ACROSS micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQueries.queries("stream_cusum_sink")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // sequential replay at the GLOBAL target — the online detector's
+    // definition; equality across the 3-tertile staging proves the
+    // per-user state composed across boundaries
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val cents = ev.map(e => math.floor(e._4 * 100.0 + 0.5).toLong)
+    val mu0 = cents.sum / cents.length
+    val (k, h) = (2000L, 25000L)
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      val xs = es.sortBy(e => (e._2 / 1000, e._3))
+        .map(e => math.floor(e._4 * 100.0 + 0.5).toLong)
+      var s = 0L; var na = 0L; var fp = 0L; var pos = 0L; var smax = 0L
+      xs.foreach { x =>
+        val s1 = math.max(0L, s + x - mu0 - k); pos += 1
+        if (s1 > h) { if (fp == 0L) fp = pos; na += 1; s = 0L } else s = s1
+        smax = math.max(smax, s1)
+      }
+      u -> (xs.length.toLong, na, fp, smax)
+    }
+    assert(got == expect, "streamed CUSUM state diverged from the sequential replay")
+    assert(got.values.exists(_._2 > 0L) && got.values.exists(_._2 == 0L),
+      "fixture must produce both alarmed and quiet users")
+    // non-vacuity of the STATE contract: some user's first alarm lands
+    // beyond its batch-1 share, so its S accumulation crossed a staged
+    // tertile boundary (tertile reconstruction in the staging order —
+    // (ts_us, event_id), the subseq test's rule)
+    val n = ev.length
+    val tertOf = ev.sortBy(e => (e._2 / 1000, e._3)).zipWithIndex.map { case (e, i) =>
+      val (big, rem) = (n / 3 + 1, n % 3)
+      val t = if (i < big.toLong * rem) i / big + 1
+        else ((i - big * rem) / (n / 3)) + rem + 1
+      (e._1, e._3) -> t
+    }.toMap
+    val b1Count = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.count(e => tertOf((u, e._3)) == 1).toLong
+    }
+    assert(got.exists { case (u, (_, na, fp, _)) => na > 0 && fp > b1Count(u) },
+      "every first alarm fired inside batch 1 — the cross-batch state is unexercised")
+  }
+
   test("continuous semDedup ingest equals the batch path row-for-row") {
     // the stream ran ≥2 genuine micro-batches (the query asserts it),
     // yet the final state must be indistinguishable from the one-shot
