@@ -180,7 +180,17 @@ object PlanAudit {
     // one SAX-word self-join (shuffle bounded by the signature) +
     // partial-aggregating per-window min + TakeOrderedAndProject
     "q_store_time_travel", "q_als_rank2_step", "text_unigram_train",
-    "q_ts_motif")
+    "q_ts_motif",
+    // round 17 wave 2: schema evolution must keep the bucketed store
+    // scan exchange-free with the decisions broadcast against it; the
+    // rank-2 alternation stays two map-side-combined aggregates per
+    // half-solve; rho trains both models from ONE bigram pass (both
+    // broadcast); Kneser-Ney's uncapped model joins reuse the count
+    // aggregate's partitioning; SQ8 is one posexplode aggregate + a
+    // broadcast quantizer + the brute ADC pass; CUSUM is the q_ewma
+    // single-shuffle ordered-fold shape
+    "q_store_schema_evolution", "q_als_rank2_step2", "pipeline_rho_select",
+    "text_kneser_ney", "sim_quant_recall", "q_ts_cusum")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form
