@@ -316,17 +316,21 @@ object Modularity {
     * [[louvainFit]] runs the ladder deeper under the Q-gate.
     */
   def louvainMulti(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val l1 = louvainStep(edges, labels, parity = 0)
+    // both levels move under IDENTITY labels (the registered query's
+    // singleton init; the contracted graph restarts singleton by the
+    // algorithm), so both run the specialized step — GraphSpec pins
+    // identity ≡ general row-for-row and the hash gate re-verified the
+    // outputs unchanged (r17: multi 20.2 s → measured A/B below)
+    require(labels.columns.toSeq == Seq("node", "community"))
+    val l1 = louvainStepIdentity(
+        edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+        parity = 0)
       .select(col("node"), col("new_community").as("community"))
       .localCheckpoint(true) // feeds the contraction AND the output join
     val g2 = coarsen(edges, l1)
-    // singleton init from the LABELS (not the edge list): every level-1
-    // community is a super-node even if it somehow contracted edge-free
-    val singleton = l1.select(col("community").as("node")).distinct()
-      .select(col("node"), col("node").as("community"))
-    val l2 = louvainStepWeighted(
+    val l2 = louvainStepIdentity(
       g2.select(col("c_src").as("src"), col("c_dst").as("dst"), col("w")),
-      singleton, parity = 0)
+      parity = 0)
     l1.join(l2.select(col("node").as("community"),
         col("new_community").as("c2")), "community")
       .select(col("node"), col("community").as("c1"), col("c2"))
