@@ -287,15 +287,26 @@ object Modularity {
   }
 
   /** The fixed-2-level Louvain DRIVER (Blondel et al. 2008's outer
-    * loop, unrolled to the two levels the registered pieces compose):
+    * loop, unrolled to the two levels the registered pieces compose),
+    * always from the published SINGLETON initialization — every node
+    * its own community — which is why both levels run the
+    * [[louvainStepIdentity]] specialization:
     *
-    *   level 1: [[louvainStep]] half-sweep on the input graph refines
-    *            `labels` → L1;
+    *   level 1: [[louvainStepIdentity]] half-sweep on the input graph
+    *            (identity labels ARE the singleton init) → L1;
     *   contract: [[coarsen]] collapses L1 into the weighted super-graph
     *            (tiny by construction — that is the phase's point);
-    *   level 2: [[louvainStepWeighted]] half-sweep on the super-graph
-    *            from SINGLETON communities (each super-node its own —
-    *            the published initialization) merges super-nodes.
+    *   level 2: [[louvainStepIdentity]] half-sweep on the super-graph —
+    *            the contracted graph restarts singleton by the
+    *            algorithm, so the identity specialization applies
+    *            again (GraphSpec pins identity ≡ general row-for-row
+    *            on both fixture levels and both parities).
+    *
+    * Node-universe contract: the output covers exactly the edge SRC
+    * set (the step's degree aggregate defines the node set). The
+    * supply-graph contract feeds a SYMMETRIC edge list, so src = src ∪
+    * dst; a caller with an asymmetric list must symmetrize first or
+    * sink-only nodes are absent from the output.
     *
     * Output: one row per ORIGINAL node, (node, c1, c2) — its level-1
     * community and its final community after the level-2 merge (the
@@ -309,19 +320,14 @@ object Modularity {
     * half the nodes, so a single level's contraction shrinks the graph
     * by ~2×, not to |C|² triviality (sf0.1: 21k nodes → ~10.5k
     * super-nodes; level 2's joins run over a comparably-sized edge
-    * list — multi costs ~2 levels' worth of edge passes, ~17 s cold at
-    * sf0.1). The drastic published contraction comes from iterating
-    * the move phase to convergence WITHIN a level; this operator
-    * registers the exactly-replayable one-sweep-per-level form, and
-    * [[louvainFit]] runs the ladder deeper under the Q-gate.
+    * list — multi costs ~2 levels' worth of edge passes, ~8 s cold at
+    * sf0.1 on the identity step). The drastic published contraction
+    * comes from iterating the move phase to convergence WITHIN a
+    * level; this operator registers the exactly-replayable
+    * one-sweep-per-level form, and [[louvainFit]] runs the ladder
+    * deeper under the Q-gate.
     */
-  def louvainMulti(edges: DataFrame, labels: DataFrame): DataFrame = {
-    // both levels move under IDENTITY labels (the registered query's
-    // singleton init; the contracted graph restarts singleton by the
-    // algorithm), so both run the specialized step — GraphSpec pins
-    // identity ≡ general row-for-row and the hash gate re-verified the
-    // outputs unchanged (r17: multi 20.2 s → measured A/B below)
-    require(labels.columns.toSeq == Seq("node", "community"))
+  def louvainMulti(edges: DataFrame): DataFrame = {
     val l1 = louvainStepIdentity(
         edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
         parity = 0)

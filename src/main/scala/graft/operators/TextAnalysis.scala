@@ -470,7 +470,10 @@ object TextAnalysis {
     *
     * Returns per probe doc: (doc_id, n_bigrams, n_hit, n_zero,
     * score_u) — n_hit = bigrams seen in training, n_zero = bigrams
-    * scored 0 (unseen continuation), score_u = Σ p_u exact.
+    * whose integer-micro score floors to 0 (mostly unseen
+    * continuations, but a seen-history — even hit — bigram can also
+    * floor to 0 when both its discounted term and its λ·Pcont product
+    * truncate below one micro), score_u = Σ p_u exact.
     */
   def knBigramScore(docs: DataFrame, nProbe: Int, trainLt: Int): DataFrame = {
     val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")

@@ -218,13 +218,9 @@ object GraphQueries {
     // merges super-nodes and Q(c2) ≥ Q(c1) on the fixture (measured:
     // sf0.001 lifts the exact Q numerator −1,448,502 → −369,994 with
     // 100 level-2 moves; sf0.01 −3.75e7 → +6.43e7 with 218).
-    "graph_louvain_multi" -> ((s, dir) => {
-      val edges = supplyEdges(s, dir)
-      val singleton = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("community"))
-      graft.operators.Modularity.louvainMulti(edges, singleton)
-        .orderBy("node")
-    }),
+    "graph_louvain_multi" -> ((s, dir) =>
+      graft.operators.Modularity.louvainMulti(supplyEdges(s, dir))
+        .orderBy("node")),
 
     // the FREE-CONVERGENCE Louvain driver (Modularity.louvainFit
     // scaladoc) — the published outer loop run as a best-of ladder

@@ -248,7 +248,7 @@ object SimilarityQueries {
           .as("mxs"))
       val coded = e.crossJoin(broadcast(qz))
         .withColumn("dec", expr(
-          """transform(sequence(1, 64), i ->
+          s"""transform(sequence(1, $D), i ->
             |  element_at(mns, i) + (CASE
             |    WHEN element_at(mxs, i) > element_at(mns, i)
             |    THEN floor((element_at(v, i) - element_at(mns, i)) * 255.0

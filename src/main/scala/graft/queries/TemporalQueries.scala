@@ -135,12 +135,16 @@ object TemporalQueries {
     // other-window semantics, Yeh et al. ICDM'16). Semantics: candidates
     // = window pairs sharing the full 8-symbol alphabet-4 SAX word
     // (breakpoints at the standard-normal quartiles ±0.6744897501960817
-    // and 0); trivial matches excluded matrix-profile-style (same user,
-    // |Δpos| < 8); per-window nearest by (d6, user_b, pos_b); output =
-    // global top 20 motif anchors by (d6, user_a, pos_a). Exactness:
-    // zw is computed ONCE per window with the ascending-fold discipline
-    // and the SAX symbol + distance both derive from those bits, so the
-    // bucket membership and ranking are bit-identical across engines.
+    // and 0); CONSTANT windows (sd_w = 0) are excluded from the motif
+    // space entirely — the matrix-profile convention for zero-variance
+    // subsequences, whose z-norm is undefined (see [[motifWindows]] for
+    // the scale rationale); trivial matches excluded matrix-profile-
+    // style (same user, |Δpos| < 8); per-window nearest by (d6, user_b,
+    // pos_b); output = global top 20 motif anchors by (d6, user_a,
+    // pos_a). Exactness: zw is computed ONCE per window with the
+    // ascending-fold discipline and the SAX symbol + distance both
+    // derive from those bits, so the bucket membership and ranking are
+    // bit-identical across engines.
     // Scale: ONE shuffle on the SAX word bounds candidates to same-
     // shape buckets (word length × alphabet size is the granularity
     // knob — density probed at 0.5M pairs sf0.01 / 67M at 10× derived);
@@ -149,27 +153,9 @@ object TemporalQueries {
     "q_ts_motif" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val m = 8
-      val bp = 0.6744897501960817 // standard-normal upper quartile
       val e = ev(s, dir).select(
         col("user_id"), col("ts_us"), col("event_id"), col("value"))
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      def fsum(a: Column): Column = aggregate(a, lit(0.0), (x, y) => x + y)
-      val wind = e
-        .withColumn("w", collect_list(col("value"))
-          .over(ord.rowsBetween(Window.currentRow, m - 1)))
-        .withColumn("pos", row_number().over(ord))
-        .where(size(col("w")) === m)
-        .withColumn("mu_w", fsum(col("w")) / lit(m.toDouble))
-        .withColumn("sd_w", sqrt(fsum(transform(col("w"),
-          x => (x - col("mu_w")) * (x - col("mu_w")))) / lit(m.toDouble)))
-        .withColumn("zw", transform(col("w"), x =>
-          when(col("sd_w") > 0.0, (x - col("mu_w")) / col("sd_w"))
-            .otherwise(lit(0.0))))
-        .withColumn("sg", array_join(transform(col("zw"), x =>
-          when(x >= bp, lit("3")).when(x >= 0.0, lit("2"))
-            .when(x >= -bp, lit("1")).otherwise(lit("0"))), ""))
-        .select(col("user_id"), col("pos"), col("zw"), col("sg"))
+      val wind = motifWindows(e)
       val a = wind.select(col("sg"), col("user_id").as("user_a"),
         col("pos").as("pos_a"), col("zw").as("za"))
       val b = wind.select(col("sg"), col("user_id").as("user_b"),
@@ -296,8 +282,9 @@ object TemporalQueries {
          |SELECT rk, user_id, pos, d6 FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     // motif twin: zw computed once per window (same frame-ordered lists,
-    // same ascending folds, same σ=0 rule), SAX word and distance both
-    // derived from those exact bits; same 6-dp rounding and id tie-breaks
+    // same ascending folds, same sd_w = 0 constant-window exclusion),
+    // SAX word and distance both derived from those exact bits; same
+    // 6-dp rounding and id tie-breaks
     "q_ts_motif" ->
       s"""WITH $znWindowCtes,
          |sx AS (
@@ -392,12 +379,52 @@ object TemporalQueries {
        |)""".stripMargin
   }
 
+  /** The motif window stage shared by `q_ts_motif` and the constant-
+    * burst hardening spec: per-user length-8 windows over
+    * `(user_id, ts_us, event_id, value)`, z-normalized with the
+    * ascending-fold discipline, SAX-worded at the standard-normal
+    * quartile breakpoints — and CONSTANT windows (sd_w = 0) routed OUT
+    * of the motif space. That exclusion is the matrix-profile
+    * convention (a zero-variance subsequence has no defined z-norm
+    * shape) and it is load-bearing at scale: a z-norm forced to
+    * all-zeros would SAX to the single word "22222222", funneling
+    * EVERY constant run in the corpus — fixed-price purchases,
+    * heartbeat metrics — into ONE join bucket whose candidate space
+    * grows quadratically. Constant windows are mutual exact
+    * duplicates; the dedup family is their tool, not the motif join.
+    * Output columns: (user_id, pos, zw, sg).
+    */
+  private[graft] def motifWindows(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 8
+    val bp = 0.6744897501960817 // standard-normal upper quartile
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    def fsum(a: Column): Column = aggregate(a, lit(0.0), (x, y) => x + y)
+    e.withColumn("w", collect_list(col("value"))
+        .over(ord.rowsBetween(Window.currentRow, m - 1)))
+      .withColumn("pos", row_number().over(ord))
+      .where(size(col("w")) === m)
+      .withColumn("mu_w", fsum(col("w")) / lit(m.toDouble))
+      .withColumn("sd_w", sqrt(fsum(transform(col("w"),
+        x => (x - col("mu_w")) * (x - col("mu_w")))) / lit(m.toDouble)))
+      .where(col("sd_w") > 0.0)
+      .withColumn("zw", transform(col("w"), x =>
+        (x - col("mu_w")) / col("sd_w")))
+      .withColumn("sg", array_join(transform(col("zw"), x =>
+        when(x >= bp, lit("3")).when(x >= 0.0, lit("2"))
+          .when(x >= -bp, lit("1")).otherwise(lit("0"))), ""))
+      .select(col("user_id"), col("pos"), col("zw"), col("sg"))
+  }
+
   /** CTE chain ending in `zs(user_id, pos, zw)` — every per-user
     * length-8 window z-normalized with the same frame-ordered lists and
     * ascending folds as [[subseqCtes]] (its w-side twin, kept textually
     * aligned — subseqCtes additionally threads the query vector through
     * mu/sd, so the two chains stay separate builders rather than one
-    * string-surgered template). Shared by q_ts_motif's oracle.
+    * string-surgered template), with CONSTANT windows (sd_w = 0)
+    * filtered out to mirror [[motifWindows]]'s degenerate-bucket
+    * exclusion. Shared by q_ts_motif's oracle.
     */
   private[queries] def znWindowCtes: String =
     s"""e AS (
@@ -419,9 +446,8 @@ object TemporalQueries {
        |  FROM mu
        |), zs AS (
        |  SELECT user_id, pos,
-       |    list_transform(w, x -> CASE WHEN sd_w > 0.0
-       |      THEN (x - mu_w) / sd_w ELSE 0.0 END) AS zw
-       |  FROM sd
+       |    list_transform(w, x -> (x - mu_w) / sd_w) AS zw
+       |  FROM sd WHERE sd_w > 0.0
        |)""".stripMargin
 
   /** CTE chain ending in `d(user_id, pos, d6)` — every per-user length-8

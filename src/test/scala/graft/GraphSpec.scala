@@ -423,15 +423,14 @@ class GraphSpec extends SparkSpec {
     import graft.operators.Modularity
     val edges = graft.queries.GraphQueries.supplyEdges(spark, sf)
       .localCheckpoint(true)
-    // the registered query's shape: the published singleton init (the
-    // staged LPA labels have already collapsed the fixture to 2
-    // communities — level 2 would be vacuous there; measured r16)
-    val labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("community"))
-      .localCheckpoint(true)
-    val multi = Modularity.louvainMulti(edges, labels)
+    // the registered query's shape: the published singleton init is
+    // BUILT IN to louvainMulti (the staged LPA labels would have
+    // collapsed the fixture to 2 communities — level 2 vacuous;
+    // measured r16); the node universe is the edge src set
+    val nNodes = edges.select(col("src")).distinct().count()
+    val multi = Modularity.louvainMulti(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(multi.length == labels.count(),
+    assert(multi.length == nNodes,
       "every original node must appear exactly once")
     // the level-2 phase must actually DO something on the fixture
     assert(multi.exists(t => t._2 != t._3),
@@ -486,7 +485,7 @@ class GraphSpec extends SparkSpec {
     def qTotal(lbl: org.apache.spark.sql.DataFrame): BigInt =
       Modularity.score(edges, lbl).collect()
         .map(r => BigInt(r.getDecimal(4).toBigIntegerExact)).sum
-    val multi = Modularity.louvainMulti(edges, singleton)
+    val multi = Modularity.louvainMulti(edges)
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
     // the fixture ladder prices −381,238 (singleton) → −1,448,502
     // (level 1, the parallel-move DIP) → −369,994 (level 2, the max) —

@@ -53,27 +53,27 @@ class TemporalSpec extends SparkSpec {
       .queries("q_ts_motif")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
         r.getLong(3), r.getInt(4), r.getDouble(5)))
-    // independent replay: same windows, same ascending folds, same SAX
-    // quartile symbols, same trivial-match exclusion, same per-window
-    // nearest and global top-20 ranking
+    // independent replay: same windows, same ascending folds, same
+    // constant-window (sd = 0) exclusion, same SAX quartile symbols,
+    // same trivial-match exclusion, same per-window nearest and global
+    // top-20 ranking
     val ev = evUs.select("user_id", "ts_us", "event_id", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val m = 8
     val bp = 0.6744897501960817
     def fsum(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
-    def zn(xs: Seq[Double]): Seq[Double] = {
+    def zn(xs: Seq[Double]): Option[Seq[Double]] = {
       val mu = fsum(xs) / m.toDouble
       val sd = math.sqrt(fsum(xs.map(x => (x - mu) * (x - mu))) / m.toDouble)
-      xs.map(x => if (sd > 0.0) (x - mu) / sd else 0.0)
+      if (sd > 0.0) Some(xs.map(x => (x - mu) / sd)) else None
     }
     def sax(zw: Seq[Double]): String = zw.map(x =>
       if (x >= bp) '3' else if (x >= 0.0) '2'
       else if (x >= -bp) '1' else '0').mkString
     val wins = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
       val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
-      vs.indices.dropRight(m - 1).map { i =>
-        val zw = zn(vs.slice(i, i + m).toSeq)
-        (u, i + 1, zw, sax(zw))
+      vs.indices.dropRight(m - 1).flatMap { i =>
+        zn(vs.slice(i, i + m).toSeq).map(zw => (u, i + 1, zw, sax(zw)))
       }
     }
     val bySax = wins.groupBy(_._4)
@@ -93,6 +93,48 @@ class TemporalSpec extends SparkSpec {
     assert(expect.nonEmpty, "motif gate is vacuous at fixture scale")
     assert(got.toSeq == expect,
       s"replay mismatch:\n got=${got.toSeq}\n exp=$expect")
+  }
+
+  test("motif window stage routes constant bursts out of the pair join") {
+    // the designed degenerate input: constant-valued series are common
+    // in real data (fixed-price purchases, heartbeat metrics) and every
+    // constant window z-norms to the same shape — admitted to the SAX
+    // join they would all share ONE bucket and the candidate space goes
+    // quadratic. Inject fixture-scale constant runs next to varying
+    // users and pin that (a) no zero-variance window reaches the join,
+    // (b) the candidate count stays at the varying-only volume, orders
+    // of magnitude below what the degenerate bucket would have cost.
+    import spark.implicits._
+    val m = 8
+    val constUsers = (1L to 3L).flatMap { u =>
+      (1 to 300).map(i => (u, i.toLong * 1000L, i.toLong, 42.0))
+    }
+    val varyUsers = (4L to 6L).flatMap { u =>
+      (1 to 40).map(i =>
+        (u, i.toLong * 1000L, i.toLong, math.sin(u * 17.0 + i).abs * 10.0))
+    }
+    val e = (constUsers ++ varyUsers)
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val wind = graft.queries.TemporalQueries.motifWindows(e)
+    val nConstWindows = 3 * (300 - m + 1)  // windows the filter must drop
+    val nVaryWindows = 3 * (40 - m + 1)
+    assert(wind.count() == nVaryWindows,
+      "constant windows leaked into the motif window stage")
+    val pairs = wind.as("a").join(wind.as("b"), "sg")
+      .where(!(col("a.user_id") === col("b.user_id") &&
+        abs(col("a.pos") - col("b.pos")) < m))
+      .count()
+    // had the constant windows been admitted, the "22222222" bucket
+    // alone would contribute ~all-pairs of 879 windows (≈770k minus the
+    // trivial-match band) — the bound below is two orders under that
+    val degenerateFloor = {
+      val n = nConstWindows.toLong
+      n * n - 3L * 293L * (2 * m - 1) // minus the per-user trivial band
+    }
+    assert(pairs < nVaryWindows.toLong * nVaryWindows,
+      s"candidate count $pairs not bounded by the varying-only volume")
+    assert(pairs < degenerateFloor / 100,
+      s"candidate count $pairs is within 100x of the degenerate-bucket volume")
   }
 
   test("CUSUM equals a sequential driver replay; both alarmed and quiet users exist") {
