@@ -529,6 +529,114 @@ object TextAnalysis {
         coalesce(col("score_u"), lit(0L)).as("score_u"))
   }
 
+  /** Interpolated TRIGRAM Kneser-Ney (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form, d = 3/4 at both discounted
+    * orders) — the recursive backoff chain [[knBigramScore]] stops
+    * short of, and the shape of the 5-gram KN LM that corpus filters
+    * like CCNet actually run:
+    *
+    *   P(w3|w1w2) = max(c123−d,0)/c12• + d·N1+(w1w2·)/c12• · P(w3|w2)
+    *   P(w3|w2)   = max(c'23−d,0)/c'2• + d·N1+(w2·)/c'2•   · P(w3)
+    *   P(w3)      = N1+(·w3) / N1+(··)
+    *
+    * The middle order runs on CONTINUATION counts c'(w2w3) =
+    * N1+(·w2w3) — the KN insight that a word's lower-order weight is
+    * how many distinct contexts it completes, not how often — with
+    * c12• = Σ_w3 c123 and c'2• = Σ_w3 c'(w2w3) = N1+(·w2·); the
+    * lowest order is the continuation unigram (no discount, the
+    * published bottom of the recursion). Cleared to integer micros
+    * with the [[knBigramScore]] discipline at every order: term =
+    * (4·c − 3)·10⁶ DIV (4·ctx), λ = 3·N·10⁶ DIV (4·ctx),
+    * interpolation product (λ·p) DIV 10⁶. An unseen trigram history
+    * backs off to the bigram level; an unseen bigram-continuation
+    * context to the continuation unigram; every quantity is a BIGINT
+    * count or floor division — no float ever crosses engines.
+    *
+    * Scale shape: ONE map-side-combined trigram count aggregate;
+    * EVERY marginal (trigram-context sums, the bigram continuation
+    * table, its context sums, the continuation unigram, N1+(··))
+    * derives from it in strictly shrinking aggregates; the model
+    * stays distributed and uncapped; the probe-doc trigram stream
+    * joins against it; N1+(··) rides a 1-row broadcast.
+    *
+    * Returns per probe doc: (doc_id, n_trigrams, n_hit, n_bo2,
+    * n_zero, score_u) — n_hit = trigrams seen in training, n_bo2 =
+    * trigrams whose history (w1, w2) is unseen (the level-2 backoff
+    * fired), n_zero = trigrams whose integer-micro score floors to 0,
+    * score_u = Σ p_u exact. Docs with < 3 tokens surface with
+    * n_trigrams = 0 (explode_outer keeps them).
+    */
+  def knTrigramScore(docs: DataFrame, nProbe: Int, trainLt: Int): DataFrame = {
+    val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val withTg = docs.select(col("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        when(size(col("ts")) >= 3,
+          transform(sequence(lit(1), size(col("ts")) - 2),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2"),
+              element_at(col("ts"), i + 2).as("w3"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string,w3:string>>"))
+          .as("tg"))
+    // explode_outer + null-drop, NOT inner explode: the
+    // InferFiltersFromGenerate trap (lmRhoScore scaladoc)
+    val triples = withTg
+      .select(col("doc_id"), explode_outer(col("tg")).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val tri = triples
+      .where(graft.queries.QueryHelpers.hashBucket(
+        col("doc_id").cast("string")) < trainLt)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint(true) // feeds two marginal chains + the probe join
+    val ctx12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12dot"), count(lit(1)).as("n1p12"))
+    val cc = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cc23"))
+      .localCheckpoint(true) // feeds ccd + cu + nbb + the probe join
+    val ccd = cc.groupBy(col("w2"))
+      .agg(sum(col("cc23")).as("ccdot2"), count(lit(1)).as("n1p2f"))
+    val cu = cc.groupBy(col("w3")).agg(count(lit(1)).as("n1p3b"))
+    val nbb = cc.agg(count(lit(1)).as("nbb"))
+    val pb = triples.where(col("doc_id") < nProbe)
+    val scored = pb
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w2", "w3"), "left")
+      .join(ccd, Seq("w2"), "left")
+      .join(cu, Seq("w3"), "left")
+      .crossJoin(broadcast(nbb))
+      .withColumn("p1_u", expr("coalesce((n1p3b * 1000000) DIV nbb, 0)"))
+      .withColumn("p2_u", expr(
+        """CASE WHEN ccdot2 IS NOT NULL THEN
+          |  (CASE WHEN cc23 IS NOT NULL
+          |     THEN ((4 * cc23 - 3) * 1000000) DIV (4 * ccdot2) ELSE 0 END)
+          |  + ((3 * n1p2f * 1000000) DIV (4 * ccdot2) * p1_u) DIV 1000000
+          |ELSE p1_u END""".stripMargin))
+      .withColumn("p_u", expr(
+        """CASE WHEN c12dot IS NOT NULL THEN
+          |  (CASE WHEN c123 IS NOT NULL
+          |     THEN ((4 * c123 - 3) * 1000000) DIV (4 * c12dot) ELSE 0 END)
+          |  + ((3 * n1p12 * 1000000) DIV (4 * c12dot) * p2_u) DIV 1000000
+          |ELSE p2_u END""".stripMargin))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(col("c123")).as("n_hit"),
+        sum(when(col("c12dot").isNull, 1L).otherwise(0L)).as("n_bo2"),
+        sum(when(col("p_u") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("p_u")).as("score_u"))
+    docs.where(col("doc_id") < nProbe).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_bo2"), lit(0L)).as("n_bo2"),
+        coalesce(col("n_zero"), lit(0L)).as("n_zero"),
+        coalesce(col("score_u"), lit(0L)).as("score_u"))
+  }
+
   /** RHO-loss learnability scoring (Mindermann et al., ICML 2022 —
     * "points that are learnable, worth learning, and not yet learnt"):
     * the two-model selection rule, score = loss(current model) −

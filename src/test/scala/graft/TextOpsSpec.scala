@@ -654,4 +654,149 @@ class TextOpsSpec extends SparkSpec {
     assert(mass <= 1000000L, s"P(·|a) exceeded unity: $mass")
     assert(mass > 900000L, s"P(·|a) lost too much mass: $mass")
   }
+
+  /** Driver replay of [[TextAnalysis.knTrigramScore]]'s exact
+    * integer-micro recursion — trigram → continuation-count bigram →
+    * continuation unigram, same floor divisions at every order.
+    * Returns per probe doc (n_trigrams, n_hit, n_bo2, n_zero, score_u).
+    */
+  private def kn3Replay(rows: Seq[(Long, String)], nProbe: Int,
+      trainLt: Int): Map[Long, (Long, Long, Long, Long, Long)] = {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val tg = rows.map { case (id, t) =>
+      val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (if (ts.length >= 3)
+               ts.sliding(3).map(a => (a(0), a(1), a(2))).toSeq
+             else Seq.empty[(String, String, String)])
+    }
+    val tri = tg.filter(t => bucket(t._1) < trainLt).flatMap(_._2)
+      .groupBy(identity).map { case (t, os) => t -> os.size.toLong }
+    val c12dot = tri.groupBy(t => (t._1._1, t._1._2))
+      .map { case (h, ts) => h -> ts.values.sum }
+    val n1p12 = tri.groupBy(t => (t._1._1, t._1._2))
+      .map { case (h, ts) => h -> ts.size.toLong }
+    val cc = tri.keys.groupBy(t => (t._2, t._3))
+      .map { case (p, w1s) => p -> w1s.size.toLong } // N1+(·w2w3)
+    val ccdot2 = cc.groupBy(_._1._1).map { case (w, ps) => w -> ps.values.sum }
+    val n1p2f = cc.groupBy(_._1._1).map { case (w, ps) => w -> ps.size.toLong }
+    val n1p3b = cc.groupBy(_._1._2).map { case (w, ps) => w -> ps.size.toLong }
+    val nbb = cc.size.toLong
+    tg.filter(_._1 < nProbe).map { case (id, ts) =>
+      val pus = ts.map { case (w1, w2, w3) =>
+        val p1 = n1p3b.get(w3).map(_ * 1000000L / nbb).getOrElse(0L)
+        val p2 = ccdot2.get(w2) match {
+          case Some(cd) =>
+            val t2 = cc.get((w2, w3))
+              .map(c => (4 * c - 3) * 1000000L / (4 * cd)).getOrElse(0L)
+            t2 + (3 * n1p2f(w2) * 1000000L / (4 * cd)) * p1 / 1000000L
+          case None => p1
+        }
+        val hist = c12dot.get((w1, w2))
+        val pu = hist match {
+          case Some(cd) =>
+            val t3 = tri.get((w1, w2, w3))
+              .map(c => (4 * c - 3) * 1000000L / (4 * cd)).getOrElse(0L)
+            t3 + (3 * n1p12((w1, w2)) * 1000000L / (4 * cd)) * p2 / 1000000L
+          case None => p2
+        }
+        (tri.contains((w1, w2, w3)), hist.isEmpty, pu)
+      }
+      id -> (ts.size.toLong, pus.count(_._1).toLong, pus.count(_._2).toLong,
+        pus.count(_._3 == 0L).toLong, pus.map(_._3).sum)
+    }.toMap
+  }
+
+  test("trigram Kneser-Ney: fixture replay exact; both backoff levels live in the gated output") {
+    val got = graft.queries.TextQueries
+      .queries("text_kneser_ney3")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = kn3Replay(rows, nProbe = 20, trainLt = 5)
+    val probeIds = rows.map(_._1).filter(_ < 20)
+    assert(got.keySet == probeIds.toSet)
+    probeIds.foreach { id =>
+      val e = expect.getOrElse(id, (0L, 0L, 0L, 0L, 0L))
+      assert(got(id) == e, s"doc $id: got ${got(id)}, want $e")
+    }
+    // the held-out probes genuinely exercise the recursion: unseen
+    // trigrams exist AND unseen trigram HISTORIES exist (the level-2
+    // backoff fires), so the gate covers more than the hit path
+    assert(got.values.exists(v => v._2 < v._1),
+      "every probe trigram was seen — the smoothing gate is vacuous")
+    assert(got.values.exists(_._3 > 0L),
+      "no probe trigram ever backed off past its history — level-2 dead")
+  }
+
+  test("trigram Kneser-Ney: all backoff branches on a designed toy; mass below unity") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val trainId = (0L until 500L).find(bucket(_) < 5).get
+    val probeId = (0L until 20L).find(id => bucket(id) >= 5 && id != trainId).get
+    // train trigrams: abc×2, bca, cab, abd, bda, dab
+    // probe exercises: (a,b,c) hit; (b,c,z) seen history + unseen
+    // trigram whose p2 also zeroes (z never continues anything);
+    // (c,z,b) unseen history + unseen middle context → DOUBLE backoff
+    // to the continuation unigram (positive); (z,b,c) unseen history →
+    // level-2 with a cc hit; (q,q,z) fully unseen → exact 0
+    val toy = Seq(
+      (trainId, "a b c a b d a b c"),
+      (probeId, "a b c z b c q q z"))
+    val got = graft.operators.TextAnalysis
+      .knTrigramScore(toy.toDF("doc_id", "text"), nProbe = 20, trainLt = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expect = kn3Replay(toy, nProbe = 20, trainLt = 5)
+    assert(got == expect, s"toy mismatch: got $got, want $expect")
+    val (nt, nh, nb2, nz, su) = got(probeId)
+    assert(nt == 7 && nh == 1, s"probe must hit exactly a-b-c: $nt/$nh")
+    assert(nb2 >= 2, s"unseen trigram histories must fire level-2: $nb2")
+    assert(nz > 0, "a fully-unseen trigram must score exactly 0")
+    assert(su > 0, "the hit + backoff mass must be positive")
+    // the double-backoff path specifically must carry POSITIVE mass:
+    // (c,z,b) reaches the continuation unigram P(b) = N1+(·b)/N1+(··)
+    val nzExpected = kn3Replay(toy, nProbe = 20, trainLt = 5)(probeId)._4
+    assert(nzExpected < nb2 + (nt - nh),
+      "every backed-off trigram floored to 0 — the recursion is dead weight")
+    // KN stays a (sub-)distribution under integer floors: for the seen
+    // history (a, b), Σ_w3 P(w3|a,b) over the full vocab ≤ 1e6
+    val ts = "a b c a b d a b c".split(" ")
+    val tri = ts.sliding(3).map(a => (a(0), a(1), a(2))).toSeq
+      .groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val cc = tri.keys.groupBy(t => (t._2, t._3))
+      .map { case (p, w1s) => p -> w1s.size.toLong }
+    val nbb = cc.size.toLong
+    val vocab = (ts ++ Seq("z", "q")).distinct
+    val cdAB = tri.collect { case (t, c) if t._1 == "a" && t._2 == "b" => c }.sum
+    val n12AB = tri.keys.count(t => t._1 == "a" && t._2 == "b").toLong
+    val mass = vocab.map { w3 =>
+      val p1 = cc.keys.count(_._2 == w3).toLong * 1000000L / nbb
+      val p2 = cc.get(("b", w3)) match {
+        case Some(c) =>
+          val cd = cc.collect { case (p, c2) if p._1 == "b" => c2 }.sum
+          val nf = cc.keys.count(_._1 == "b").toLong
+          (4 * c - 3) * 1000000L / (4 * cd) +
+            (3 * nf * 1000000L / (4 * cd)) * p1 / 1000000L
+        case None =>
+          val cd = cc.collect { case (p, c2) if p._1 == "b" => c2 }.sum
+          if (cd > 0) {
+            val nf = cc.keys.count(_._1 == "b").toLong
+            (3 * nf * 1000000L / (4 * cd)) * p1 / 1000000L
+          } else p1
+      }
+      val t3 = tri.get(("a", "b", w3))
+        .map(c => (4 * c - 3) * 1000000L / (4 * cdAB)).getOrElse(0L)
+      t3 + (3 * n12AB * 1000000L / (4 * cdAB)) * p2 / 1000000L
+    }.sum
+    assert(mass <= 1000000L, s"P(·|a,b) exceeded unity: $mass")
+    assert(mass > 800000L, s"P(·|a,b) lost too much mass: $mass")
+  }
 }
