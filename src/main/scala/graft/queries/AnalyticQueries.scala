@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.AlsRank2
 import graft.queries.QueryHelpers._
 
 /** Round-2 analytic operator coverage: the full window-function suite,
@@ -75,6 +76,44 @@ object AnalyticQueries {
       |      (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_m
       |  FROM yi)""".stripMargin
 
+  /** ONE further rank-2 alternation as CTE text — per-user 2×2 ridge
+    * Cramer (`ua$k`/`xu$k`, micros² λ·10¹², x out in millis) then the
+    * per-item re-solve (`yi$k`, milli² λ·10⁶, y out in micros) —
+    * reading item factors from `$prev(event_type, y1_m, y2_m)` and
+    * ending in `ya$k(event_type, n_users, y1_m, y2_m)`. The
+    * q_als_rank2_step2 tail generalized so the fixed-alternation fit
+    * twin composes on the same builder (the shared-builder discipline —
+    * never string surgery). All HUGEINT products mirror Spark's
+    * DECIMAL(38,0) widening; `//` ≡ DIV truncation.
+    */
+  private def als2AltCte(k: Int, prev: String): String =
+    s"""ua$k AS (SELECT r.user_id,
+       |    CAST(sum(y.y1_m * y.y1_m) AS BIGINT) + 1000000000000 AS ua11,
+       |    CAST(sum(y.y1_m * y.y2_m) AS BIGINT) AS ua12,
+       |    CAST(sum(y.y2_m * y.y2_m) AS BIGINT) + 1000000000000 AS ua22,
+       |    CAST(sum(r.r_c * y.y1_m) AS BIGINT) AS ub1,
+       |    CAST(sum(r.r_c * y.y2_m) AS BIGINT) AS ub2
+       |  FROM r JOIN $prev y USING (event_type) GROUP BY r.user_id),
+       |xu$k AS (SELECT user_id,
+       |    CAST(((ub1::HUGEINT * ua22 - ub2::HUGEINT * ua12) * 10000000) //
+       |      (ua11::HUGEINT * ua22 - ua12::HUGEINT * ua12) AS BIGINT) AS x1,
+       |    CAST(((ua11::HUGEINT * ub2 - ua12::HUGEINT * ub1) * 10000000) //
+       |      (ua11::HUGEINT * ua22 - ua12::HUGEINT * ua12) AS BIGINT) AS x2
+       |  FROM ua$k),
+       |yi$k AS (SELECT r.event_type, count(*) AS n_users,
+       |    CAST(sum(xu$k.x1 * xu$k.x1) AS BIGINT) + 1000000 AS a11,
+       |    CAST(sum(xu$k.x1 * xu$k.x2) AS BIGINT) AS a12,
+       |    CAST(sum(xu$k.x2 * xu$k.x2) AS BIGINT) + 1000000 AS a22,
+       |    CAST(sum(r.r_c * xu$k.x1) AS BIGINT) AS b1,
+       |    CAST(sum(r.r_c * xu$k.x2) AS BIGINT) AS b2
+       |  FROM r JOIN xu$k USING (user_id) GROUP BY r.event_type),
+       |ya$k AS (SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+       |    CAST(((b1::HUGEINT * a22 - b2::HUGEINT * a12) * 10000000) //
+       |      (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y1_m,
+       |    CAST(((a11::HUGEINT * b2 - a12::HUGEINT * b1) * 10000000) //
+       |      (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_m
+       |  FROM yi$k)""".stripMargin
+
   /** (user_id, event_type, r_c) — the ALS rating matrix in exact cents
     * (one map-side-combined aggregate over events).
     */
@@ -110,92 +149,6 @@ object AnalyticQueries {
         expr("""CAST(CAST(n_i AS DECIMAL(38,0)) * CAST(10000000 AS DECIMAL(38,0))
           |  DIV (CAST(1000000 AS DECIMAL(38,0)) + CAST(sx2 AS DECIMAL(38,0)))
           |  AS BIGINT)""".stripMargin).as("y_micros"))
-
-  /** Rank-2 user factor init: x1 = the rank-1 milli-scaled mean-rating
-    * solve ([[alsUserInit]]'s formula), x2 = a deterministic
-    * milli-scaled second feature 1 + (user_id mod 199) ∈ [1, 199]
-    * (real value ≤ 0.199) — linearly independent of x1 by
-    * construction, small enough that every normal-equation entry stays
-    * far inside BIGINT, and strictly positive so the fixture's
-    * all-positive ratings keep b2 > 0 (the gate still covers negative
-    * Cramer numerators — truncation toward zero is verified identical
-    * in Spark DIV and DuckDB `//`).
-    */
-  private def alsUserInit2(r: DataFrame): DataFrame =
-    r.groupBy(col("user_id"))
-      .agg(sum(col("r_c")).as("sr"), count(lit(1)).as("n_u"))
-      .select(col("user_id"), expr("(sr * 10) DIV (1 + n_u)").as("x1"),
-        (lit(1L) + col("user_id") % 199).as("x2"))
-
-  /** Rank-2 item half-solve — the per-key 2×2 ridge normal equations
-    * solved by EXACT Cramer: A = Σ x xᵀ + λ·10⁶ I (milli² scale, λ=1),
-    * b = Σ r·x (cents·milli), y = A⁻¹b read out in MICROS as
-    * (adjugate·b)·10⁷ DIV det. Determinant and adjugate products are
-    * decimal(38,0)-widened (num·10⁷ ~ 10³¹ at fixture magnitudes —
-    * far past BIGINT, the q_als_rank1_step overflow lesson); the A/b
-    * accumulations stay BIGINT (≤ 10¹⁷ at 10× derived scale; a 100-TB
-    * run widens the sums through decimal the same way). The ridge
-    * guarantees det > 0, so the solve is total.
-    */
-  private def alsItemSolve2(r: DataFrame, xu: DataFrame): DataFrame = {
-    r.join(xu, "user_id")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"),
-        (sum(col("x1") * col("x1")) + lit(1000000L)).as("a11"),
-        sum(col("x1") * col("x2")).as("a12"),
-        (sum(col("x2") * col("x2")) + lit(1000000L)).as("a22"),
-        sum(col("r_c") * col("x1")).as("b1"),
-        sum(col("r_c") * col("x2")).as("b2"))
-      .select(col("event_type"), col("n_users"),
-        // y1 = (b1·a22 − b2·a12)·10⁷ DIV det
-        expr("""CAST((CAST(b1 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
-          |  - CAST(b2 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
-          |  * CAST(10000000 AS DECIMAL(38,0))
-          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
-          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
-          |  AS BIGINT)""".stripMargin).as("y1_micros"),
-        // y2 = (a11·b2 − a12·b1)·10⁷ DIV det
-        expr("""CAST((CAST(a11 AS DECIMAL(38,0)) * CAST(b2 AS DECIMAL(38,0))
-          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(b1 AS DECIMAL(38,0)))
-          |  * CAST(10000000 AS DECIMAL(38,0))
-          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
-          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
-          |  AS BIGINT)""".stripMargin).as("y2_micros"))
-  }
-
-  /** Rank-2 USER half-solve from micro-scaled item factors (y1_m,
-    * y2_m): per-user 2×2 ridge normal equations A = Σ y yᵀ + λ·10¹² I
-    * (micros² scale, λ = 1), b = Σ r·y (cents·micros = 10⁸), solved by
-    * the same exact Cramer as [[alsItemSolve2]] with x read out in
-    * MILLIS: (adjugate·b)·10⁷ DIV det (adj·b ~ 10³⁰ · 10⁷ = 10³⁷ at
-    * observed factor magnitudes — inside DECIMAL(38,0); det ~ 10³³).
-    * Per-user sums run over ≤ |items| rows, so the A/b accumulations
-    * stay far inside BIGINT at any corpus scale (users grow, per-user
-    * item counts don't). Milli output feeds [[alsItemSolve2]] verbatim
-    * — the rank-2 alternation closes over the same scales.
-    */
-  private def alsUserSolve2(r: DataFrame, y: DataFrame): DataFrame =
-    r.join(broadcast(y), "event_type")
-      .groupBy(col("user_id"))
-      .agg(
-        (sum(col("y1_m") * col("y1_m")) + lit(1000000000000L)).as("a11"),
-        sum(col("y1_m") * col("y2_m")).as("a12"),
-        (sum(col("y2_m") * col("y2_m")) + lit(1000000000000L)).as("a22"),
-        sum(col("r_c") * col("y1_m")).as("b1"),
-        sum(col("r_c") * col("y2_m")).as("b2"))
-      .select(col("user_id"),
-        expr("""CAST((CAST(b1 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
-          |  - CAST(b2 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
-          |  * CAST(10000000 AS DECIMAL(38,0))
-          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
-          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
-          |  AS BIGINT)""".stripMargin).as("x1"),
-        expr("""CAST((CAST(a11 AS DECIMAL(38,0)) * CAST(b2 AS DECIMAL(38,0))
-          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(b1 AS DECIMAL(38,0)))
-          |  * CAST(10000000 AS DECIMAL(38,0))
-          |  DIV (CAST(a11 AS DECIMAL(38,0)) * CAST(a22 AS DECIMAL(38,0))
-          |  - CAST(a12 AS DECIMAL(38,0)) * CAST(a12 AS DECIMAL(38,0)))
-          |  AS BIGINT)""".stripMargin).as("x2"))
 
   /** 30-minute session gap in MICROseconds. Session math runs on integer
     * micros on both engines: Spark's raw ts_ns keeps full nanosecond
@@ -529,7 +482,7 @@ object AnalyticQueries {
     // user-keyed join, one item-keyed map-side-combined aggregate.
     "q_als_rank2_step" -> ((s, dir) => {
       val r = alsRatings(s, dir).localCheckpoint(true)
-      alsItemSolve2(r, alsUserInit2(r)).orderBy("event_type")
+      AlsRank2.itemSolve2(r, AlsRank2.userInit2(r)).orderBy("event_type")
     }),
 
     // ---- the SECOND full rank-2 alternation (the q_als_rank1_step2
@@ -545,12 +498,42 @@ object AnalyticQueries {
     // NON-INCREASING across all four rank-2 half-solves.
     "q_als_rank2_step2" -> ((s, dir) => {
       // r feeds four branches (init, step-1 solve, user re-solve, item
-      // re-solve) — materialize once
+      // re-solve) — materialize once. Two fixed item solves IS
+      // AlsRank2.unrolled(2): the step queries and the fit twins
+      // share one alternation path by construction.
       val r = alsRatings(s, dir).localCheckpoint(true)
-      val y1 = alsItemSolve2(r, alsUserInit2(r)).select(
-        col("event_type"), col("y1_micros").as("y1_m"),
-        col("y2_micros").as("y2_m"))
-      alsItemSolve2(r, alsUserSolve2(r, y1))
+      AlsRank2.unrolled(r, itemSolves = 2).orderBy("event_type")
+    }),
+
+    // ---- the FIXED-ALTERNATION rank-2 ALS fit twin (the
+    // kmeans_fit_unrolled pattern applied to factorization): THREE
+    // item solves from the deterministic init — one more alternation
+    // than q_als_rank2_step2, exactly replayable, so the oracle is the
+    // step2 CTE chain extended by one alternation through the shared
+    // als2AltCte builder. The free-convergence q_als_rank2_fit runs
+    // this same alternation path under the exact-objective plateau
+    // stop (AlsRank2.fit scaladoc).
+    "q_als_rank2_fit_unrolled" -> ((s, dir) => {
+      val r = alsRatings(s, dir).localCheckpoint(true)
+      AlsRank2.unrolled(r, itemSolves = 3).orderBy("event_type")
+    }),
+
+    // ---- the FREE-CONVERGENCE rank-2 ALS fit (declared no-oracle —
+    // the kmeans_fit pattern: alternation count is data-dependent).
+    // Alternates exact half-solves until the integer ridge objective
+    // J·10¹⁸'s relative improvement drops under 5% (the published ALS
+    // relative-tolerance stop, exact in integers — AlsRank2.fit
+    // scaladoc); output = the BEST-J alternation's item factors plus
+    // the loop's bookkeeping (alternation of origin, alternations
+    // executed, converged). AnalyticSpec pins the whole loop — factors,
+    // counts, flag, objective ladder — against a driver BigInt replay.
+    "q_als_rank2_fit" -> ((s, dir) => {
+      val r = alsRatings(s, dir).localCheckpoint(true)
+      val res = AlsRank2.fit(r)
+      res.factors
+        .withColumn("best_alt", lit(res.bestAlt))
+        .withColumn("n_alt", lit(res.alternations))
+        .withColumn("converged", lit(res.converged))
         .orderBy("event_type")
     }),
 
@@ -1045,32 +1028,19 @@ object AnalyticQueries {
     // the re-solved milli factors
     "q_als_rank2_step2" ->
       s"""WITH $als2Ctes,
-         |ua AS (SELECT r.user_id,
-         |    CAST(sum(y.y1_m * y.y1_m) AS BIGINT) + 1000000000000 AS ua11,
-         |    CAST(sum(y.y1_m * y.y2_m) AS BIGINT) AS ua12,
-         |    CAST(sum(y.y2_m * y.y2_m) AS BIGINT) + 1000000000000 AS ua22,
-         |    CAST(sum(r.r_c * y.y1_m) AS BIGINT) AS ub1,
-         |    CAST(sum(r.r_c * y.y2_m) AS BIGINT) AS ub2
-         |  FROM r JOIN y2s y USING (event_type) GROUP BY r.user_id),
-         |xu2 AS (SELECT user_id,
-         |    CAST(((ub1::HUGEINT * ua22 - ub2::HUGEINT * ua12) * 10000000) //
-         |      (ua11::HUGEINT * ua22 - ua12::HUGEINT * ua12) AS BIGINT) AS x1,
-         |    CAST(((ua11::HUGEINT * ub2 - ua12::HUGEINT * ub1) * 10000000) //
-         |      (ua11::HUGEINT * ua22 - ua12::HUGEINT * ua12) AS BIGINT) AS x2
-         |  FROM ua),
-         |yi2 AS (SELECT r.event_type, count(*) AS n_users,
-         |    CAST(sum(xu2.x1 * xu2.x1) AS BIGINT) + 1000000 AS a11,
-         |    CAST(sum(xu2.x1 * xu2.x2) AS BIGINT) AS a12,
-         |    CAST(sum(xu2.x2 * xu2.x2) AS BIGINT) + 1000000 AS a22,
-         |    CAST(sum(r.r_c * xu2.x1) AS BIGINT) AS b1,
-         |    CAST(sum(r.r_c * xu2.x2) AS BIGINT) AS b2
-         |  FROM r JOIN xu2 USING (user_id) GROUP BY r.event_type)
-         |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
-         |  CAST(((b1::HUGEINT * a22 - b2::HUGEINT * a12) * 10000000) //
-         |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y1_micros,
-         |  CAST(((a11::HUGEINT * b2 - a12::HUGEINT * b1) * 10000000) //
-         |    (a11::HUGEINT * a22 - a12::HUGEINT * a12) AS BIGINT) AS y2_micros
-         |FROM yi2 ORDER BY event_type""".stripMargin,
+         |${als2AltCte(2, "y2s")}
+         |SELECT event_type, n_users, y1_m AS y1_micros, y2_m AS y2_micros
+         |FROM ya2 ORDER BY event_type""".stripMargin,
+
+    // fit twin: the step2 chain extended by ONE more alternation
+    // through the same builder — three item solves total, matching
+    // AlsRank2.unrolled(3) solve for solve
+    "q_als_rank2_fit_unrolled" ->
+      s"""WITH $als2Ctes,
+         |${als2AltCte(2, "y2s")},
+         |${als2AltCte(3, "ya2")}
+         |SELECT event_type, n_users, y1_m AS y1_micros, y2_m AS y2_micros
+         |FROM ya3 ORDER BY event_type""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

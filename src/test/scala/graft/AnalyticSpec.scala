@@ -197,6 +197,95 @@ class AnalyticSpec extends SparkSpec {
       val v = y1(it); a != v._2.toLong || b != v._3.toLong })
   }
 
+  test("rank-2 ALS free fit: full BigInt replay of the plateau loop; plateau fires past the gated twins") {
+    val got = q("q_als_rank2_fit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6)))
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rC = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum }
+    def itemSolve(x: Map[Long, (BigInt, BigInt)]): Map[String, (Long, BigInt, BigInt)] = {
+      val lam = BigInt(1000000)
+      rC.groupBy(_._1._2).map { case (it, cs) =>
+        val us = cs.keys.map(_._1).toSeq
+        val a11 = us.map(u => x(u)._1 * x(u)._1).sum + lam
+        val a12 = us.map(u => x(u)._1 * x(u)._2).sum
+        val a22 = us.map(u => x(u)._2 * x(u)._2).sum + lam
+        val b1 = cs.map { case ((u, _), r) => BigInt(r) * x(u)._1 }.sum
+        val b2 = cs.map { case ((u, _), r) => BigInt(r) * x(u)._2 }.sum
+        val det = a11 * a22 - a12 * a12
+        it -> (cs.size.toLong, (b1 * a22 - b2 * a12) * 10000000 / det,
+          (a11 * b2 - a12 * b1) * 10000000 / det)
+      }
+    }
+    def userSolve(y: Map[String, (BigInt, BigInt)]): Map[Long, (BigInt, BigInt)] = {
+      val lam = BigInt("1000000000000")
+      rC.groupBy(_._1._1).map { case (u, cs) =>
+        val is = cs.keys.map(_._2).toSeq
+        val a11 = is.map(i => y(i)._1 * y(i)._1).sum + lam
+        val a12 = is.map(i => y(i)._1 * y(i)._2).sum
+        val a22 = is.map(i => y(i)._2 * y(i)._2).sum + lam
+        val b1 = cs.map { case ((_, i), r) => BigInt(r) * y(i)._1 }.sum
+        val b2 = cs.map { case ((_, i), r) => BigInt(r) * y(i)._2 }.sum
+        val det = a11 * a22 - a12 * a12
+        u -> ((b1 * a22 - b2 * a12) * 10000000 / det,
+          (a11 * b2 - a12 * b1) * 10000000 / det)
+      }
+    }
+    // the EXACT scaled objective J·10¹⁸ (AlsRank2.objectiveScaled twin)
+    def jScaled(x: Map[Long, (BigInt, BigInt)],
+        y: Map[String, (BigInt, BigInt)]): BigInt = {
+      val sse = rC.map { case ((u, i), r) =>
+        val e9 = BigInt(r) * 10000000 -
+          (x(u)._1 * y(i)._1 + x(u)._2 * y(i)._2)
+        e9 * e9
+      }.sum
+      sse + BigInt("1000000000000") *
+        x.values.map(v => v._1 * v._1 + v._2 * v._2).sum +
+        BigInt(1000000) * y.values.map(v => v._1 * v._1 + v._2 * v._2).sum
+    }
+    // the fit loop replayed verbatim: alternate, price, best-of, and
+    // the exact relative-improvement stop (< 5% per alternation)
+    var x = rC.groupBy(_._1._1).map { case (u, cs) =>
+      u -> (BigInt(cs.values.sum) * 10 / (1 + cs.size), BigInt(1 + u % 199)) }
+    var best: (BigInt, Map[String, (Long, BigInt, BigInt)], Int) = null
+    var hist = Vector.empty[BigInt]
+    var it = 0
+    var converged = false
+    while (it < 12 && !converged) {
+      val yk = itemSolve(x)
+      x = userSolve(yk.map { case (i, v) => i -> (v._2, v._3) })
+      val jj = jScaled(x, yk.map { case (i, v) => i -> (v._2, v._3) })
+      hist :+= jj
+      if (best == null || jj < best._1) best = (jj, yk, it + 1)
+      if (hist.size >= 2 && (hist(hist.size - 2) - jj) * BigInt(1000000) <
+          hist(hist.size - 2) * BigInt(50000)) converged = true
+      it += 1
+    }
+    val want = best._2
+    assert(got.length == want.size)
+    got.foreach { case (i, n, y1, y2, bestAlt, nAlt, conv) =>
+      val w = want(i)
+      assert((n, y1, y2) == (w._1, w._2.toLong, w._3.toLong),
+        s"item $i: got ($n, $y1, $y2), want $w")
+      assert(bestAlt == best._3 && nAlt == it && conv == converged,
+        s"loop bookkeeping diverged: got ($bestAlt, $nAlt, $conv), " +
+          s"want (${best._3}, $it, $converged)")
+    }
+    // the fit is non-vacuous: the tolerance stop FIRED (not the cap),
+    // and the loop ran past both gated twins (step2 = 2 item solves,
+    // fit_unrolled = 3) — free convergence genuinely extended the chain
+    assert(converged, "fit hit the alternation cap without converging")
+    assert(it >= 3, s"tolerance stop fired before the gated twins' depth: $it")
+    // each half-solve is the exact ridge optimum given the other side:
+    // the exact ladder must be strictly decreasing end to end
+    hist.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, s"objective did not fall: $hist")
+      case _ => ()
+    }
+  }
+
   test("SweepLine running sum == global-window form on an adversarial stream") {
     import spark.implicits._
     // duplicate timestamps with mixed-sign deltas, a long gap (forces

@@ -52,9 +52,10 @@ class RegistrySpec extends AnyFunSuite {
     // data-dependent, so no fixed unrolled oracle exists — each has a
     // hash-gated unrolled twin and a spec cross-check instead
     // (kmeans_fit_unrolled / kmeans_fit_nd_unrolled / KMeansSpec MLlib
-    // identity / graph_louvain_multi + GraphSpec)
+    // identity / graph_louvain_multi + GraphSpec /
+    // q_als_rank2_fit_unrolled + AnalyticSpec BigInt replay)
     val declared = Set("kmeans_fit", "kmeans_fit_nd", "kmeans_mllib",
-      "graph_louvain_fit")
+      "graph_louvain_fit", "q_als_rank2_fit")
     assert(noOracle == declared,
       s"rows-only set drifted: extra=${noOracle -- declared} missing=${declared -- noOracle} — " +
         "new queries need oracle SQL or an explicit entry here")
