@@ -72,4 +72,34 @@ object StoreLifecycle {
   def applyTombstones(store: DataFrame, tombstones: DataFrame,
       key: String): DataFrame =
     store.join(broadcast(tombstones.select(col(key))), Seq(key), "left_anti")
+
+  /** POSITION tombstones for the store rows matching `pred`: one
+    * (file_path, row_index) row per deleted PHYSICAL row — the
+    * Iceberg/Delta merge-on-read position-delete shape, realized on
+    * Spark's parquet `_metadata` columns (file_path = the row's data
+    * file URI, row_index = its position within that file; both stable
+    * for as long as the file exists, which copy-on-write guarantees
+    * until the folding compaction). The MoR delete path writes ONLY
+    * this tiny file — never a data file — which is what a high-churn
+    * store needs where every CoW delete rewrites whole buckets.
+    */
+  def positionTombstones(store: DataFrame, pred: Column): DataFrame =
+    store.where(pred)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+
+  /** MERGE-ON-READ read: apply position-tombstone files as a broadcast
+    * anti-join on the store scan's own `_metadata` address — the
+    * serve-time half of the MoR contract. The data scan is unchanged
+    * (still the bucketed, exchange-free probe shape — IncrementalSpec
+    * pins 0 exchanges through the anti-join) and the tombstones are
+    * batch-sized by definition, so they ride the broadcast.
+    */
+  def applyPositionTombstones(store: DataFrame, deletes: DataFrame): DataFrame =
+    store
+      .withColumn("_fp", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .join(broadcast(deletes.select(col("file_path").as("_fp"),
+        col("row_index").as("_ri"))), Seq("_fp", "_ri"), "left_anti")
+      .drop("_fp", "_ri")
 }

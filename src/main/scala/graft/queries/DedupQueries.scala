@@ -246,6 +246,33 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // store-lifecycle MERGE-ON-READ delete (the high-churn path
+    // copy-on-write can't afford): the delete lands as ONE tiny
+    // position-tombstone file — (file_path, row_index) addresses of
+    // the deleted physical rows, the Iceberg/Delta position-delete
+    // shape on Spark's parquet _metadata columns — and serving applies
+    // it as a broadcast anti-join on the store scan's own _metadata
+    // (StoreLifecycle.applyPositionTombstones). NO data file is
+    // touched on the delete path; the folding compaction (the
+    // manifest's cow-compact version) retires the delete files later.
+    // The bucketed exchange-free probe plan survives the anti-join
+    // (IncrementalSpec pins 0 exchanges). Resolved through the SAME
+    // manifest that serves the CoW version
+    // (StagedLayouts.simhashStoreMorManifest); oracle = the
+    // whole-corpus recompute that never ingested the deleted rows
+    // (dedup_incremental_delete's oracle verbatim — MoR must change
+    // WHERE deletes live, never answers).
+    "q_store_mor_delete" -> ((s, dir) => {
+      val m = graft.sources.StagedLayouts.simhashStoreMorManifest(s, dir)
+      val at = m.where(col("action") === "mor-delete")
+        .select(col("table_name"), col("delete_dir"), col("thr")).head
+      val store = graft.operators.StoreLifecycle.applyPositionTombstones(
+        s.table(at.getString(0)), s.read.parquet(at.getString(1)))
+      Dedup.incrementalDedup(store,
+          docs(s, dir).where(col("doc_id") > at.getLong(2)))
+        .orderBy("doc_id")
+    }),
+
     // store-lifecycle TIME TRAVEL (read-at-version): the piece the
     // versioned copy-on-write stores were missing — SERVING a
     // historical version. The persisted manifest
@@ -886,6 +913,9 @@ object DedupQueries {
     "dedup_cluster_delete" -> clusterDeleteSql(12),
     "dedup_incremental_delete" -> incrementalSqlWith(excludeDeleted = true),
     "dedup_incremental_compact" -> incrementalSqlWith(excludeDeleted = true),
+    // MoR position-tombstone read: same corpus-minus-deleted recompute
+    // — merge-on-read must change WHERE deletes live, never answers
+    "q_store_mor_delete" -> incrementalSqlWith(excludeDeleted = true),
 
     "dedup_canonical" -> canonicalSql(6),
 

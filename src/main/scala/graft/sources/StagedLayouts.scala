@@ -544,6 +544,66 @@ object StagedLayouts {
     s.read.parquet(s"$dir/manifest")
   }
 
+  /** The MERGE-ON-READ lifecycle manifest — the delete path
+    * [[simhashStoreCompacted]]'s copy-on-write rewrite cannot afford
+    * at high churn, staged as one addressable version ladder (the
+    * log-is-storage shape of [[simhashStoreVersions]], extended with a
+    * per-version DELETE-FILE pointer so MoR and CoW serve from the
+    * SAME manifest). One row per servable version
+    * (version, table_name, delete_dir, action, thr):
+    *
+    *   3 ingest      — the 3-append ladder; no delete files;
+    *   4 mor-delete  — the SAME data files (file-for-file: the delete
+    *                   wrote one kilobyte-scale position-tombstone
+    *                   file, StoreLifecycle.positionTombstones, and
+    *                   touched nothing else) + that delete file;
+    *   5 cow-compact — the folding compaction: ONE bucketed rewrite
+    *                   off the MoR read, tombstones folded in,
+    *                   delete_dir EMPTY (0 files — the fold retires
+    *                   the positional files).
+    *
+    * Serving v4 (scan ▷ position anti-join) and v5 (plain scan) must
+    * answer identically — IncrementalSpec pins it row-for-row plus the
+    * file-count A/Bs on both sides of the fold.
+    */
+  def simhashStoreMorManifest(s: SparkSession, sfDir: String): DataFrame = {
+    require(hookInstalled)
+    // hoisted out of the memo — the same-map "Recursive update" hazard
+    // (semDropStoreAppended scaladoc)
+    val (app, thr) = simhashStoreAppended(s, sfDir)
+    val dir = staged.computeIfAbsent(s"sigmor:$sfDir",
+      _ => timing(s"sigmor:$sfDir") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sigmor").toString
+        // v4's delete file: positions of the tombstoned physical rows,
+        // read off the store's own scan — data files untouched
+        graft.operators.StoreLifecycle.positionTombstones(s.table(app),
+            graft.operators.StoreLifecycle.tombstonedDocs(col("doc_id"), thr))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/deletes_v4")
+        // v5: fold the tombstones — plain-file scan for the same
+        // autoBucketedScan fragmentation reason as simhashStoreCompacted
+        val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+        val name = s"graft_sigstore_morcmp_$tag"
+        graft.operators.StoreLifecycle.applyPositionTombstones(
+            s.read.parquet(tableLocation(s, app)),
+            s.read.parquet(s"$tmp/deletes_v4"))
+          .repartition(8, col("bk"))
+          .write.bucketBy(8, "bk").sortBy("bk")
+          .option("path", s"$tmp/$name")
+          .mode("overwrite").saveAsTable(name)
+        java.nio.file.Files
+          .createDirectory(java.nio.file.Paths.get(s"$tmp/deletes_v5"))
+        import s.implicits._
+        Seq((3, app, "", "ingest", thr),
+            (4, app, s"$tmp/deletes_v4", "mor-delete", thr),
+            (5, name, s"$tmp/deletes_v5", "cow-compact", thr))
+          .toDF("version", "table_name", "delete_dir", "action", "thr")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+        tmp
+      })
+    s.read.parquet(s"$dir/manifest")
+  }
+
   /** The COMPACTED IVF-PQ postings store — [[simhashStoreCompacted]]'s
     * twin on the fastest-growing store (codes per vector, many
     * batches): [[ivfPqPostingsStore]] with the vector tombstones

@@ -250,6 +250,69 @@ class IncrementalSpec extends SparkSpec {
       "compacted store must keep the exchange-free bucketed probe plan")
   }
 
+  test("lifecycle: merge-on-read delete — position files only, fold at compaction, one manifest") {
+    import graft.operators.StoreLifecycle
+    import graft.sources.StagedLayouts
+    val m = StagedLayouts.simhashStoreMorManifest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(m.map(_._1).toSeq == Seq(3, 4, 5) &&
+      m.map(_._4).toSeq == Seq("ingest", "mor-delete", "cow-compact"),
+      s"manifest must ladder ingest < mor-delete < cow-compact: ${m.toSeq}")
+    val (_, appTbl, _, _, thr) = m(0)
+    val (_, morTbl, delDir, _, _) = m(1)
+    val (_, cmpTbl, delDirCmp, _, _) = m(2)
+    // the MoR delete wrote ONLY the positional file: v4's data table
+    // IS the ingest version's, and the delete dir holds one tiny file
+    assert(morTbl == appTbl,
+      "mor-delete must not rewrite data — same table as the ingest version")
+    def parquetFiles(dir: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(parquetFiles(delDir) == 1,
+      "the delete path must land as one position-tombstone file")
+    assert(parquetFiles(delDirCmp) == 0,
+      "compaction must fold the tombstones away — 0 delete files after")
+    // position rows address exactly the predicate's physical rows
+    val nTomb = spark.table(appTbl)
+      .where(StoreLifecycle.tombstonedDocs(col("doc_id"), thr)).count()
+    val deletes = spark.read.parquet(delDir)
+    assert(nTomb > 0 && deletes.count() == nTomb,
+      "position-tombstone rows must match the tombstoned row count")
+    // MoR read ≡ CoW read ≡ the logical key anti-join, row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bk").collect().toSeq
+    val mor = StoreLifecycle.applyPositionTombstones(
+      spark.table(morTbl), deletes)
+    assert(rows(mor) == rows(spark.table(cmpTbl)),
+      "MoR read diverged from the folded CoW store")
+    assert(rows(mor) == rows(StoreLifecycle.applyTombstones(
+        spark.table(appTbl),
+        spark.table(appTbl)
+          .where(StoreLifecycle.tombstonedDocs(col("doc_id"), thr)),
+        "doc_id")),
+      "position deletes diverged from the logical key deletes")
+    // the fold restored the compact layout, bucket spec intact
+    assert(StagedLayouts.tableFileCount(spark, cmpTbl) <= 8,
+      "folding compaction must restore one file per bucket")
+    // serving equality through the registry: MoR serving ≡ the logical
+    // delete twin ≡ the CoW compact twin
+    val got = graft.queries.DedupQueries
+      .queries("q_store_mor_delete")(spark, sf).collect().toSeq
+    assert(got == graft.queries.DedupQueries
+        .queries("dedup_incremental_delete")(spark, sf).collect().toSeq,
+      "MoR serving diverged from the logical-delete serving")
+    // the MoR anti-join preserves the exchange-free bucketed scan: a
+    // bk aggregate over the MoR read plans zero hash exchanges
+    val p = plan(mor.groupBy(col("bk")).agg(count(lit(1))))
+    assert(p.contains("Bucketed: true"),
+      "MoR read lost the bucketed scan")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "MoR read must stay exchange-free through the position anti-join")
+  }
+
   test("lifecycle: time travel serves the pre-delete version exactly; current is undisturbed") {
     import graft.sources.StagedLayouts
     // the manifest resolves versions to the stores copy-on-write kept
