@@ -858,4 +858,97 @@ class GraphSpec extends SparkSpec {
       2L -> (13333L, 2L), 3L -> (10000L, 2L), 4L -> (13333L, 2L)),
       "sources beyond each other's depth must not appear as nodes")
   }
+
+  /** Iterative Tarjan — the classic single-machine SCC ground truth
+    * the distributed coloring form is pinned against.
+    */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import scala.collection.mutable
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val index = mutable.Map[Long, Int]()
+    val low = mutable.Map[Long, Int]()
+    val onStack = mutable.Set[Long]()
+    val stack = mutable.Stack[Long]()
+    val sccOf = mutable.Map[Long, Long]()
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      val work = mutable.Stack[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.pop()
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack.push(v); onStack += v
+        }
+        val succs = adj.getOrElse(v, Seq.empty[Long])
+        var i = pi
+        var recursed = false
+        while (i < succs.length && !recursed) {
+          val w = succs(i)
+          if (!index.contains(w)) {
+            work.push((v, i + 1)); work.push((w, 0)); recursed = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.Buffer[Long]()
+            var w = -1L
+            while (w != v) { w = stack.pop(); onStack -= w; comp += w }
+            val id = comp.min
+            comp.foreach(sccOf(_) = id)
+          }
+          work.headOption.foreach { case (p, _) =>
+            low(p) = math.min(low(p), low(v)) }
+        }
+      }
+    }
+    sccOf.toMap
+  }
+
+  test("SCC: fixture labeling equals a driver-side Tarjan replay; bowtie structure live") {
+    val got = graft.queries.GraphQueries.queries("graph_scc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = graft.queries.GraphQueries.flowEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = tarjan(edges)
+    assert(got.length == want.size,
+      s"fixed depths must settle EVERY node: got ${got.length}, want ${want.size}")
+    got.foreach { case (n, c) =>
+      assert(want(n) == c, s"node $n: got $c, want ${want(n)}") }
+    // the gate is non-vacuous: nontrivial SCCs of several sizes (the
+    // return loops) AND singletons (the bowtie tails + supplier sinks)
+    val sizes = got.groupBy(_._2).map(_._2.length).toSeq
+    assert(sizes.count(_ > 1) >= 10, "too few nontrivial SCCs — gate vacuous")
+    assert(sizes.contains(1), "no singleton SCCs — trim path unexercised")
+    assert(sizes.distinct.length >= 3, "SCC sizes must vary")
+  }
+
+  test("SCC: designed cycle+DAG toy — second peel settles the dominated cycle, never mislabels") {
+    import spark.implicits._
+    import graft.operators.Scc
+    // cycle A {1,2,3} dominates cycle B {10,11} through the bridge
+    // 3→10 (B shares A's color in peel 1 and CANNOT settle); DAG tails
+    // 11→20→21 and the isolated chain 30→31 settle by trim
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L),
+      (11L, 10L), (11L, 20L), (20L, 21L), (30L, 31L)).toDF("src", "dst")
+    val want = tarjan(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L),
+      (10L, 11L), (11L, 10L), (11L, 20L), (20L, 21L), (30L, 31L)))
+    assert(want == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 21L, 30L -> 30L, 31L -> 31L))
+    val got2 = Scc.scc(edges, trimRounds = 4, propRounds = 4, peels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == want, s"two peels must settle everything: $got2")
+    // the FIXED-depth contract: with one peel, the dominated cycle is
+    // ABSENT from the output — never present with a wrong label
+    val got1 = Scc.scc(edges, trimRounds = 4, propRounds = 4, peels = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!got1.contains(10L) && !got1.contains(11L),
+      "a one-peel run must leave the dominated cycle unsettled, not mislabel it")
+    got1.foreach { case (n, c) =>
+      assert(want(n) == c, s"peel-1 settled node $n wrong") }
+    assert(got1.keySet == want.keySet -- Set(10L, 11L))
+  }
 }
