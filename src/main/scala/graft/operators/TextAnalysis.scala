@@ -566,7 +566,20 @@ object TextAnalysis {
     * score_u = Σ p_u exact. Docs with < 3 tokens surface with
     * n_trigrams = 0 (explode_outer keeps them).
     */
-  def knTrigramScore(docs: DataFrame, nProbe: Int, trainLt: Int): DataFrame = {
+  def knTrigramScore(docs: DataFrame, nProbe: Int, trainLt: Int): DataFrame =
+    knTrigramScored(docs, trainLt, Some(nProbe))
+
+  /** [[knTrigramScore]] over the WHOLE corpus — the scoring pass a
+    * CCNet-style perplexity filter actually runs (every doc scored
+    * against the held-in-slice model). Same chain, no probe cut.
+    */
+  def knTrigramScoreAll(docs: DataFrame, trainLt: Int): DataFrame =
+    knTrigramScored(docs, trainLt, None)
+
+  private def knTrigramScored(docs: DataFrame, trainLt: Int,
+      nProbe: Option[Int]): DataFrame = {
+    def probed(df: DataFrame): DataFrame =
+      nProbe.map(n => df.where(col("doc_id") < n)).getOrElse(df)
     val ts = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
     val withTg = docs.select(col("doc_id"), ts.as("ts"))
       .select(col("doc_id"),
@@ -600,7 +613,7 @@ object TextAnalysis {
       .agg(sum(col("cc23")).as("ccdot2"), count(lit(1)).as("n1p2f"))
     val cu = cc.groupBy(col("w3")).agg(count(lit(1)).as("n1p3b"))
     val nbb = cc.agg(count(lit(1)).as("nbb"))
-    val pb = triples.where(col("doc_id") < nProbe)
+    val pb = probed(triples)
     val scored = pb
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(ctx12, Seq("w1", "w2"), "left")
@@ -627,7 +640,7 @@ object TextAnalysis {
         sum(when(col("c12dot").isNull, 1L).otherwise(0L)).as("n_bo2"),
         sum(when(col("p_u") === 0L, 1L).otherwise(0L)).as("n_zero"),
         sum(col("p_u")).as("score_u"))
-    docs.where(col("doc_id") < nProbe).select(col("doc_id"))
+    probed(docs.select(col("doc_id")))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),

@@ -190,13 +190,61 @@ object GraphQueries {
     // (probed: sf0.001 trim 4/prop 5, sf0.01 trim 5/prop 6, 1 peel,
     // coloring ≡ Tarjan). The web-graph-bowtie structure is live at
     // the gate: 8,621 nontrivial SCCs of sizes 2–7 plus 19k singletons
-    // at sf0.01. Oracle = the identical unrolled trim/color/settle CTE
-    // chain; GraphSpec replays driver Tarjan and pins equality plus a
+    // at sf0.01. The 18-round ladder runs ONCE per scale dir
+    // (StagedLayouts.sccLabels — the lpaLabels staging precedent: the
+    // SCC batch checkpoints its labeling and both this query and
+    // graph_scc_condense serve from the |V|-row artifact; GraphSpec
+    // additionally pins the UNSTAGED operator ≡ Tarjan directly).
+    // Oracle = the identical unrolled trim/color/settle CTE chain;
+    // GraphSpec replays driver Tarjan and pins equality plus a
     // designed cycle+DAG toy.
     "graph_scc" -> ((s, dir) =>
-      graft.operators.Scc.scc(flowEdges(s, dir),
-          trimRounds = 6, propRounds = 6, peels = 1)
-        .orderBy("node")),
+      graft.sources.StagedLayouts.sccLabels(s, dir).orderBy("node")),
+
+    // the CONDENSATION DAG of graph_scc's labeling — the bowtie
+    // analysis a link graph runs downstream of SCC: collapse each SCC
+    // to a super-node and report member count, internal edge count,
+    // distinct successor-SCC count, and DEPTH = the longest path from
+    // any source SCC in the condensation (exact integer max-prop,
+    // fixed 6 rounds — the condensation depth is bounded by the order
+    // chain length, the graph_scc schema argument). Labels come from
+    // the per-scale-dir staged SCC table (StagedLayouts.sccLabels —
+    // the lpaLabels/brandesForward staging shape: the SCC batch
+    // checkpoints once, every downstream analysis scans |V| rows).
+    // Scale: two label joins streaming the edge list, map-side-combined
+    // counts, and the depth rounds run on the |SCC|-sized condensation,
+    // never the node graph.
+    "graph_scc_condense" -> ((s, dir) => {
+      val lbl = graft.sources.StagedLayouts.sccLabels(s, dir)
+      val le = flowEdges(s, dir)
+        .join(lbl.select(col("node").as("src"), col("scc_id").as("s_s")), "src")
+        .join(lbl.select(col("node").as("dst"), col("scc_id").as("s_d")), "dst")
+        .localCheckpoint(true) // feeds internal counts AND cond edges
+      val internal = le.where(col("s_s") === col("s_d"))
+        .groupBy(col("s_s").as("scc_id")).agg(count(lit(1)).as("n_internal"))
+      val cond = le.where(col("s_s") =!= col("s_d"))
+        .select(col("s_s"), col("s_d")).distinct()
+        .localCheckpoint(true) // feeds out-degree AND every depth round
+      val outdeg = cond.groupBy(col("s_s").as("scc_id"))
+        .agg(count(lit(1)).as("n_out"))
+      var d = lbl.select(col("scc_id").as("v")).distinct()
+        .withColumn("d", lit(0L))
+      (1 to 6).foreach { _ =>
+        d = d.unionAll(
+            cond.join(d.select(col("v").as("s_s"), col("d")), "s_s")
+              .select(col("s_d").as("v"), (col("d") + lit(1L)).as("d")))
+          .groupBy(col("v")).agg(max(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      lbl.groupBy(col("scc_id")).agg(count(lit(1)).as("n_nodes"))
+        .join(internal, Seq("scc_id"), "left")
+        .join(outdeg, Seq("scc_id"), "left")
+        .join(d.select(col("v").as("scc_id"), col("d").as("depth")), "scc_id")
+        .select(col("scc_id"), col("n_nodes"),
+          coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"), col("depth"))
+        .orderBy("scc_id")
+    }),
 
     // 3-round deterministic label-propagation communities over the
     // supply graph (LabelProp scaladoc: plurality label, ties to the
@@ -386,7 +434,11 @@ object GraphQueries {
     * references its predecessor more than once — the documented DuckDB
     * re-execution hazard).
     */
-  private def sccSql(trimRounds: Int, propRounds: Int): String = {
+  private def sccSql(trimRounds: Int, propRounds: Int): String =
+    s"""WITH ${sccCtes(trimRounds, propRounds)}
+       |SELECT node, scc_id FROM scc ORDER BY node""".stripMargin
+
+  private def sccCtes(trimRounds: Int, propRounds: Int): String = {
     val trimCtes = (1 to trimRounds).map { i =>
       s"""a$i AS MATERIALIZED (
          |  SELECT a.v FROM a${i - 1} a
@@ -409,7 +461,7 @@ object GraphQueries {
          |    FROM ec JOIN b${i - 1} p ON ec.dst = p.v GROUP BY ec.src) m
          |  ON m.v = b.v)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
        |  SELECT l_orderkey, l_linenumber,
        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret,
        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
@@ -435,14 +487,54 @@ object GraphQueries {
        |  JOIN f$propRounds fs ON ea.src = fs.v
        |  JOIN f$propRounds fd ON ea.dst = fd.v WHERE fs.f = fd.f),
        |b0 AS (SELECT v, v AS b FROM a$trimRounds),
-       |$bCtes
-       |SELECT node, scc_id FROM (
+       |$bCtes,
+       |scc AS MATERIALIZED (
        |  SELECT a.v AS node, a.v AS scc_id FROM a0 a
        |  WHERE a.v NOT IN (SELECT v FROM a$trimRounds)
        |  UNION ALL
        |  SELECT f.v, f.f FROM f$propRounds f JOIN b$propRounds b ON f.v = b.v
        |  WHERE b.b = f.f
-       |) ORDER BY node""".stripMargin
+       |)""".stripMargin
+  }
+
+  /** Unrolled condensation-DAG rounds over [[sccCtes]]'s `scc` table —
+    * the graph_scc_condense twin: labeled edges, internal counts,
+    * distinct super-edges, and `depthRounds` exact longest-path
+    * max-propagation rounds on the DAG.
+    */
+  private def sccCondenseSql(trimRounds: Int, propRounds: Int,
+      depthRounds: Int): String = {
+    val depthCtes = (1 to depthRounds).map { i =>
+      s"""dp$i AS MATERIALIZED (SELECT v, max(d) AS d FROM (
+         |  SELECT v, d FROM dp${i - 1}
+         |  UNION ALL
+         |  SELECT ce.s_d AS v, p.d + 1 AS d
+         |  FROM dp${i - 1} p JOIN ce ON ce.s_s = p.v
+         |) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sccCtes(trimRounds, propRounds)},
+       |le AS MATERIALIZED (
+       |  SELECT ls.scc_id AS s_s, ld.scc_id AS s_d FROM e
+       |  JOIN scc ls ON e.src = ls.node
+       |  JOIN scc ld ON e.dst = ld.node
+       |), ce AS MATERIALIZED (
+       |  SELECT DISTINCT s_s, s_d FROM le WHERE s_s <> s_d
+       |), dp0 AS (
+       |  SELECT DISTINCT scc_id AS v, CAST(0 AS BIGINT) AS d FROM scc
+       |),
+       |$depthCtes
+       |SELECT s.scc_id, count(*) AS n_nodes,
+       |  coalesce(i.n_internal, CAST(0 AS BIGINT)) AS n_internal,
+       |  coalesce(o.n_out, CAST(0 AS BIGINT)) AS n_out,
+       |  CAST(d.d AS BIGINT) AS depth
+       |FROM scc s
+       |LEFT JOIN (SELECT s_s AS scc_id, count(*) AS n_internal
+       |  FROM le WHERE s_s = s_d GROUP BY 1) i ON i.scc_id = s.scc_id
+       |LEFT JOIN (SELECT s_s AS scc_id, count(*) AS n_out
+       |  FROM ce GROUP BY 1) o ON o.scc_id = s.scc_id
+       |JOIN dp$depthRounds d ON d.v = s.scc_id
+       |GROUP BY s.scc_id, i.n_internal, o.n_out, d.d
+       |ORDER BY s.scc_id""".stripMargin
   }
 
   /** Unrolled peel rounds — each round recomputes degrees over the
@@ -899,6 +991,9 @@ object GraphQueries {
       // the Scc.scc chain unrolled at the registered depths (schema-
       // bounded: ≤7 lines per order — see the query comment)
       "graph_scc" -> sccSql(trimRounds = 6, propRounds = 6),
+      // the condensation analysis composed on the same scc chain
+      "graph_scc_condense" -> sccCondenseSql(trimRounds = 6,
+        propRounds = 6, depthRounds = 6),
 
       "graph_label_prop" -> lpaSql(rounds = 3),
       "graph_modularity" -> modularitySql(rounds = 3),

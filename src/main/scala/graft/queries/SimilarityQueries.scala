@@ -236,6 +236,59 @@ object SimilarityQueries {
     // the codec-isolation baseline; at scale the codes ride the IVF
     // bucketed stores (sim_ann_*_pq family) — this query gates the
     // quantizer itself.
+    // the 1-BIT rung of the quantization ladder (sim_quant_recall's
+    // SQ8 → binary): per-dim MIDRANGE binarization — threshold
+    // (mn+mx)/2, exact cross-engine because min/max are accumulation-
+    // order-free where a mean is not — with the codes PACKED into one
+    // BIGINT (64 dims = 64 bits, the 256×-compression serving layout
+    // binary-embedding deployments run) and Hamming serving via
+    // bit_count(xor), a single codegen'd integer op per candidate.
+    // Output per query: recall@3 of the Hamming top-3 vs the exact
+    // cosine truth + the top-1 Hamming distance (integer-exact).
+    // Non-vacuity measured before pinning: binary quantization flips
+    // rankings at the fixture (recall < 1 for some queries) while
+    // others stay perfect — the gate separates the rungs.
+    "sim_quant_binary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Similarity.emb(s, dir)
+      val dims = e.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val thr = dims.agg(expr(
+        "transform(sort_array(collect_list(struct(i, (mn + mx) / 2.0 AS t))), s -> s.t)")
+        .as("thr"))
+      val coded = e.crossJoin(broadcast(thr))
+        .withColumn("code", expr(
+          s"""aggregate(sequence(1, $D), CAST(0 AS BIGINT), (acc, i) ->
+             |  acc | (CASE WHEN element_at(v, i) >= element_at(thr, i)
+             |    THEN shiftleft(CAST(1 AS BIGINT), i - 1)
+             |    ELSE CAST(0 AS BIGINT) END))""".stripMargin))
+        .select(col("vec_id"), col("code"))
+        .localCheckpoint(true) // feeds the query side AND the candidates
+      val q = coded.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("code").as("qcode"))
+      val jq = broadcast(q).crossJoin(coded)
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr("CAST(bit_count(code ^ qcode) AS BIGINT)"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("ham"), col("vec_id"))
+      val tq = jq.withColumn("rk", row_number().over(wq)).where(col("rk") <= 3)
+        .select(col("qid").as("aqid"), col("vec_id").as("avid"),
+          col("ham"), col("rk"))
+        .localCheckpoint(true) // feeds the recall join AND the top-1 pick
+      val truth = Similarity.bruteTopK(e, nQueries = 10, k = 3)
+        .select(col("qid"), col("vec_id"))
+      val hits = truth
+        .join(tq, truth("qid") === tq("aqid") && truth("vec_id") === tq("avid"),
+          "left")
+        .groupBy(col("qid")).agg(count(col("avid")).as("n_hit"))
+      hits
+        .join(tq.where(col("rk") === 1)
+          .select(col("aqid").as("qid"), col("ham").as("h1")), "qid")
+        .withColumn("recall6", rnd(col("n_hit") / lit(3.0), 6))
+        .select(col("qid"), col("n_hit"), col("recall6"), col("h1"))
+        .orderBy("qid")
+    }),
+
     "sim_quant_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Similarity.emb(s, dir)
@@ -981,6 +1034,49 @@ object SimilarityQueries {
     // SQ8 twin: per-dim min/max from ordinality-unnest, the identical
     // floor-code/decode arithmetic in list form, asymmetric cosine on
     // the dotUnrolledSql fold, error as exact integer |u5| sums
+    // binary twin: same midrange thresholds ((mn+mx)/2 off the exact
+    // min/max), the identical packed-BIGINT code fold (OR is
+    // associative — fold mechanics free), bit_count(xor) Hamming, and
+    // the shared brute cosine truth chain
+    "sim_quant_binary" ->
+      s"""WITH $embCte,
+         |dm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM (
+         |    SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM en)
+         |  GROUP BY i),
+         |qz AS (SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM dm),
+         |cdb AS MATERIALIZED (SELECT vec_id,
+         |    list_reduce(list_transform(range(1, ${D + 1}), i ->
+         |      CASE WHEN v[i] >= thr[i]
+         |        THEN (CASE WHEN i = 64
+         |          THEN CAST(-9223372036854775808 AS BIGINT)
+         |          ELSE (CAST(1 AS BIGINT) << (i - 1)) END)
+         |        ELSE CAST(0 AS BIGINT) END),
+         |      (a, b) -> a | b) AS code
+         |  FROM en CROSS JOIN qz),
+         |q AS (SELECT vec_id AS qid, code AS qcode FROM cdb WHERE vec_id < 10),
+         |jq AS MATERIALIZED (SELECT q.qid, b.vec_id,
+         |    CAST(bit_count(xor(b.code, q.qcode)) AS BIGINT) AS ham
+         |  FROM q, cdb b WHERE b.vec_id <> q.qid),
+         |tq AS MATERIALIZED (SELECT qid, vec_id, ham, rk FROM (
+         |    SELECT qid, vec_id, ham,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rk
+         |    FROM jq) WHERE rk <= 3),
+         |qv AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |jb AS (SELECT qid, vec_id, ${rndSql(cosN("qv", "v", "qnrm", "nrm"), 5)} AS cos5
+         |  FROM qv, en WHERE vec_id <> qid),
+         |tb AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos5 DESC, vec_id) AS rk
+         |    FROM jb) WHERE rk <= 3),
+         |h1 AS (SELECT qid, ham AS h1 FROM tq WHERE rk = 1)
+         |SELECT tb.qid, CAST(count(tq.vec_id) AS BIGINT) AS n_hit,
+         |  ${rndSql("count(tq.vec_id) / 3.0", 6)} AS recall6,
+         |  CAST(h1.h1 AS BIGINT) AS h1
+         |FROM tb
+         |LEFT JOIN tq ON tb.qid = tq.qid AND tb.vec_id = tq.vec_id
+         |JOIN h1 ON h1.qid = tb.qid
+         |GROUP BY tb.qid, h1.h1 ORDER BY tb.qid""".stripMargin,
+
     "sim_quant_recall" ->
       s"""WITH $embCte,
          |dm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM (

@@ -112,6 +112,33 @@ object TextQueries {
       TextAnalysis.knTrigramScore(docs(s, dir), nProbe = 20, trainLt = 5)
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity tertiles driven by the REAL smoothed LM
+    // (text_ppl_buckets runs the count-LM OOV proxy; this runs the
+    // trigram Kneser-Ney over the WHOLE corpus): per-doc
+    // length-normalized micro-likelihood score_n = score_u DIV
+    // n_trigrams (integer-exact — no float rank boundary), NTILE(3)
+    // per lang over (score_n DESC, doc_id) — head = the most-likely
+    // (lowest-perplexity) slice a CCNet-style filter keeps. Plan: the
+    // kn3 model chain (one trigram aggregate + derived marginals) with
+    // the probe stream = every doc, then ONE per-lang window over
+    // (doc_id, score) pairs — the text never shuffles twice.
+    "text_ppl_buckets3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val kn = TextAnalysis.knTrigramScoreAll(docs(s, dir), trainLt = 5)
+      val tile = ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("score_n").desc, col("doc_id")))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(kn, "doc_id")
+        .withColumn("score_n", when(col("n_trigrams") === 0L, lit(0L))
+          .otherwise(expr("score_u DIV n_trigrams")))
+        .withColumn("bucket",
+          when(tile === 1, lit("head")).when(tile === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("n_trigrams"),
+          col("score_n"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(docs(s, dir)).orderBy("doc_id")),
 
@@ -401,6 +428,74 @@ object TextQueries {
   /** `text_wordpiece_train`'s oracle: the likelihood-ranked merge
     * table read out per round.
     */
+  /** The trigram Kneser-Ney scoring chain ending in `agg(doc_id, nt,
+    * nh, nb2, nz, su)` — the TextAnalysis.knTrigramScored twin. `probe`
+    * is the SQL relation the probe trigram stream reads (the 20-doc cut
+    * for text_kneser_ney3, the whole `triples` stream for
+    * text_ppl_buckets3 — the shared-builder discipline, never string
+    * surgery). All accumulation-order-free integer ops; `//` ≡ DIV.
+    */
+  private def kn3Ctes(probe: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+       |  FROM documents
+       |), triples AS MATERIALIZED (
+       |  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+       |      i -> {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]})) AS t
+       |    FROM toks)
+       |), tri AS MATERIALIZED (
+       |  SELECT w1, w2, w3, count(*) AS c123 FROM triples
+       |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 5
+       |  GROUP BY 1, 2, 3
+       |), ctx12 AS (
+       |  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12dot,
+       |    count(*) AS n1p12
+       |  FROM tri GROUP BY 1, 2
+       |), cc AS MATERIALIZED (
+       |  SELECT w2, w3, count(*) AS cc23 FROM tri GROUP BY 1, 2
+       |), ccd AS (
+       |  SELECT w2, CAST(sum(cc23) AS BIGINT) AS ccdot2,
+       |    count(*) AS n1p2f
+       |  FROM cc GROUP BY 1
+       |), cu AS (
+       |  SELECT w3, count(*) AS n1p3b FROM cc GROUP BY 1
+       |), nb AS (SELECT count(*) AS nbb FROM cc),
+       |sc AS (
+       |  SELECT p.doc_id, t.c123, x.c12dot, x.n1p12, c.cc23, d.ccdot2,
+       |    d.n1p2f, coalesce((u.n1p3b * 1000000) // nb.nbb, 0) AS p1_u
+       |  FROM $probe p
+       |  LEFT JOIN tri t USING (w1, w2, w3)
+       |  LEFT JOIN ctx12 x USING (w1, w2)
+       |  LEFT JOIN cc c USING (w2, w3)
+       |  LEFT JOIN ccd d USING (w2)
+       |  LEFT JOIN cu u USING (w3)
+       |  CROSS JOIN nb
+       |), p2 AS (
+       |  SELECT doc_id, c123, c12dot, n1p12,
+       |    CASE WHEN ccdot2 IS NOT NULL THEN
+       |      (CASE WHEN cc23 IS NOT NULL
+       |         THEN ((4 * cc23 - 3) * 1000000) // (4 * ccdot2) ELSE 0 END)
+       |      + ((3 * n1p2f * 1000000) // (4 * ccdot2) * p1_u) // 1000000
+       |    ELSE p1_u END AS p2_u
+       |  FROM sc
+       |), pu AS (
+       |  SELECT doc_id, c123, c12dot,
+       |    CASE WHEN c12dot IS NOT NULL THEN
+       |      (CASE WHEN c123 IS NOT NULL
+       |         THEN ((4 * c123 - 3) * 1000000) // (4 * c12dot) ELSE 0 END)
+       |      + ((3 * n1p12 * 1000000) // (4 * c12dot) * p2_u) // 1000000
+       |    ELSE p2_u END AS p_u
+       |  FROM p2
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS nt, count(c123) AS nh,
+       |    CAST(sum(CASE WHEN c12dot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb2,
+       |    CAST(sum(CASE WHEN p_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+       |    CAST(sum(p_u) AS BIGINT) AS su
+       |  FROM pu GROUP BY doc_id
+       |)""".stripMargin
+
   private def wpTrainSql(iters: Int): String = {
     val sel = (1 to iters).map(i =>
       s"SELECT CAST($i AS INT) AS rank, l AS left_sym, r AS right_sym, " +
@@ -879,74 +974,37 @@ object TextQueries {
     // as exact counts off the one trigram aggregate, the identical
     // three-order integer-micro interpolation with `//` == Spark DIV
     "text_kneser_ney3" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-        |  FROM documents
-        |), triples AS MATERIALIZED (
-        |  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
-        |      i -> {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]})) AS t
-        |    FROM toks)
-        |), tri AS MATERIALIZED (
-        |  SELECT w1, w2, w3, count(*) AS c123 FROM triples
-        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 5
-        |  GROUP BY 1, 2, 3
-        |), ctx12 AS (
-        |  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12dot,
-        |    count(*) AS n1p12
-        |  FROM tri GROUP BY 1, 2
-        |), cc AS MATERIALIZED (
-        |  SELECT w2, w3, count(*) AS cc23 FROM tri GROUP BY 1, 2
-        |), ccd AS (
-        |  SELECT w2, CAST(sum(cc23) AS BIGINT) AS ccdot2,
-        |    count(*) AS n1p2f
-        |  FROM cc GROUP BY 1
-        |), cu AS (
-        |  SELECT w3, count(*) AS n1p3b FROM cc GROUP BY 1
-        |), nb AS (SELECT count(*) AS nbb FROM cc),
-        |sc AS (
-        |  SELECT p.doc_id, t.c123, x.c12dot, x.n1p12, c.cc23, d.ccdot2,
-        |    d.n1p2f, coalesce((u.n1p3b * 1000000) // nb.nbb, 0) AS p1_u
-        |  FROM (SELECT * FROM triples WHERE doc_id < 20) p
-        |  LEFT JOIN tri t USING (w1, w2, w3)
-        |  LEFT JOIN ctx12 x USING (w1, w2)
-        |  LEFT JOIN cc c USING (w2, w3)
-        |  LEFT JOIN ccd d USING (w2)
-        |  LEFT JOIN cu u USING (w3)
-        |  CROSS JOIN nb
-        |), p2 AS (
-        |  SELECT doc_id, c123, c12dot, n1p12,
-        |    CASE WHEN ccdot2 IS NOT NULL THEN
-        |      (CASE WHEN cc23 IS NOT NULL
-        |         THEN ((4 * cc23 - 3) * 1000000) // (4 * ccdot2) ELSE 0 END)
-        |      + ((3 * n1p2f * 1000000) // (4 * ccdot2) * p1_u) // 1000000
-        |    ELSE p1_u END AS p2_u
-        |  FROM sc
-        |), pu AS (
-        |  SELECT doc_id, c123, c12dot,
-        |    CASE WHEN c12dot IS NOT NULL THEN
-        |      (CASE WHEN c123 IS NOT NULL
-        |         THEN ((4 * c123 - 3) * 1000000) // (4 * c12dot) ELSE 0 END)
-        |      + ((3 * n1p12 * 1000000) // (4 * c12dot) * p2_u) // 1000000
-        |    ELSE p2_u END AS p_u
-        |  FROM p2
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS nt, count(c123) AS nh,
-        |    CAST(sum(CASE WHEN c12dot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb2,
-        |    CAST(sum(CASE WHEN p_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
-        |    CAST(sum(p_u) AS BIGINT) AS su
-        |  FROM pu GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(a.nt, CAST(0 AS BIGINT)) AS n_trigrams,
-        |  coalesce(a.nh, CAST(0 AS BIGINT)) AS n_hit,
-        |  coalesce(a.nb2, CAST(0 AS BIGINT)) AS n_bo2,
-        |  coalesce(a.nz, CAST(0 AS BIGINT)) AS n_zero,
-        |  coalesce(a.su, CAST(0 AS BIGINT)) AS score_u
-        |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
-        |LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH ${kn3Ctes("(SELECT * FROM triples WHERE doc_id < 20)")}
+         |SELECT d.doc_id,
+         |  coalesce(a.nt, CAST(0 AS BIGINT)) AS n_trigrams,
+         |  coalesce(a.nh, CAST(0 AS BIGINT)) AS n_hit,
+         |  coalesce(a.nb2, CAST(0 AS BIGINT)) AS n_bo2,
+         |  coalesce(a.nz, CAST(0 AS BIGINT)) AS n_zero,
+         |  coalesce(a.su, CAST(0 AS BIGINT)) AS score_u
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // ppl-buckets3 twin: the SAME kn3 chain with the probe stream =
+    // every doc, the integer length normalization, and the identical
+    // per-lang NTILE over (score_n DESC, doc_id)
+    "text_ppl_buckets3" ->
+      s"""WITH ${kn3Ctes("triples")},
+         |sc2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    coalesce(a.nt, CAST(0 AS BIGINT)) AS n_trigrams,
+         |    CASE WHEN coalesce(a.nt, 0) = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(a.su // a.nt AS BIGINT) END AS score_n
+         |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |), nt3 AS (
+         |  SELECT *, ntile(3) OVER (
+         |    PARTITION BY lang ORDER BY score_n DESC, doc_id) AS tile
+         |  FROM sc2
+         |)
+         |SELECT doc_id, lang, n_trigrams, score_n,
+         |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM nt3 ORDER BY doc_id""".stripMargin,
 
     // ppl-buckets twin: the text_lm_score model chain verbatim, score
     // integer-scaled with `//` == Spark DIV, same NTILE(3) over

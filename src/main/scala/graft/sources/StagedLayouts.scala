@@ -825,6 +825,26 @@ object StagedLayouts {
   def lpaLabels(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"${lpaDir(s, sfDir)}/round3")
 
+  /** The SCC labeling of the fulfillment-flow graph (node, scc_id),
+    * materialized once per scale dir — the lpaLabels staging shape: at
+    * production scale the SCC batch (graph_scc's operator, Scc.scc)
+    * checkpoints its labeling and every downstream analysis
+    * (`graph_scc_condense`'s condensation DAG here) scans that |V|-row
+    * table instead of re-running the 18-round trim/color ladder.
+    */
+  def sccLabels(s: SparkSession, sfDir: String): DataFrame = {
+    require(hookInstalled)
+    val dir = staged.computeIfAbsent(s"scc:$sfDir", _ => timing(s"scc:$sfDir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scc").toString
+      graft.operators.Scc
+        .scc(graft.queries.GraphQueries.flowEdges(s, sfDir),
+          trimRounds = 6, propRounds = 6, peels = 1)
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      tmp
+    })
+    s.read.parquet(s"$dir/labels")
+  }
+
   /** Round-indexed LPA partitions ((rounds, labels) for rounds 1..4)
     * — ONE loop run staged per scale dir (the hyperballStates shape),
     * priced by `graph_modularity_sweep`; round 3 is [[lpaLabels]], the

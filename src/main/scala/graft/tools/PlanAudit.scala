@@ -190,7 +190,15 @@ object PlanAudit {
     // broadcast quantizer + the brute ADC pass; CUSUM is the q_ewma
     // single-shuffle ordered-fold shape
     "q_store_schema_evolution", "q_als_rank2_step2", "pipeline_rho_select",
-    "text_kneser_ney", "sim_quant_recall", "q_ts_cusum")
+    "text_kneser_ney", "sim_quant_recall", "q_ts_cusum",
+    // round 18: trigram KN — ONE trigram count aggregate with every
+    // marginal derived from it (the probe stream joins the uncapped
+    // distributed model; N1+(··) rides a 1-row broadcast); the MoR
+    // read must keep the bucketed store scan with the position
+    // tombstones BROADCAST into the anti-join; the ALS fit twin is the
+    // step chain one alternation deeper (same two map-side-combined
+    // aggregates per half-solve)
+    "text_kneser_ney3", "q_store_mor_delete", "q_als_rank2_fit_unrolled")
 
   /** Queries whose production entry point ends in an eager
     * localCheckpoint (cache-release pattern) — their registered form

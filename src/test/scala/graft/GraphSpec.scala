@@ -926,6 +926,40 @@ class GraphSpec extends SparkSpec {
     assert(sizes.distinct.length >= 3, "SCC sizes must vary")
   }
 
+  test("SCC condensation: sizes/edges/out-degree/depth equal a driver DP replay over Tarjan labels") {
+    val got = graft.queries.GraphQueries
+      .queries("graph_scc_condense")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val edges = graft.queries.GraphQueries.flowEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scc = tarjan(edges)
+    val sizes = scc.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val labeled = edges.map { case (u, v) => (scc(u), scc(v)) }
+    val internal = labeled.filter(e => e._1 == e._2)
+      .groupBy(_._1).map { case (c, es) => c -> es.size.toLong }
+    val cond = labeled.filter(e => e._1 != e._2).distinct
+    val outdeg = cond.groupBy(_._1).map { case (c, es) => c -> es.size.toLong }
+    // longest path from any source: exact DP to fixpoint on the DAG
+    val depth = scala.collection.mutable.Map[Long, Long](
+      sizes.keys.map(_ -> 0L).toSeq: _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      cond.foreach { case (a, b) =>
+        if (depth(a) + 1 > depth(b)) { depth(b) = depth(a) + 1; changed = true }
+      }
+    }
+    val want = sizes.map { case (c, n) =>
+      c -> (n, internal.getOrElse(c, 0L), outdeg.getOrElse(c, 0L), depth(c)) }
+    assert(got == want, "condensation diverged from the Tarjan-label DP replay")
+    // non-vacuity: real DAG structure above the SCCs — positive depths,
+    // nontrivial internal edge counts, and fan-out
+    assert(got.values.exists(_._4 > 1L), "no condensation path of length > 1")
+    assert(got.values.exists(_._2 >= 2L), "no SCC with 2+ internal edges")
+    assert(got.values.exists(_._3 > 0L), "no super-edges at all")
+  }
+
   test("SCC: designed cycle+DAG toy — second peel settles the dominated cycle, never mislabels") {
     import spark.implicits._
     import graft.operators.Scc

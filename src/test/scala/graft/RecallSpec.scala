@@ -292,6 +292,50 @@ class RecallSpec extends SparkSpec {
       s"replay mismatch:\n got=${got.toSeq}\n exp=${expect.toSeq}")
   }
 
+  test("binary quantizer: packed-code Hamming ranking replays driver-side; the 1-bit rung is coarse") {
+    val got = q("sim_quant_binary").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    got.foreach { case (qid, nHit, rec, h1) =>
+      assert(nHit >= 0 && nHit <= 3 && h1 >= 0L && h1 <= 64L,
+        s"malformed row $qid")
+      assert(math.abs(rec - nHit / 3.0) < 1e-6 + 1e-9, s"recall6 drifted at $qid")
+    }
+    // full driver replay: same midrange thresholds, same packed long
+    // (bit 64 = the sign bit — Long shift wraps to the identical
+    // two's-complement value both engines pin), same Hamming ranking
+    val vs = Similarity.emb(spark, sf).select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val dim = vs.head._2.length
+    val thr = Array.tabulate(dim) { i =>
+      (vs.map(_._2(i)).min + vs.map(_._2(i)).max) / 2.0 }
+    def code(v: Array[Double]): Long =
+      (0 until dim).foldLeft(0L)((acc, i) =>
+        if (v(i) >= thr(i)) acc | (1L << i) else acc)
+    val codes = vs.map { case (id, v) => id -> code(v) }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      (0 until dim).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def r5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
+    val nrm = vs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val expect = vs.filter(_._1 < 10).map { case (qid, qv) =>
+      val hams = vs.map(_._1).filter(_ != qid)
+        .map(id => (java.lang.Long.bitCount(codes(id) ^ codes(qid)).toLong, id))
+        .sorted
+      val tq = hams.take(3).map(_._2).toSet
+      val tb = vs.filter(_._1 != qid)
+        .map { case (id, v) => (r5(dot(qv, v) / (nrm(qid) * nrm(id))), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(3).map(_._2).toSet
+      (qid, (tb & tq).size.toLong, hams.head._1)
+    }
+    assert(got.map(g => (g._1, g._2, g._4)).toSeq == expect.toSeq,
+      s"replay mismatch:\n got=${got.toSeq}\n exp=${expect.toSeq}")
+    // the rung genuinely separates from SQ8: one bit per dim flips
+    // rankings (recall below 1 somewhere) yet carries signal (a hit
+    // exists somewhere)
+    assert(got.exists(_._2 < 3L), "binary quantization never flipped a ranking")
+    assert(got.exists(_._2 > 0L), "binary quantization carries no signal at all")
+  }
+
   test("recall curve: monotone nondecreasing in nprobe, exact 1.0 at nprobe = nlist") {
     val rows = graft.queries.SimilarityQueries
       .queries("sim_recall_curve")(spark, sf)

@@ -39,6 +39,30 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == owners.size)
   }
 
+  test("no query name is defined twice WITHIN a module source file (Map literals dedup silently)") {
+    // a cross-module collision fails the test above, but a duplicate
+    // key inside ONE module's Map literal silently keeps the LAST
+    // entry — the shadowed query's code still compiles, its oracle
+    // still grades, and nothing runs it (a real near-miss: a second
+    // q_incr_join was added to WarehouseQueries without noticing the
+    // first). Maps can't see their own lost keys, so this check reads
+    // the SOURCE: every `"name" -> ((s, dir)` query-entry key must be
+    // unique within its file.
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    assert(java.nio.file.Files.isDirectory(dir),
+      s"queries source dir not found at ${dir.toAbsolutePath}")
+    val entry = """"([A-Za-z0-9_]+)"\s*->\s*\(\(s, dir\)""".r
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).foreach { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val names = entry.findAllMatchIn(src).map(_.group(1)).toSeq
+        val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+        assert(dups.isEmpty,
+          s"${f.getFileName}: duplicate query entries $dups — the first is silently shadowed")
+      }
+  }
+
   test("every oracle key has a registered query, within its own module") {
     modules.foreach { case (m, qs, os) =>
       val orphan = os.keySet -- qs.keySet

@@ -733,6 +733,46 @@ class TextOpsSpec extends SparkSpec {
       "no probe trigram ever backed off past its history — level-2 dead")
   }
 
+  test("trigram ppl buckets: whole-corpus KN tertiles replay; head carries more mass than tail") {
+    val got = graft.queries.TextQueries
+      .queries("text_ppl_buckets3")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val rows = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val kn = kn3Replay(rows.map(r => (r._1, r._2)), nProbe = Int.MaxValue,
+      trainLt = 5)
+    val langOf = rows.map(r => r._1 -> r._3).toMap
+    // score_n = score_u DIV n_trigrams, then the exact NTILE(3) per
+    // lang over (score_n DESC, doc_id): first n%3 tiles get the extra
+    val scored = rows.map { case (id, _, lang) =>
+      val (nt, _, _, _, su) = kn.getOrElse(id, (0L, 0L, 0L, 0L, 0L))
+      (id, lang, nt, if (nt == 0L) 0L else su / nt)
+    }
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(d => (-d._4, d._1))
+      val n = sorted.length; val q = n / 3; val r = n % 3
+      val bounds = Seq(q + (if (r >= 1) 1 else 0),
+        q + (if (r >= 2) 1 else 0), q)
+      val names = Seq("head", "middle", "tail")
+      sorted.zipWithIndex.map { case ((id, lang, nt, sn), ix) =>
+        val tile = if (ix < bounds(0)) 0
+          else if (ix < bounds(0) + bounds(1)) 1 else 2
+        (id, lang, nt, sn, names(tile))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect,
+      s"tertile replay mismatch (first got=${got.take(3).toSeq}, want=${expect.take(3)})")
+    // the buckets are genuinely mass-ordered: per lang, every head doc
+    // scores at least every tail doc
+    got.groupBy(_._2).foreach { case (lang, ds) =>
+      val head = ds.filter(_._5 == "head").map(_._4)
+      val tail = ds.filter(_._5 == "tail").map(_._4)
+      assert(head.nonEmpty && tail.nonEmpty, s"$lang: degenerate tertiles")
+      assert(head.min >= tail.max, s"$lang: head does not dominate tail")
+    }
+  }
+
   test("trigram Kneser-Ney: all backoff branches on a designed toy; mass below unity") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
